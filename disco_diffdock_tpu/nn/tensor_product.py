@@ -1,0 +1,180 @@
+"""Equivariant tensor products: the core message operation of the score GNN.
+
+The reference has two implementations (models/tensor_layers.py):
+  * ``FasterTensorProduct`` (:39-116) -- a hand-written lmax=1 fast path
+    (dot / cross / scalar-mult with per-key weight matmuls), used by every
+    shipped sh_lmax=1 model; and
+  * e3nn's ``o3.FullyConnectedTensorProduct`` for the general case.
+
+The TPU build has ONE general implementation built from the CG tables of
+``cg.py``, with the fast path's normalization convention generalized: for each
+output irrep, basis features from all contributing (input-block, sh-block)
+paths are concatenated along the channel axis and hit with a single per-edge
+weight matrix scaled by 1/sqrt(fan_in).  For lmax=1 inputs/outputs and
+sh='1x0e+1x1o' this reproduces the reference fast path bit-for-bit in
+structure (dot/sqrt(3), cross/sqrt(2), identical weight layout and order).
+
+All contractions here run in the model compute dtype (bf16-friendly); the per
+-edge weight matmul is a batched small matmul that XLA maps onto the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .cg import cg_tensor
+from .irreps import Irreps, spherical_harmonics_irreps
+
+
+@dataclasses.dataclass(frozen=True)
+class _Path:
+    in_block: int  # index into in_irreps
+    sh_block: int  # index into sh_irreps
+
+
+class WeightedTensorProduct:
+    """Fully-connected weighted TP: (in, sh, per-edge weights) -> out.
+
+    Weight layout: concatenated per output block, each block a
+    (fan_in_k, out_mul_k) matrix flattened row-major -- matching the
+    reference FasterTensorProduct's weight_shapes dict order when the irreps
+    coincide (models/tensor_layers.py:57-63).
+    """
+
+    def __init__(self, in_irreps, sh_irreps, out_irreps):
+        self.in_irreps = Irreps(in_irreps)
+        self.sh_irreps = Irreps(sh_irreps)
+        self.out_irreps = Irreps(out_irreps)
+        for mi in self.sh_irreps:
+            assert mi.mul == 1, "sh multiplicities must be 1"
+
+        self.paths: list[list[_Path]] = []  # per out block
+        self.fan_in: list[int] = []
+        for k, out_mi in enumerate(self.out_irreps):
+            paths_k, fan = [], 0
+            for i, in_mi in enumerate(self.in_irreps):
+                for j, sh_mi in enumerate(self.sh_irreps):
+                    l1, l2, l3 = in_mi.ir.l, sh_mi.ir.l, out_mi.ir.l
+                    if in_mi.ir.p * sh_mi.ir.p != out_mi.ir.p:
+                        continue
+                    if not abs(l1 - l2) <= l3 <= l1 + l2:
+                        continue
+                    paths_k.append(_Path(i, j))
+                    fan += in_mi.mul
+            self.paths.append(paths_k)
+            self.fan_in.append(fan)
+        self.weight_numel = sum(
+            f * out_mi.mul for f, out_mi in zip(self.fan_in, self.out_irreps) if f > 0
+        )
+
+    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+        """Apply the TP.
+
+        Args:
+          x: (..., in_dim) input features.
+          sh: (..., sh_dim) spherical-harmonic features.
+          weight: (..., weight_numel) per-edge weights.
+        Returns:
+          (..., out_dim).
+        """
+        in_slices = self.in_irreps.slices()
+        sh_slices = self.sh_irreps.slices()
+        x_blocks = [
+            x[..., sl].reshape(x.shape[:-1] + (mi.mul, mi.ir.dim))
+            for mi, sl in zip(self.in_irreps, in_slices)
+        ]
+        sh_blocks = [sh[..., sl] for sl in sh_slices]
+
+        outs = []
+        w_ofs = 0
+        for k, out_mi in enumerate(self.out_irreps):
+            fan = self.fan_in[k]
+            if fan == 0:
+                outs.append(
+                    jnp.zeros(x.shape[:-1] + (out_mi.dim,), dtype=x.dtype)
+                )
+                continue
+            basis = []
+            for path in self.paths[k]:
+                in_mi = self.in_irreps[path.in_block]
+                sh_mi = self.sh_irreps[path.sh_block]
+                C = jnp.asarray(
+                    cg_tensor(in_mi.ir.l, sh_mi.ir.l, out_mi.ir.l), dtype=x.dtype
+                )
+                # (..., mul, d1) x (..., d2) x (d1,d2,d3) -> (..., mul, d3)
+                b = jnp.einsum(
+                    "...mi,...j,ijk->...mk", x_blocks[path.in_block], sh_blocks[path.sh_block], C
+                )
+                basis.append(b)
+            basis = jnp.concatenate(basis, axis=-2)  # (..., fan, d3)
+            n = fan * out_mi.mul
+            W = weight[..., w_ofs : w_ofs + n].reshape(
+                weight.shape[:-1] + (fan, out_mi.mul)
+            ) / np.sqrt(fan)
+            w_ofs += n
+            out = jnp.einsum("...mk,...mo->...ok", basis, W)
+            outs.append(out.reshape(out.shape[:-2] + (out_mi.dim,)))
+        return jnp.concatenate(outs, axis=-1)
+
+
+class FullTensorProduct:
+    """Unweighted full TP (every path kept as its own output block).
+
+    Replaces ``o3.FullTensorProduct(sh_irreps, '2e')`` for the torsion bond
+    convolution (models/score_model.py:152,295-296).  Output paths beyond
+    ``lmax_out`` are dropped (they cannot reach any output irrep of the
+    shipped models).
+    """
+
+    def __init__(self, irreps1, irreps2, lmax_out: int = 3):
+        self.irreps1 = Irreps(irreps1)
+        self.irreps2 = Irreps(irreps2)
+        paths = []
+        out = []
+        for i, mi1 in enumerate(self.irreps1):
+            for j, mi2 in enumerate(self.irreps2):
+                assert mi2.mul == 1
+                p3 = mi1.ir.p * mi2.ir.p
+                for l3 in range(abs(mi1.ir.l - mi2.ir.l), mi1.ir.l + mi2.ir.l + 1):
+                    if l3 > lmax_out:
+                        continue
+                    paths.append((i, j, l3))
+                    out.append((mi1.mul, l3, p3))
+        self.paths = paths
+        self.irreps_out = Irreps(out)
+
+    def __call__(self, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+        s1 = self.irreps1.slices()
+        s2 = self.irreps2.slices()
+        outs = []
+        for (i, j, l3) in self.paths:
+            mi1, mi2 = self.irreps1[i], self.irreps2[j]
+            b1 = x1[..., s1[i]].reshape(x1.shape[:-1] + (mi1.mul, mi1.ir.dim))
+            b2 = x2[..., s2[j]]
+            C = jnp.asarray(cg_tensor(mi1.ir.l, mi2.ir.l, l3), dtype=x1.dtype)
+            o = jnp.einsum("...mi,...j,ijk->...mk", b1, b2, C)
+            outs.append(o.reshape(o.shape[:-2] + (mi1.mul * (2 * l3 + 1),)))
+        return jnp.concatenate(outs, axis=-1)
+
+
+def get_irrep_seq(ns: int, nv: int, use_second_order_repr: bool, reduce_pseudoscalars: bool = False):
+    """Feature-type progression per conv layer (tensor_layers.py:12-27)."""
+    if use_second_order_repr:
+        return [
+            f"{ns}x0e",
+            f"{ns}x0e + {nv}x1o + {nv}x2e",
+            f"{ns}x0e + {nv}x1o + {nv}x2e + {nv}x1e + {nv}x2o",
+            f"{ns}x0e + {nv}x1o + {nv}x2e + {nv}x1e + {nv}x2o + {nv if reduce_pseudoscalars else ns}x0o",
+        ]
+    return [
+        f"{ns}x0e",
+        f"{ns}x0e + {nv}x1o",
+        f"{ns}x0e + {nv}x1o + {nv}x1e",
+        f"{ns}x0e + {nv}x1o + {nv}x1e + {nv if reduce_pseudoscalars else ns}x0o",
+    ]
+
+
+def sh_irreps(lmax: int) -> Irreps:
+    return spherical_harmonics_irreps(lmax)
