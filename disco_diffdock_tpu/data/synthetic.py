@@ -1,0 +1,157 @@
+"""Synthetic protein-ligand complexes for tests and benchmarks.
+
+Generates chemically-plausible geometry (a branched ligand chain with
+rotatable bonds, a folded C-alpha trace) and random categorical features,
+padded into a ``ComplexBatch`` -- exercising every container field without
+RDKit/BioPython (which stay host-side, data/featurize.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import GraphCaps
+from ..graphs.containers import ComplexBatch, ListEdges
+from ..graphs.radius import knn_edges_host
+from .features import LIG_FEATURE_DIMS
+
+
+def make_ligand(rng: np.random.RandomState, n_atoms: int):
+    """Random branched chain: positions, bond pairs, rotatable bonds."""
+    pos = np.zeros((n_atoms, 3), np.float32)
+    parent = np.zeros(n_atoms, np.int64)
+    for i in range(1, n_atoms):
+        parent[i] = rng.randint(max(0, i - 3), i)
+        d = rng.randn(3)
+        d = d / np.linalg.norm(d) * 1.5
+        pos[i] = pos[parent[i]] + d
+    bonds = np.stack([parent[1:], np.arange(1, n_atoms)], 1)  # (n-1, 2) tree
+
+    # rotatable bonds: tree edges whose child subtree has >1 atom and that
+    # are not terminal; mask_rotate marks the child-side subtree (v side).
+    children: dict[int, list[int]] = {i: [] for i in range(n_atoms)}
+    for u, v in bonds:
+        children[u].append(v)
+
+    def subtree(v):
+        out = [v]
+        for c in children[v]:
+            out += subtree(c)
+        return out
+
+    tor, masks = [], []
+    for u, v in bonds:
+        sub = subtree(v)
+        if 1 < len(sub) < n_atoms - 1:
+            tor.append((u, v))
+            m = np.zeros(n_atoms, bool)
+            m[sub] = True
+            masks.append(m)
+    tor = np.asarray(tor, np.int32).reshape(-1, 2)
+    masks = np.asarray(masks, bool).reshape(-1, n_atoms)
+    return pos, bonds.astype(np.int32), tor, masks
+
+
+def make_receptor(rng: np.random.RandomState, n_res: int):
+    """Self-avoiding-ish random walk C-alpha trace, ~3.8A steps."""
+    pos = np.zeros((n_res, 3), np.float32)
+    d = rng.randn(3)
+    for i in range(1, n_res):
+        d = 0.6 * d + rng.randn(3)
+        d = d / np.linalg.norm(d)
+        pos[i] = pos[i - 1] + 3.8 * d
+    return pos - pos.mean(0)
+
+
+def make_complex_batch(
+    seed: int = 0,
+    batch: int = 2,
+    n_lig: int = 24,
+    n_res: int = 96,
+    caps: GraphCaps | None = None,
+    receptor_radius: float = 15.0,
+    c_alpha_max_neighbors: int = 24,
+    esm_dim: int = 1280,
+    same_complex: bool = False,
+) -> ComplexBatch:
+    """Build a padded synthetic batch (numpy; convert with jnp.asarray via jax)."""
+    import jax.numpy as jnp
+
+    caps = caps or GraphCaps(
+        max_lig=max(32, n_lig), max_rec=max(128, n_res),
+        rec_edge_cap=max(128, n_res) * c_alpha_max_neighbors,
+    )
+    rng = np.random.RandomState(seed)
+
+    NL, NR = caps.max_lig, caps.max_rec
+    lig_x = np.zeros((batch, NL, 16), np.int32)
+    lig_pos = np.zeros((batch, NL, 3), np.float32)
+    lig_mask = np.zeros((batch, NL), bool)
+    bond_src = np.zeros((batch, caps.lig_bond_cap), np.int32)
+    bond_dst = np.zeros((batch, caps.lig_bond_cap), np.int32)
+    bond_mask = np.zeros((batch, caps.lig_bond_cap), bool)
+    bond_attr = np.zeros((batch, caps.lig_bond_cap, 4), np.float32)
+    rec_x = np.zeros((batch, NR, 1 + esm_dim), np.float32)
+    rec_pos = np.zeros((batch, NR, 3), np.float32)
+    rec_mask = np.zeros((batch, NR), bool)
+    re_src = np.zeros((batch, caps.rec_edge_cap), np.int32)
+    re_dst = np.zeros((batch, caps.rec_edge_cap), np.int32)
+    re_mask = np.zeros((batch, caps.rec_edge_cap), bool)
+    tor_edges = np.zeros((batch, caps.tor_cap, 2), np.int32)
+    tor_mask_rotate = np.zeros((batch, caps.tor_cap, NL), bool)
+    tor_mask = np.zeros((batch, caps.tor_cap), bool)
+
+    for b in range(batch):
+        brng = rng if not same_complex else np.random.RandomState(seed)
+        nl = n_lig
+        pos, bonds, tor, masks = make_ligand(brng, nl)
+        lig_pos[b, :nl] = pos
+        lig_mask[b, :nl] = True
+        for i, dim in enumerate(LIG_FEATURE_DIMS):
+            lig_x[b, :nl, i] = brng.randint(0, dim, nl)
+        # bidirectional bond list with one-hot types
+        eb = min(len(bonds) * 2, caps.lig_bond_cap)
+        bidir = np.concatenate([bonds, bonds[:, ::-1]], 0)[:eb]
+        bond_src[b, :eb] = bidir[:, 0]
+        bond_dst[b, :eb] = bidir[:, 1]
+        bond_mask[b, :eb] = True
+        bond_attr[b, np.arange(eb), brng.randint(0, 4, eb)] = 1.0
+
+        nr = n_res
+        rpos = make_receptor(brng, nr)
+        rec_pos[b, :nr] = rpos
+        rec_mask[b, :nr] = True
+        rec_x[b, :nr, 0] = brng.randint(0, 38, nr)
+        if esm_dim:
+            rec_x[b, :nr, 1:] = brng.randn(nr, esm_dim).astype(np.float32)
+        s, d = knn_edges_host(rpos, receptor_radius, c_alpha_max_neighbors)
+        ne = min(len(s), caps.rec_edge_cap)
+        re_src[b, :ne] = s[:ne]
+        re_dst[b, :ne] = d[:ne]
+        re_mask[b, :ne] = True
+
+        # ligand placed near the receptor surface
+        lig_pos[b, :nl] += rpos[brng.randint(nr)] * 0.5
+
+        ntor = min(len(tor), caps.tor_cap)
+        tor_edges[b, :ntor] = tor[:ntor]
+        tor_mask_rotate[b, :ntor, :nl] = masks[:ntor]
+        tor_mask[b, :ntor] = True
+
+    cb = ComplexBatch(
+        lig_x=jnp.asarray(lig_x),
+        lig_pos=jnp.asarray(lig_pos),
+        lig_mask=jnp.asarray(lig_mask),
+        lig_bonds=ListEdges(jnp.asarray(bond_src), jnp.asarray(bond_dst), jnp.asarray(bond_mask)),
+        lig_bond_attr=jnp.asarray(bond_attr),
+        rec_x=jnp.asarray(rec_x),
+        rec_pos=jnp.asarray(rec_pos),
+        rec_mask=jnp.asarray(rec_mask),
+        rec_edges=ListEdges(jnp.asarray(re_src), jnp.asarray(re_dst), jnp.asarray(re_mask)),
+        tor_edges=jnp.asarray(tor_edges),
+        tor_mask_rotate=jnp.asarray(tor_mask_rotate),
+        tor_mask=jnp.asarray(tor_mask),
+        graph_mask=jnp.ones((batch,), bool),
+        original_center=jnp.zeros((batch, 3)),
+        extras={"orig_pos": jnp.asarray(lig_pos)},
+    )
+    return cb.set_time(1.0, 1.0, 1.0)
