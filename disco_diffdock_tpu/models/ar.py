@@ -1,0 +1,113 @@
+"""Autoregressive latent prior on the frozen score-model trunk.
+
+Parity with ``PretrainedScoreEncoder`` (models/pretrained_score_encoder.py:
+8-89) and ``GenericEncoder.encode_ar`` (models/model_classes.py:9-49): the
+score model's ``embed()`` runs at t=1 with unconditional=1 and the partial
+latent string as conditioning; fresh per-node MLPs score every ligand/receptor
+node; decoding proceeds slot-by-slot, sampling a node per graph from the
+temperature-scaled softmax (multinomial, or argmax at temperature >= 100) and
+feeding the grown one-hot back in.
+
+The sequential decode is a Python loop over ``latent_dim`` slots (2 in the
+shipped config) inside one jit -- each iteration is a full trunk forward, as
+in the reference.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import GraphCaps, ScoreModelConfig
+from ..graphs.containers import ComplexBatch
+from .encoder import LatentPredictorMLP
+from .score_model import TensorProductScoreModel
+
+
+class PretrainedScoreEncoder(nn.Module):
+    score_cfg: ScoreModelConfig
+    caps: GraphCaps
+    latent_dim: int = 1  # output slots scored per forward (reference: 1)
+    input_latent_dim: int = 2  # latent string length being decoded
+    latent_hidden_dim: int = 128
+    latent_no_batchnorm: bool = False
+    latent_dropout: float = 0.0
+
+    def setup(self):
+        self.pretrained_score_model = TensorProductScoreModel(
+            cfg=self.score_cfg, caps=self.caps
+        )
+        self.latent_s_predictor = LatentPredictorMLP(
+            self.latent_hidden_dim, self.latent_dim,
+            self.latent_no_batchnorm, self.latent_dropout,
+        )
+        self.latent_r_predictor = LatentPredictorMLP(
+            self.latent_hidden_dim, self.latent_dim,
+            self.latent_no_batchnorm, self.latent_dropout,
+        )
+
+    def __call__(
+        self,
+        batch: ComplexBatch,
+        input_latent,
+        decoding_idx: jnp.ndarray,
+        deterministic: bool = True,
+        use_running_average: bool = False,
+    ):
+        """One AR decoding step: returns (logits (B, latent_dim, NL+NR), mask).
+
+        ``input_latent``: (lat_l (B,NL,ild), lat_r (B,NR,ild)) partial string.
+        ``decoding_idx``: (B,) which slot is being decoded (conditioning is
+        implicit: slots >= idx are zero in input_latent, as in the reference).
+        """
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+        b = batch.set_time(1.0, 1.0, 1.0)
+        lig_attr, rec_attr, _ = self.pretrained_score_model.embed(
+            b,
+            latent=input_latent,
+            unconditional=jnp.ones((B, 1)),
+            deterministic=deterministic,
+            use_running_average=use_running_average,
+        )
+        s_lig = self.pretrained_score_model.scalar_features(lig_attr)
+        s_rec = self.pretrained_score_model.scalar_features(rec_attr)
+        pl = self.latent_s_predictor(s_lig, batch.lig_mask, deterministic, use_running_average)
+        pr = self.latent_r_predictor(s_rec, batch.rec_mask, deterministic, use_running_average)
+        logits = jnp.swapaxes(jnp.concatenate([pl, pr], 1), 1, 2)  # (B, Ld, NL+NR)
+        node_mask = jnp.concatenate([batch.lig_mask, batch.rec_mask], 1)
+        return logits, node_mask
+
+
+def encode_ar(
+    model_apply,
+    batch: ComplexBatch,
+    key: jax.Array,
+    input_latent_dim: int,
+    sampling_temperature: float = 1.0,
+):
+    """Sequential AR latent decoding (model_classes.py:9-49), vocab=1 path.
+
+    ``model_apply(batch, input_latent, decoding_idx) -> (logits, node_mask)``
+    where logits is (B, 1, NL+NR).  Returns (lat_l, lat_r) one-hot strings.
+    """
+    B, NL = batch.lig_x.shape[:2]
+    NR = batch.rec_x.shape[1]
+    lat_l = jnp.zeros((B, NL, input_latent_dim))
+    lat_r = jnp.zeros((B, NR, input_latent_dim))
+
+    for idx in range(input_latent_dim):
+        key, k = jax.random.split(key)
+        dec = jnp.full((B,), idx, jnp.int32)
+        logits, node_mask = model_apply(batch, (lat_l, lat_r), dec)
+        lat = logits[:, 0, :] * sampling_temperature  # (B, NL+NR)
+        lat = jnp.where(node_mask, lat, -jnp.inf)
+        if sampling_temperature >= 100:
+            choice = jnp.argmax(lat, axis=-1)
+        else:
+            lat = jnp.nan_to_num(lat, nan=-jnp.inf, posinf=80.0)
+            choice = jax.random.categorical(k, lat, axis=-1)
+        onehot = jax.nn.one_hot(choice, NL + NR)
+        lat_l = lat_l.at[:, :, idx].set(onehot[:, :NL])
+        lat_r = lat_r.at[:, :, idx].set(onehot[:, NL:])
+    return lat_l, lat_r

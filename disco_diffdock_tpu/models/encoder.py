@@ -1,0 +1,258 @@
+"""Discrete-latent encoder (TPEncoder): the DisCo-Diff latent inference model.
+
+TPU-native redesign of models/latent_encoder.py:16-447.  The same tensor
+-product trunk as the score model, but time-free (sigma_embed_dim=0), reading
+the ligand's *oracle* (crystal) pose at train time (:189-192), with output
+heads producing discrete latents:
+
+  * ``latent_vocab == 1`` (shipped config): per-node scalars for every latent
+    slot -> softmax over the union of ligand+receptor nodes of each graph ->
+    straight-through Gumbel one-hot "anchor node" indicators (:320-343)
+  * ``latent_vocab > 1``: mean-pooled scalars -> MLP -> (B, latent_dim,
+    vocab) Gumbel softmax (:312-319)
+
+The padded-batch formulation does the per-graph softmax over a masked
+concatenated node axis -- no per-graph Python loops (the reference loops over
+graphs, :328-339).  AR-decoder conditioning (``input_latent`` +
+``decoding_idx`` one-hots, :172-186) is supported for the standalone-encoder
+AR variant.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderConfig, GraphCaps
+from ..data.features import LIG_FEATURE_DIMS, REC_RESIDUE_FEATURE_DIMS
+from ..graphs.containers import ComplexBatch
+from ..graphs.radius import radius_edges
+from ..nn.basic import AtomEncoder, FCBlock, gumbel_softmax
+from ..nn.batchnorm import MaskedIrrepsBatchNorm
+from ..nn.conv import ConvBlock, TPConvLayer, gather_nodes
+from ..nn.irreps import spherical_harmonics_irreps
+from ..nn.sh import spherical_harmonics
+from ..nn.tensor_product import get_irrep_seq
+from .score_model import GaussianSmearing, _concat_edges, _edge_latent
+
+
+class LatentPredictorMLP(nn.Module):
+    """Linear-BN-ReLU-Dropout x2 + Linear head (latent_encoder.py:148-169)."""
+
+    hidden: int
+    out: int
+    no_batchnorm: bool = False
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True, use_running_average=False):
+        for i in range(2):
+            x = nn.Dense(self.hidden)(x)
+            if not self.no_batchnorm:
+                x = MaskedIrrepsBatchNorm(f"{self.hidden}x0e")(
+                    x, mask, use_running_average=use_running_average
+                )
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.out)(x)
+
+
+class TPEncoder(nn.Module):
+    cfg: EncoderConfig
+    caps: GraphCaps
+
+    def setup(self):
+        cfg = self.cfg
+        ns, nv = cfg.ns, cfg.nv
+        self.sh_irreps = str(spherical_harmonics_irreps(cfg.sh_lmax))
+        self.irrep_seq = get_irrep_seq(ns, nv, cfg.use_second_order_repr)
+        # input-latent conditioning dims (AR decoder mode)
+        ild = cfg.input_latent_dim
+        lat_node = ild * (cfg.latent_vocab + 1)
+        self.lig_node_embedding = AtomEncoder(ns, LIG_FEATURE_DIMS, lat_node)
+        self.rec_node_embedding = AtomEncoder(
+            ns, REC_RESIDUE_FEATURE_DIMS, cfg.esm_embedding_dim + lat_node
+        )
+        self.lig_edge_embedding = FCBlock(ns, ns, 2, cfg.dropout)
+        self.rec_edge_embedding = FCBlock(ns, ns, 2, cfg.dropout)
+        self.cross_edge_embedding = FCBlock(ns, ns, 2, cfg.dropout)
+        self.lig_distance_expansion = GaussianSmearing(0.0, cfg.lig_max_radius, cfg.distance_embed_dim)
+        self.rec_distance_expansion = GaussianSmearing(0.0, cfg.rec_max_radius, cfg.distance_embed_dim)
+        self.cross_distance_expansion = GaussianSmearing(0.0, cfg.cross_max_distance, cfg.cross_distance_embed_dim)
+
+        self.conv_layers = [
+            TPConvLayer(
+                in_irreps=self.irrep_seq[min(i, len(self.irrep_seq) - 1)],
+                sh_irreps=self.sh_irreps,
+                out_irreps=self.irrep_seq[min(i + 1, len(self.irrep_seq) - 1)],
+                n_edge_features=3 * ns,
+                hidden_features=3 * ns,
+                residual=True,
+                batch_norm=cfg.batch_norm,
+                dropout=cfg.dropout,
+                edge_groups=4,
+                name=f"conv{i}",
+            )
+            for i in range(cfg.num_conv_layers)
+        ]
+
+        scalar_dim = 2 * ns if cfg.num_conv_layers >= 3 else ns
+        if cfg.latent_vocab > 1:
+            self.latent_predictor = LatentPredictorMLP(
+                cfg.latent_hidden_dim, cfg.latent_dim * cfg.latent_vocab,
+                cfg.latent_no_batchnorm, cfg.latent_dropout,
+            )
+        else:
+            self.latent_s_predictor = LatentPredictorMLP(
+                cfg.latent_hidden_dim, cfg.latent_dim,
+                cfg.latent_no_batchnorm, cfg.latent_dropout,
+            )
+            self.latent_r_predictor = LatentPredictorMLP(
+                cfg.latent_hidden_dim, cfg.latent_dim,
+                cfg.latent_no_batchnorm, cfg.latent_dropout,
+            )
+
+    def __call__(
+        self,
+        batch: ComplexBatch,
+        latent_temperature: float = 1.0,
+        apply_gumbel: Optional[bool] = None,
+        input_latent=None,
+        decoding_idx: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        use_running_average: bool = False,
+    ):
+        """Encode; returns (lat_l, lat_r) one-hots, or per-node logits
+        (B, latent_dim, NL+NR) with the node mask when ``apply_gumbel`` is
+        False (the AR-training mode), or (B, latent_dim, vocab) for vocab>1.
+        """
+        cfg = self.cfg
+        ns = cfg.ns
+        if apply_gumbel is None:
+            apply_gumbel = cfg.apply_gumbel_softmax
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+
+        # oracle pose at train time; diffusing pose in AR-decoder mode
+        if cfg.use_oracle:
+            pos_l = batch.extras["orig_pos"]
+        else:
+            pos_l = batch.lig_pos
+
+        if input_latent is not None:
+            lat_l_in, lat_r_in = input_latent
+            dec_onehot = jax.nn.one_hot(decoding_idx, cfg.input_latent_dim)  # (B, ild)
+        else:
+            lat_l_in = lat_r_in = dec_onehot = None
+
+        # ---- ligand graph
+        redges = radius_edges(
+            pos_l, batch.lig_mask, pos_l, batch.lig_mask,
+            cfg.lig_max_radius, self.caps.lig_radius_cap, exclude_self=True,
+        )
+        lig_edges = _concat_edges(batch.lig_bonds, redges)
+        bond_feat = jnp.concatenate(
+            [batch.lig_bond_attr, jnp.zeros((B, redges.capacity, cfg.in_lig_edge_features))], 1
+        )
+        vec_l = gather_nodes(pos_l, lig_edges.dst) - gather_nodes(pos_l, lig_edges.src)
+        dist_l = jnp.linalg.norm(vec_l + 1e-12, axis=-1)
+        lig_eattr = [bond_feat, self.lig_distance_expansion(dist_l)]
+        lig_node_in = [batch.lig_x.astype(jnp.float32)]
+        if lat_l_in is not None:
+            dec_l = jnp.broadcast_to(dec_onehot[:, None, :], (B, NL, cfg.input_latent_dim))
+            lig_eattr.append(_edge_latent(lat_l_in, lat_l_in, lig_edges))
+            lig_eattr.append(gather_nodes(dec_l, lig_edges.src))
+            lig_node_in += [lat_l_in, dec_l]
+        lig_attr = self.lig_node_embedding(jnp.concatenate(lig_node_in, -1))
+        lig_eattr = self.lig_edge_embedding(jnp.concatenate(lig_eattr, -1), deterministic=deterministic)
+        lig_sh = spherical_harmonics(vec_l, cfg.sh_lmax)
+
+        # ---- receptor graph
+        rec_edges = batch.rec_edges
+        vec_r = gather_nodes(batch.rec_pos, rec_edges.dst) - gather_nodes(batch.rec_pos, rec_edges.src)
+        dist_r = jnp.linalg.norm(vec_r + 1e-12, axis=-1)
+        rec_eattr = [self.rec_distance_expansion(dist_r)]
+        rec_node_in = [batch.rec_x.astype(jnp.float32)]
+        if lat_r_in is not None:
+            dec_r = jnp.broadcast_to(dec_onehot[:, None, :], (B, NR, cfg.input_latent_dim))
+            rec_eattr.append(_edge_latent(lat_r_in, lat_r_in, rec_edges))
+            rec_eattr.append(gather_nodes(dec_r, rec_edges.src))
+            rec_node_in += [lat_r_in, dec_r]
+        rec_attr = self.rec_node_embedding(jnp.concatenate(rec_node_in, -1))
+        rec_eattr = self.rec_edge_embedding(jnp.concatenate(rec_eattr, -1), deterministic=deterministic)
+        rec_sh = spherical_harmonics(vec_r, cfg.sh_lmax)
+
+        # ---- cross graph (fixed cutoff, encoder_cross_max_distance=30)
+        cross_edges = radius_edges(
+            pos_l, batch.lig_mask, batch.rec_pos, batch.rec_mask,
+            cfg.cross_max_distance, self.caps.cross_cap,
+        )
+        vec_x = gather_nodes(batch.rec_pos, cross_edges.dst) - gather_nodes(pos_l, cross_edges.src)
+        dist_x = jnp.linalg.norm(vec_x + 1e-12, axis=-1)
+        cross_eattr = [self.cross_distance_expansion(dist_x)]
+        if lat_l_in is not None:
+            cross_eattr.append(_edge_latent(lat_l_in, lat_r_in, cross_edges))
+            cross_eattr.append(gather_nodes(dec_l, cross_edges.src))
+        cross_eattr = self.cross_edge_embedding(jnp.concatenate(cross_eattr, -1), deterministic=deterministic)
+        cross_sh = spherical_harmonics(vec_x, cfg.sh_lmax)
+
+        # ---- conv trunk (same 4-group structure as the score model)
+        attrs = {"lig": lig_attr, "rec": rec_attr}
+        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
+        for layer in self.conv_layers:
+            def ws(base, edges, src_t, dst_t):
+                return jnp.concatenate(
+                    [base,
+                     gather_nodes(attrs[src_t][..., :ns], edges.src),
+                     gather_nodes(attrs[dst_t][..., :ns], edges.dst)], -1)
+
+            blocks = [
+                ConvBlock(lig_edges, "lig", "lig", ws(lig_eattr, lig_edges, "lig", "lig"), lig_sh, 0),
+                ConvBlock(cross_edges, "lig", "rec", ws(cross_eattr, cross_edges, "lig", "rec"), cross_sh, 1),
+                ConvBlock(rec_edges, "rec", "rec", ws(rec_eattr, rec_edges, "rec", "rec"), rec_sh, 2),
+                ConvBlock(cross_edges.flip(), "rec", "lig",
+                          jnp.concatenate([cross_eattr,
+                                           gather_nodes(attrs["rec"][..., :ns], cross_edges.dst),
+                                           gather_nodes(attrs["lig"][..., :ns], cross_edges.src)], -1),
+                          cross_sh, 3),
+            ]
+            attrs = layer(attrs, masks, blocks, deterministic=deterministic,
+                          use_running_average=use_running_average)
+
+        def scalars(a):
+            if cfg.num_conv_layers >= 3:
+                return jnp.concatenate([a[..., :ns], a[..., -ns:]], -1)
+            return a[..., :ns]
+
+        s_lig, s_rec = scalars(attrs["lig"]), scalars(attrs["rec"])
+
+        if cfg.latent_vocab > 1:
+            from ..graphs.segment import masked_mean_pool
+
+            pooled = jnp.concatenate(
+                [masked_mean_pool(s_lig, batch.lig_mask), masked_mean_pool(s_rec, batch.rec_mask)], -1
+            )
+            logits = self.latent_predictor(
+                pooled[:, None, :], batch.graph_mask[:, None], deterministic, use_running_average
+            ).reshape(B, cfg.latent_dim, cfg.latent_vocab)
+            if not apply_gumbel:
+                return logits
+            key = self.make_rng("gumbel")
+            return gumbel_softmax(key, logits, latent_temperature)
+
+        # vocab == 1: softmax over the union of nodes of each graph
+        pl = self.latent_s_predictor(s_lig, batch.lig_mask, deterministic, use_running_average)
+        pr = self.latent_r_predictor(s_rec, batch.rec_mask, deterministic, use_running_average)
+        logits = jnp.concatenate([pl, pr], 1)  # (B, NL+NR, latent_dim)
+        logits = jnp.swapaxes(logits, 1, 2)  # (B, latent_dim, NL+NR)
+        node_mask = jnp.concatenate([batch.lig_mask, batch.rec_mask], 1)  # (B, NL+NR)
+        if not apply_gumbel:
+            return logits, node_mask
+        key = self.make_rng("gumbel")
+        onehot = gumbel_softmax(
+            key, logits, latent_temperature, mask=node_mask[:, None, :]
+        )  # (B, latent_dim, NL+NR)
+        lat = jnp.swapaxes(onehot, 1, 2)  # (B, NL+NR, latent_dim)
+        return lat[:, :NL], lat[:, NL:]

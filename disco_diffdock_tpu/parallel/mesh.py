@@ -1,0 +1,61 @@
+"""Device mesh + data-parallel sharding for training and batched inference.
+
+The reference's only parallelism is single-process ``DataParallel`` over CUDA
+GPUs (utils/model_utils.py:98-99; SURVEY.md section 2.7).  The TPU-native
+equivalent: a ``jax.sharding.Mesh`` with a ``data`` axis; batches shard on
+their leading axis, parameters replicate, and gradient synchronization is an
+XLA ``psum`` over ICI emitted by ``shard_map``.  At this model scale
+(~20M params) tensor/pipeline parallelism is unnecessary (SURVEY 2.7) --
+scaling is pose- and complex-parallel.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Shard a ComplexBatch (or any pytree with leading batch axes) over the
+    mesh's data axis.  Scalar/dict leaves with a leading B axis shard; the
+    batch size must divide the axis size."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+    """Wrap a pmean-aware train step (built with axis_name=...) in shard_map.
+
+    state replicates, batch shards on its leading axis, the per-shard rng is
+    folded with the shard index so noise draws differ across shards.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def stepper(state, batch, key):
+        idx = jax.lax.axis_index(axis_name)
+        shard_key = jax.random.fold_in(key, idx)
+        return train_step(state, batch, shard_key)
+
+    sharded = shard_map(
+        stepper,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
