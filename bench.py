@@ -54,7 +54,8 @@ def build():
         esm_dim=cfg.esm_embedding_dim, same_complex=True,
     )
     model = TensorProductScoreModel(cfg=cfg, caps=caps)
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    # jit the init: eager per-op dispatch through the TPU tunnel is ~100x slower
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
     sigma = SigmaSchedule()
     scfg = SamplerConfig(inference_steps=STEPS, no_final_step_noise=True)
 
