@@ -28,6 +28,10 @@ class GraphCaps:
     cross_cap: int = 4096  # sigma-dependent dynamic cutoff pairs
     tor_cap: int = 16  # rotatable bonds
     tor_edge_cap: int = 512  # bond-midpoint -> atom edges (5A)
+    # all-atom receptor capacities (confidence model family)
+    max_atoms: int = 2560
+    atom_edge_cap: int = 2560 * 8  # atom radius graph (atom_max_neighbors=8)
+    la_cap: int = 1024  # ligand-atom <-> receptor-atom 5A cross edges
 
     def scaled(self, **kw) -> "GraphCaps":
         return dataclasses.replace(self, **kw)

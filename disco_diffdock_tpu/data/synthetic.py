@@ -72,6 +72,10 @@ def make_complex_batch(
     c_alpha_max_neighbors: int = 24,
     esm_dim: int = 1280,
     same_complex: bool = False,
+    all_atoms: bool = False,
+    atoms_per_res: int = 6,
+    atom_radius: float = 5.0,
+    atom_max_neighbors: int = 8,
 ) -> ComplexBatch:
     """Build a padded synthetic batch (numpy; convert with jnp.asarray via jax)."""
     import jax.numpy as jnp
@@ -99,6 +103,17 @@ def make_complex_batch(
     tor_edges = np.zeros((batch, caps.tor_cap, 2), np.int32)
     tor_mask_rotate = np.zeros((batch, caps.tor_cap, NL), bool)
     tor_mask = np.zeros((batch, caps.tor_cap), bool)
+    if all_atoms:
+        NA = caps.max_atoms
+        atom_x = np.zeros((batch, NA, 4), np.int32)
+        atom_pos = np.zeros((batch, NA, 3), np.float32)
+        atom_mask = np.zeros((batch, NA), bool)
+        ae_src = np.zeros((batch, caps.atom_edge_cap), np.int32)
+        ae_dst = np.zeros((batch, caps.atom_edge_cap), np.int32)
+        ae_mask = np.zeros((batch, caps.atom_edge_cap), bool)
+        ar_src = np.zeros((batch, NA), np.int32)
+        ar_dst = np.zeros((batch, NA), np.int32)
+        ar_mask = np.zeros((batch, NA), bool)
 
     for b in range(batch):
         brng = rng if not same_complex else np.random.RandomState(seed)
@@ -137,6 +152,25 @@ def make_complex_batch(
         tor_mask_rotate[b, :ntor, :nl] = masks[:ntor]
         tor_mask[b, :ntor] = True
 
+        if all_atoms:
+            na = min(nr * atoms_per_res, caps.max_atoms)
+            res_of_atom = np.repeat(np.arange(nr), atoms_per_res)[:na]
+            apos = rpos[res_of_atom] + brng.randn(na, 3).astype(np.float32) * 1.5
+            atom_pos[b, :na] = apos
+            atom_mask[b, :na] = True
+            atom_x[b, :na, 0] = brng.randint(0, 38, na)
+            atom_x[b, :na, 1] = brng.randint(0, 119, na)
+            atom_x[b, :na, 2] = brng.randint(0, 23, na)
+            atom_x[b, :na, 3] = brng.randint(0, 38, na)
+            s_, d_ = knn_edges_host(apos, atom_radius, atom_max_neighbors)
+            ne_ = min(len(s_), caps.atom_edge_cap)
+            ae_src[b, :ne_] = s_[:ne_]
+            ae_dst[b, :ne_] = d_[:ne_]
+            ae_mask[b, :ne_] = True
+            ar_src[b, :na] = np.arange(na)
+            ar_dst[b, :na] = res_of_atom
+            ar_mask[b, :na] = True
+
     cb = ComplexBatch(
         lig_x=jnp.asarray(lig_x),
         lig_pos=jnp.asarray(lig_pos),
@@ -152,6 +186,11 @@ def make_complex_batch(
         tor_mask=jnp.asarray(tor_mask),
         graph_mask=jnp.ones((batch,), bool),
         original_center=jnp.zeros((batch, 3)),
+        atom_x=jnp.asarray(atom_x) if all_atoms else None,
+        atom_pos=jnp.asarray(atom_pos) if all_atoms else None,
+        atom_mask=jnp.asarray(atom_mask) if all_atoms else None,
+        atom_edges=ListEdges(jnp.asarray(ae_src), jnp.asarray(ae_dst), jnp.asarray(ae_mask)) if all_atoms else None,
+        ar_edges=ListEdges(jnp.asarray(ar_src), jnp.asarray(ar_dst), jnp.asarray(ar_mask)) if all_atoms else None,
         extras={"orig_pos": jnp.asarray(lig_pos)},
     )
     return cb.set_time(1.0, 1.0, 1.0)

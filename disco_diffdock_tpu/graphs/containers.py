@@ -68,6 +68,12 @@ class ComplexBatch:
     # bookkeeping
     graph_mask: jnp.ndarray  # (B,) bool -- padded graphs in a batch
     original_center: jnp.ndarray  # (B, 3) protein-centroid shift applied at featurization
+    # all-atom receptor representation (confidence model family); None for CG
+    atom_x: jnp.ndarray | None = None  # (B, NA, 4) int32
+    atom_pos: jnp.ndarray | None = None  # (B, NA, 3)
+    atom_mask: jnp.ndarray | None = None  # (B, NA)
+    atom_edges: ListEdges | None = None  # precomputed atom radius graph
+    ar_edges: ListEdges | None = None  # atom -> residue membership edges
     # diffusion state (set by set_time)
     complex_t: dict[str, jnp.ndarray] = dataclasses.field(
         default_factory=dict
