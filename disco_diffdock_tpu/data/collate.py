@@ -1,0 +1,187 @@
+"""Collation of host-featurized complexes into padded ``ComplexBatch``es.
+
+The host side produces one ``dict`` of numpy arrays per complex (the
+"HeteroComplex" record, mirroring the reference's HeteroData fields,
+datasets_utils/pdbbind.py:295-352).  ``collate`` pads a list of records into
+one fixed-shape ComplexBatch; ``pick_bucket`` chooses the smallest capacity
+profile that fits, bounding padding waste (the TPU answer to dynamic shapes).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+from ..config import GraphCaps
+
+# Default bucket ladder: compiled programs are cached per bucket.
+DEFAULT_BUCKETS = (
+    GraphCaps(max_lig=24, max_rec=128, lig_bond_cap=56, lig_radius_cap=384,
+              rec_edge_cap=128 * 24, cross_cap=1536, tor_cap=8, tor_edge_cap=192,
+              max_atoms=1024, atom_edge_cap=1024 * 8, la_cap=512),
+    GraphCaps(max_lig=32, max_rec=256, lig_bond_cap=72, lig_radius_cap=512,
+              rec_edge_cap=256 * 24, cross_cap=3072, tor_cap=12, tor_edge_cap=256,
+              max_atoms=2048, atom_edge_cap=2048 * 8, la_cap=768),
+    GraphCaps(max_lig=48, max_rec=384, lig_bond_cap=112, lig_radius_cap=1024,
+              rec_edge_cap=384 * 24, cross_cap=6144, tor_cap=16, tor_edge_cap=384,
+              max_atoms=3072, atom_edge_cap=3072 * 8, la_cap=1024),
+    GraphCaps(max_lig=64, max_rec=768, lig_bond_cap=148, lig_radius_cap=1536,
+              rec_edge_cap=768 * 24, cross_cap=12288, tor_cap=24, tor_edge_cap=512,
+              max_atoms=6144, atom_edge_cap=6144 * 8, la_cap=1536),
+)
+
+
+def complex_size(rec: dict) -> tuple[int, int, int]:
+    return len(rec["lig_pos"]), len(rec["rec_pos"]), len(rec["tor_edges"])
+
+
+def fits(rec: dict, caps: GraphCaps) -> bool:
+    nl, nr, nt = complex_size(rec)
+    ok = (
+        nl <= caps.max_lig
+        and nr <= caps.max_rec
+        and nt <= caps.tor_cap
+        and len(rec["bonds"]) <= caps.lig_bond_cap
+        and len(rec["rec_src"]) <= caps.rec_edge_cap
+    )
+    if ok and rec.get("atom_pos") is not None:
+        ok = len(rec["atom_pos"]) <= caps.max_atoms and len(rec["atom_src"]) <= caps.atom_edge_cap
+    return ok
+
+
+def pick_bucket(recs: Sequence[dict], buckets: Sequence[GraphCaps] = DEFAULT_BUCKETS) -> GraphCaps:
+    for caps in buckets:
+        if all(fits(r, caps) for r in recs):
+            return caps
+    raise ValueError(
+        "complex exceeds the largest bucket: "
+        + str([complex_size(r) for r in recs if not fits(r, buckets[-1])])
+    )
+
+
+def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 1280):
+    """Pad records into a ComplexBatch (numpy -> device on first use)."""
+    import jax.numpy as jnp
+
+    from ..graphs.containers import ComplexBatch, ListEdges
+
+    if caps is None:
+        caps = pick_bucket(recs)
+    B = len(recs)
+    NL, NR = caps.max_lig, caps.max_rec
+    all_atoms = recs[0].get("atom_pos") is not None
+
+    def zeros(shape, dtype=np.float32):
+        return np.zeros(shape, dtype)
+
+    out = dict(
+        lig_x=zeros((B, NL, 16), np.int32),
+        lig_pos=zeros((B, NL, 3)),
+        lig_mask=zeros((B, NL), bool),
+        bond_src=zeros((B, caps.lig_bond_cap), np.int32),
+        bond_dst=zeros((B, caps.lig_bond_cap), np.int32),
+        bond_mask=zeros((B, caps.lig_bond_cap), bool),
+        bond_attr=zeros((B, caps.lig_bond_cap, 4)),
+        rec_x=zeros((B, NR, 1 + esm_dim)),
+        rec_pos=zeros((B, NR, 3)),
+        rec_mask=zeros((B, NR), bool),
+        re_src=zeros((B, caps.rec_edge_cap), np.int32),
+        re_dst=zeros((B, caps.rec_edge_cap), np.int32),
+        re_mask=zeros((B, caps.rec_edge_cap), bool),
+        tor_edges=zeros((B, caps.tor_cap, 2), np.int32),
+        tor_mask_rotate=zeros((B, caps.tor_cap, NL), bool),
+        tor_mask=zeros((B, caps.tor_cap), bool),
+        orig_pos=zeros((B, NL, 3)),
+        center=zeros((B, 3)),
+    )
+    if all_atoms:
+        NA = caps.max_atoms
+        out.update(
+            atom_x=zeros((B, NA, 4), np.int32),
+            atom_pos=zeros((B, NA, 3)),
+            atom_mask=zeros((B, NA), bool),
+            ae_src=zeros((B, caps.atom_edge_cap), np.int32),
+            ae_dst=zeros((B, caps.atom_edge_cap), np.int32),
+            ae_mask=zeros((B, caps.atom_edge_cap), bool),
+            ar_src=zeros((B, NA), np.int32),
+            ar_dst=zeros((B, NA), np.int32),
+            ar_mask=zeros((B, NA), bool),
+        )
+
+    for b, r in enumerate(recs):
+        nl = len(r["lig_pos"])
+        out["lig_x"][b, :nl] = r["lig_x"]
+        out["lig_pos"][b, :nl] = r["lig_pos"]
+        out["lig_mask"][b, :nl] = True
+        out["orig_pos"][b, :nl] = r.get("orig_pos", r["lig_pos"])
+        eb = len(r["bonds"])
+        out["bond_src"][b, :eb] = r["bonds"][:, 0]
+        out["bond_dst"][b, :eb] = r["bonds"][:, 1]
+        out["bond_mask"][b, :eb] = True
+        out["bond_attr"][b, :eb] = r["bond_attr"]
+        nr_ = len(r["rec_pos"])
+        out["rec_x"][b, :nr_, 0] = r["rec_code"]
+        if r.get("esm") is not None:
+            out["rec_x"][b, :nr_, 1 : 1 + r["esm"].shape[1]] = r["esm"]
+        out["rec_pos"][b, :nr_] = r["rec_pos"]
+        out["rec_mask"][b, :nr_] = True
+        ne = len(r["rec_src"])
+        out["re_src"][b, :ne] = r["rec_src"]
+        out["re_dst"][b, :ne] = r["rec_dst"]
+        out["re_mask"][b, :ne] = True
+        nt = len(r["tor_edges"])
+        if nt:
+            out["tor_edges"][b, :nt] = r["tor_edges"]
+            out["tor_mask_rotate"][b, :nt, :nl] = r["mask_rotate"]
+            out["tor_mask"][b, :nt] = True
+        out["center"][b] = r.get("original_center", np.zeros(3))
+        if all_atoms:
+            na = len(r["atom_pos"])
+            out["atom_x"][b, :na] = r["atom_x"]
+            out["atom_pos"][b, :na] = r["atom_pos"]
+            out["atom_mask"][b, :na] = True
+            nae = len(r["atom_src"])
+            out["ae_src"][b, :nae] = r["atom_src"]
+            out["ae_dst"][b, :nae] = r["atom_dst"]
+            out["ae_mask"][b, :nae] = True
+            out["ar_src"][b, :na] = np.arange(na)
+            out["ar_dst"][b, :na] = r["atom_res"]
+            out["ar_mask"][b, :na] = True
+
+    cb = ComplexBatch(
+        lig_x=jnp.asarray(out["lig_x"]),
+        lig_pos=jnp.asarray(out["lig_pos"]),
+        lig_mask=jnp.asarray(out["lig_mask"]),
+        lig_bonds=ListEdges(
+            jnp.asarray(out["bond_src"]), jnp.asarray(out["bond_dst"]), jnp.asarray(out["bond_mask"])
+        ),
+        lig_bond_attr=jnp.asarray(out["bond_attr"]),
+        rec_x=jnp.asarray(out["rec_x"]),
+        rec_pos=jnp.asarray(out["rec_pos"]),
+        rec_mask=jnp.asarray(out["rec_mask"]),
+        rec_edges=ListEdges(
+            jnp.asarray(out["re_src"]), jnp.asarray(out["re_dst"]), jnp.asarray(out["re_mask"])
+        ),
+        tor_edges=jnp.asarray(out["tor_edges"]),
+        tor_mask_rotate=jnp.asarray(out["tor_mask_rotate"]),
+        tor_mask=jnp.asarray(out["tor_mask"]),
+        graph_mask=jnp.ones((B,), bool),
+        original_center=jnp.asarray(out["center"]),
+        atom_x=jnp.asarray(out["atom_x"]) if all_atoms else None,
+        atom_pos=jnp.asarray(out["atom_pos"]) if all_atoms else None,
+        atom_mask=jnp.asarray(out["atom_mask"]) if all_atoms else None,
+        atom_edges=ListEdges(
+            jnp.asarray(out["ae_src"]), jnp.asarray(out["ae_dst"]), jnp.asarray(out["ae_mask"])
+        ) if all_atoms else None,
+        ar_edges=ListEdges(
+            jnp.asarray(out["ar_src"]), jnp.asarray(out["ar_dst"]), jnp.asarray(out["ar_mask"])
+        ) if all_atoms else None,
+        extras={"orig_pos": jnp.asarray(out["orig_pos"])},
+    )
+    return cb.set_time(0.0, 0.0, 0.0)
+
+
+def replicate_record(rec: dict, n: int) -> list[dict]:
+    """N pose copies of one complex (evaluate.py:232's deepcopy list)."""
+    return [dict(rec) for _ in range(n)]

@@ -1,0 +1,411 @@
+"""Host-side featurization: molecules + receptors -> HeteroComplex records.
+
+Parity target: datasets_utils/process_mols.py (featurizers, graph builders,
+receptor extraction) and datasets_utils/pdbbind.py:295-352 (record assembly,
+protein-centroid centering).  Chemistry stays on the host exactly as in the
+reference; the device only ever sees padded arrays (data/collate.py).
+
+Import gating: RDKit and BioPython are preferred when importable; otherwise
+the built-in ``minichem`` parsers take over (SDF/PDB only, approximate
+chemical perception -- see minichem.py docstring).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..graphs.radius import knn_edges_host
+from .features import ALLOWABLE_FEATURES, safe_index
+from . import minichem
+from .torsion_detect import get_transformation_mask
+
+try:
+    from rdkit import Chem  # noqa: F401
+    from rdkit.Chem import AllChem  # noqa: F401
+
+    HAS_RDKIT = True
+except ImportError:
+    HAS_RDKIT = False
+
+try:
+    from Bio.PDB import PDBParser  # noqa: F401
+
+    HAS_BIOPYTHON = True
+except ImportError:
+    HAS_BIOPYTHON = False
+
+
+# --------------------------------------------------------------------- ligand
+def read_molecule(path: str, remove_hs: bool = True):
+    """Read .sdf/.mol2/.pdbqt/.pdb via RDKit, or .sdf via minichem fallback."""
+    if HAS_RDKIT:
+        return _read_molecule_rdkit(path, remove_hs)
+    if path.endswith(".sdf") or path.endswith(".mol"):
+        mol = minichem.parse_sdf(path)
+        return mol.remove_hs() if remove_hs else mol
+    raise RuntimeError(
+        f"cannot read {path}: RDKit unavailable and minichem only parses SDF"
+    )
+
+
+def _read_molecule_rdkit(path: str, remove_hs: bool):
+    from rdkit import Chem
+
+    if path.endswith(".sdf"):
+        supplier = Chem.SDMolSupplier(path, sanitize=False, removeHs=False)
+        mol = supplier[0]
+    elif path.endswith(".mol2"):
+        mol = Chem.MolFromMol2File(path, sanitize=False, removeHs=False)
+    elif path.endswith(".pdbqt"):
+        with open(path) as f:
+            pdb_block = "".join(L[:66] + "\n" for L in f)
+        mol = Chem.MolFromPDBBlock(pdb_block, sanitize=False, removeHs=False)
+    elif path.endswith(".pdb"):
+        mol = Chem.MolFromPDBFile(path, sanitize=False, removeHs=False)
+    else:
+        raise ValueError(f"unsupported extension: {path}")
+    if mol is None:
+        return None
+    try:
+        Chem.SanitizeMol(mol)
+        if remove_hs:
+            mol = Chem.RemoveHs(mol, sanitize=True)
+    except Exception:
+        # reference falls back to the unsanitized molecule (process_mols.py:~500)
+        if remove_hs:
+            try:
+                mol = Chem.RemoveHs(mol, sanitize=False)
+            except Exception:
+                pass
+    return mol
+
+
+def lig_atom_featurizer_rdkit(mol) -> np.ndarray:
+    """Exact parity with process_mols.py:93-116."""
+    A = ALLOWABLE_FEATURES
+    ringinfo = mol.GetRingInfo()
+    out = []
+    for idx, atom in enumerate(mol.GetAtoms()):
+        out.append([
+            safe_index(A["possible_atomic_num_list"], atom.GetAtomicNum()),
+            A["possible_chirality_list"].index(str(atom.GetChiralTag())),
+            safe_index(A["possible_degree_list"], atom.GetTotalDegree()),
+            safe_index(A["possible_formal_charge_list"], atom.GetFormalCharge()),
+            safe_index(A["possible_implicit_valence_list"], atom.GetImplicitValence()),
+            safe_index(A["possible_numH_list"], atom.GetTotalNumHs()),
+            safe_index(A["possible_number_radical_e_list"], atom.GetNumRadicalElectrons()),
+            safe_index(A["possible_hybridization_list"], str(atom.GetHybridization())),
+            A["possible_is_aromatic_list"].index(atom.GetIsAromatic()),
+            safe_index(A["possible_numring_list"], ringinfo.NumAtomRings(idx)),
+            A["possible_is_in_ring3_list"].index(ringinfo.IsAtomInRingOfSize(idx, 3)),
+            A["possible_is_in_ring4_list"].index(ringinfo.IsAtomInRingOfSize(idx, 4)),
+            A["possible_is_in_ring5_list"].index(ringinfo.IsAtomInRingOfSize(idx, 5)),
+            A["possible_is_in_ring6_list"].index(ringinfo.IsAtomInRingOfSize(idx, 6)),
+            A["possible_is_in_ring7_list"].index(ringinfo.IsAtomInRingOfSize(idx, 7)),
+            A["possible_is_in_ring8_list"].index(ringinfo.IsAtomInRingOfSize(idx, 8)),
+        ])
+    return np.asarray(out, np.int32)
+
+
+_BOND_TYPE_INDEX = {"SINGLE": 0, "DOUBLE": 1, "TRIPLE": 2, "AROMATIC": 3}
+
+
+def ligand_graph(mol) -> dict:
+    """Bond graph + features for either an RDKit Mol or a MiniMol.
+
+    Returns dict(lig_x, lig_pos, bonds (bidirectional), bond_attr one-hot).
+    """
+    if HAS_RDKIT and not isinstance(mol, minichem.MiniMol):
+        lig_x = lig_atom_featurizer_rdkit(mol)
+        conf = mol.GetConformer()
+        pos = np.asarray(conf.GetPositions(), np.float32)
+        rows, attr = [], []
+        for bond in mol.GetBonds():
+            a, b = bond.GetBeginAtomIdx(), bond.GetEndAtomIdx()
+            t = _BOND_TYPE_INDEX.get(str(bond.GetBondType()), 0)
+            for (s, d) in ((a, b), (b, a)):
+                rows.append((s, d))
+                onehot = np.zeros(4, np.float32)
+                onehot[t] = 1
+                attr.append(onehot)
+        bonds_undirected = np.asarray(
+            [(b.GetBeginAtomIdx(), b.GetEndAtomIdx()) for b in mol.GetBonds()], np.int32
+        ).reshape(-1, 2)
+    else:
+        lig_x = minichem.featurize_minimol(mol)
+        pos = mol.pos.astype(np.float32)
+        rows, attr = [], []
+        for (a, b), t in zip(mol.bonds, mol.bond_types):
+            ti = min(int(t) - 1, 3) if t >= 1 else 0
+            for (s, d) in ((a, b), (b, a)):
+                rows.append((s, d))
+                onehot = np.zeros(4, np.float32)
+                onehot[ti] = 1
+                attr.append(onehot)
+        bonds_undirected = mol.bonds
+    return dict(
+        lig_x=lig_x,
+        lig_pos=pos,
+        bonds=np.asarray(rows, np.int32).reshape(-1, 2),
+        bond_attr=np.asarray(attr, np.float32).reshape(-1, 4),
+        bonds_undirected=bonds_undirected,
+    )
+
+
+def generate_conformer(mol, seed: int = 0):
+    """ETKDG conformer via RDKit (random-coord + MMFF fallbacks,
+    process_mols.py:269-278); minichem fallback: perturbed input coords."""
+    if HAS_RDKIT and not isinstance(mol, minichem.MiniMol):
+        from rdkit.Chem import AllChem
+
+        mol2 = Chem.Mol(mol)
+        ps = AllChem.ETKDGv2()
+        ps.randomSeed = seed
+        cid = AllChem.EmbedMolecule(mol2, ps)
+        if cid == -1:
+            ps.useRandomCoords = True
+            AllChem.EmbedMolecule(mol2, ps)
+            try:
+                AllChem.MMFFOptimizeMolecule(mol2, confId=0)
+            except Exception:
+                pass
+        return np.asarray(mol2.GetConformer().GetPositions(), np.float32)
+    rng = np.random.RandomState(seed)
+    pos = mol.pos.copy()
+    return pos + rng.randn(*pos.shape).astype(np.float32) * 0.05
+
+
+# ------------------------------------------------------------------- receptor
+def receptor_from_pdb(
+    path: str,
+    lig_pos: Optional[np.ndarray] = None,
+    chain_cutoff: Optional[float] = None,
+) -> dict:
+    """Parse a receptor PDB into per-residue arrays.
+
+    Parity with extract_receptor_structure (process_mols.py:152-245): drops
+    HOH and residues missing any of N/CA/C; optionally keeps only chains with
+    any CA within ``chain_cutoff`` of the ligand.  Returns residue codes,
+    CA/N/C coords, and per-residue heavy-atom lists for the all-atom path.
+    """
+    if HAS_BIOPYTHON:
+        residues = _residues_biopython(path)
+    else:
+        residues = minichem.parse_pdb_residues(path)
+
+    chains: dict[str, list] = {}
+    for res in residues:
+        if all(k in res.atoms for k in ("N", "CA", "C")):
+            chains.setdefault(res.chain, []).append(res)
+
+    kept = []
+    for chain, rs in chains.items():
+        if chain_cutoff is not None and lig_pos is not None:
+            ca = np.asarray([r.atoms["CA"][1] for r in rs])
+            dmin = np.sqrt(((ca[:, None] - lig_pos[None]) ** 2).sum(-1)).min()
+            if dmin > chain_cutoff:
+                continue
+        kept.extend(rs)
+    if not kept:  # keep everything rather than fail
+        kept = [r for rs in chains.values() for r in rs]
+
+    A = ALLOWABLE_FEATURES
+    code = np.asarray(
+        [safe_index(A["possible_amino_acids"], r.name) for r in kept], np.int32
+    )
+    ca = np.asarray([r.atoms["CA"][1] for r in kept], np.float32)
+    n = np.asarray([r.atoms["N"][1] for r in kept], np.float32)
+    c = np.asarray([r.atoms["C"][1] for r in kept], np.float32)
+
+    atom_feats, atom_pos, atom_res = [], [], []
+    for ri, r in enumerate(kept):
+        for name, (elem, xyz) in r.atoms.items():
+            if elem.upper() == "H":
+                continue
+            z = minichem.atomic_number("C" if elem == "CD" else elem)
+            atom_feats.append([
+                safe_index(A["possible_amino_acids"], r.name),
+                safe_index(A["possible_atomic_num_list"], z),
+                safe_index(A["possible_atom_type_2"], (name + "*")[:2]),
+                safe_index(A["possible_atom_type_3"], name),
+            ])
+            atom_pos.append(xyz)
+            atom_res.append(ri)
+    return dict(
+        rec_code=code,
+        rec_pos=ca,
+        n_coords=n,
+        c_coords=c,
+        atom_x=np.asarray(atom_feats, np.int32).reshape(-1, 4),
+        atom_pos=np.asarray(atom_pos, np.float32).reshape(-1, 3),
+        atom_res=np.asarray(atom_res, np.int32),
+    )
+
+
+def _residues_biopython(path: str):
+    import warnings
+
+    from Bio.PDB import PDBParser
+    from Bio.PDB.PDBExceptions import PDBConstructionWarning
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", PDBConstructionWarning)
+        structure = PDBParser().get_structure("rec", path)
+    out = []
+    for model in structure:
+        for chain in model:
+            for res in chain:
+                if res.get_resname() == "HOH":
+                    continue
+                atoms = {}
+                for atom in res:
+                    atoms[atom.name] = (atom.element, tuple(atom.get_coord()))
+                out.append(minichem.MiniResidue(res.get_resname(), chain.id, atoms))
+        break  # first model only
+    return out
+
+
+def mu_r_norm_features(ca: np.ndarray, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Per-residue multi-sigma soft direction statistics
+    (process_mols.py:356-363), stored for record parity."""
+    from scipy.special import softmax
+
+    sigmas = np.array([1.0, 2.0, 5.0, 10.0, 30.0])[:, None]
+    n = len(ca)
+    out = np.zeros((n, 5), np.float32)
+    for i in range(n):
+        nb = dst[src == i]
+        if len(nb) == 0:
+            continue
+        diff = ca[i] - ca[nb]
+        dists = np.linalg.norm(diff, axis=1)
+        w = softmax(-dists[None] ** 2 / sigmas, axis=1)
+        mean_vec = w @ diff
+        denom = w @ dists
+        out[i] = np.linalg.norm(mean_vec, axis=1) / (denom + 1e-12)
+    return out
+
+
+# --------------------------------------------------------------- full records
+def build_complex_record(
+    mol,
+    receptor: dict,
+    esm: Optional[np.ndarray] = None,
+    receptor_radius: float = 15.0,
+    c_alpha_max_neighbors: Optional[int] = 24,
+    matching: bool = True,
+    popsize: int = 15,
+    maxiter: int = 15,
+    all_atoms: bool = False,
+    atom_radius: float = 5.0,
+    atom_max_neighbors: Optional[int] = 8,
+    keep_original: bool = True,
+    name: str = "complex",
+    seed: int = 0,
+) -> dict:
+    """Assemble a HeteroComplex record (datasets_utils/pdbbind.py:295-352):
+    ligand graph (+ conformer matching), receptor kNN graph, centering at the
+    protein centroid."""
+    lig = ligand_graph(mol)
+    orig_pos = lig["lig_pos"].copy()
+    tor_edges, mask_rotate = get_transformation_mask(len(orig_pos), lig["bonds_undirected"])
+
+    if matching:
+        from .conformer_matching import optimize_rotatable_bonds
+
+        conf = generate_conformer(mol, seed)
+        matched, rmsd = optimize_rotatable_bonds(
+            conf, orig_pos, tor_edges, mask_rotate, popsize, maxiter, seed
+        )
+        # rigidly align the matched conformer onto the crystal pose
+        from .conformer_matching import aligned_rmsd  # noqa: F401
+
+        start_pos = _kabsch_to(matched, orig_pos)
+    else:
+        start_pos = orig_pos.copy()
+
+    src, dst = knn_edges_host(receptor["rec_pos"], receptor_radius, c_alpha_max_neighbors)
+
+    center = receptor["rec_pos"].mean(0, keepdims=True)
+    rec = dict(
+        name=name,
+        lig_x=lig["lig_x"],
+        lig_pos=(start_pos - center).astype(np.float32),
+        orig_pos=(orig_pos - center).astype(np.float32),
+        bonds=lig["bonds"],
+        bond_attr=lig["bond_attr"],
+        tor_edges=tor_edges,
+        mask_rotate=mask_rotate,
+        rec_code=receptor["rec_code"],
+        rec_pos=(receptor["rec_pos"] - center).astype(np.float32),
+        rec_src=src,
+        rec_dst=dst,
+        esm=esm,
+        mu_r_norm=mu_r_norm_features(receptor["rec_pos"], src, dst),
+        original_center=center[0].astype(np.float32),
+    )
+    if all_atoms:
+        asrc, adst = knn_edges_host(receptor["atom_pos"], atom_radius, atom_max_neighbors)
+        rec.update(
+            atom_x=receptor["atom_x"],
+            atom_pos=(receptor["atom_pos"] - center).astype(np.float32),
+            atom_res=receptor["atom_res"],
+            atom_src=asrc,
+            atom_dst=adst,
+        )
+    return rec
+
+
+def _kabsch_to(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rigidly align a onto b (numpy)."""
+    ac, bc = a - a.mean(0), b - b.mean(0)
+    H = ac.T @ bc
+    U, S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    R = Vt.T @ np.diag([1.0, 1.0, d]) @ U.T
+    return ac @ R.T + b.mean(0)
+
+
+def selftest():
+    """Drive the fallback path end-to-end on a tiny synthetic SDF + PDB."""
+    sdf = (
+        "test\n  mini\n\n  6  5  0  0  0  0  0  0  0  0999 V2000\n"
+        "    0.0000    0.0000    0.0000 C   0  0\n"
+        "    1.5000    0.0000    0.0000 C   0  0\n"
+        "    2.2000    1.3000    0.0000 O   0  0\n"
+        "    2.2000   -1.3000    0.0000 C   0  0\n"
+        "    3.7000   -1.3000    0.0000 N   0  0\n"
+        "    1.7000   -2.6000    0.5000 C   0  0\n"
+        "  1  2  1  0\n  2  3  2  0\n  2  4  1  0\n  4  5  1  0\n  4  6  1  0\n"
+        "M  END\n$$$$\n"
+    )
+    pdb_lines = []
+    rng = np.random.RandomState(0)
+    pos = np.cumsum(rng.randn(12, 3) * 2, 0)
+    serial = 1
+    for i in range(4):
+        for nm, el in (("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")):
+            p = pos[i * 3 % 12] + rng.randn(3)
+            pdb_lines.append(
+                f"ATOM  {serial:5d}  {nm:<3s}ALA A{i + 1:4d}    "
+                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00           {el:>2s}"
+            )
+            serial += 1
+    mol = minichem.parse_sdf(sdf)
+    receptor_rec = receptor_from_pdb("\n".join(pdb_lines) + "\n")
+    rec = build_complex_record(mol, receptor_rec, matching=True, maxiter=2, popsize=4, all_atoms=True)
+    from .collate import collate
+
+    batch = collate([rec], esm_dim=0)
+    print("selftest OK:", {k: tuple(np.shape(v)) for k, v in list(rec.items())[:6]},
+          "batch lig", batch.lig_pos.shape, "rec", batch.rec_pos.shape,
+          "atoms", batch.atom_pos.shape)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if "--selftest" in sys.argv:
+        selftest()

@@ -1,0 +1,200 @@
+"""Minimal dependency-free chemistry parsers (SDF V2000 / PDB).
+
+Fallback for environments without RDKit/BioPython (such as this build image):
+``data/featurize.py`` prefers RDKit/BioPython when importable and degrades to
+these parsers otherwise.  Ligand chemical features that need real perception
+(hybridization, implicit Hs, chirality) are *approximated* from the explicit
+graph and flagged as such -- the production path is RDKit.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import networkx as nx
+import numpy as np
+
+from .features import ALLOWABLE_FEATURES, safe_index
+
+# standard valences for implicit-H estimation
+_VALENCE = {"H": 1, "C": 4, "N": 3, "O": 2, "S": 2, "P": 3, "F": 1, "Cl": 1, "Br": 1, "I": 1, "B": 3}
+_ELEMENT_Z = {
+    "H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9, "P": 15, "S": 16,
+    "CL": 17, "BR": 35, "I": 53, "SE": 34, "SI": 14, "FE": 26, "ZN": 30,
+    "MG": 12, "MN": 25, "CA": 20, "NA": 11, "K": 19, "CU": 29, "CO": 27, "NI": 28,
+}
+
+
+@dataclasses.dataclass
+class MiniMol:
+    elements: list[str]
+    pos: np.ndarray  # (N, 3)
+    bonds: np.ndarray  # (E, 2) 0-based unique pairs
+    bond_types: np.ndarray  # (E,) 1/2/3/4(=aromatic)
+    charges: np.ndarray  # (N,)
+
+    def remove_hs(self) -> "MiniMol":
+        keep = [i for i, e in enumerate(self.elements) if e.upper() != "H"]
+        remap = {o: n for n, o in enumerate(keep)}
+        bonds, types = [], []
+        for (a, b), t in zip(self.bonds, self.bond_types):
+            if a in remap and b in remap:
+                bonds.append((remap[a], remap[b]))
+                types.append(t)
+        return MiniMol(
+            elements=[self.elements[i] for i in keep],
+            pos=self.pos[keep],
+            bonds=np.asarray(bonds, np.int32).reshape(-1, 2),
+            bond_types=np.asarray(types, np.int32),
+            charges=self.charges[keep],
+        )
+
+
+def parse_sdf(path_or_text: str) -> MiniMol:
+    """Parse the first molecule of an SDF/MOL V2000 block."""
+    if "\n" in path_or_text:
+        lines = path_or_text.splitlines()
+    else:
+        with open(path_or_text) as f:
+            lines = f.read().splitlines()
+    counts = lines[3]
+    na, nb = int(counts[0:3]), int(counts[3:6])
+    elements, pos = [], []
+    for i in range(na):
+        L = lines[4 + i]
+        pos.append([float(L[0:10]), float(L[10:20]), float(L[20:30])])
+        elements.append(L[31:34].strip())
+    bonds, types = [], []
+    for i in range(nb):
+        L = lines[4 + na + i]
+        a, b, t = int(L[0:3]) - 1, int(L[3:6]) - 1, int(L[6:9])
+        bonds.append((a, b))
+        types.append(t)
+    charges = np.zeros(na)
+    for L in lines[4 + na + nb :]:
+        if L.startswith("M  CHG"):
+            vals = L.split()[3:]
+            for j in range(0, len(vals), 2):
+                charges[int(vals[j]) - 1] = int(vals[j + 1])
+        if L.startswith("M  END"):
+            break
+    return MiniMol(elements, np.asarray(pos, np.float32),
+                   np.asarray(bonds, np.int32).reshape(-1, 2),
+                   np.asarray(types, np.int32), charges)
+
+
+def write_sdf(mol: MiniMol, pos: np.ndarray, name: str = "mol") -> str:
+    """Serialize with replaced coordinates (write_mol_with_coords analogue)."""
+    lines = [name, "  disco_diffdock_tpu", "", f"{len(mol.elements):3d}{len(mol.bonds):3d}  0  0  0  0  0  0  0  0999 V2000"]
+    for e, p in zip(mol.elements, pos):
+        lines.append(f"{p[0]:10.4f}{p[1]:10.4f}{p[2]:10.4f} {e:<3s} 0  0  0  0  0  0  0  0  0  0  0  0")
+    for (a, b), t in zip(mol.bonds, mol.bond_types):
+        lines.append(f"{a + 1:3d}{b + 1:3d}{t:3d}  0")
+    lines += ["M  END", "$$$$", ""]
+    return "\n".join(lines)
+
+
+def atomic_number(element: str) -> int:
+    return _ELEMENT_Z.get(element.upper(), -1)
+
+
+def ring_info(n_atoms: int, bonds: np.ndarray):
+    """Per-atom ring membership via networkx cycle basis (SSSR approximation)."""
+    G = nx.Graph()
+    G.add_nodes_from(range(n_atoms))
+    G.add_edges_from(map(tuple, bonds))
+    cycles = nx.cycle_basis(G)
+    num_rings = np.zeros(n_atoms, np.int32)
+    in_ring_size = {k: np.zeros(n_atoms, bool) for k in range(3, 9)}
+    for cyc in cycles:
+        for a in cyc:
+            num_rings[a] += 1
+            if 3 <= len(cyc) <= 8:
+                in_ring_size[len(cyc)][a] = True
+    return num_rings, in_ring_size
+
+
+def featurize_minimol(mol: MiniMol) -> np.ndarray:
+    """16-feature categorical codes approximating lig_atom_featurizer
+    (process_mols.py:93-116).  Chirality is always UNSPECIFIED, hybridization
+    is a degree/element heuristic, implicit valence/numH derive from standard
+    valences -- the RDKit path is authoritative."""
+    A = ALLOWABLE_FEATURES
+    n = len(mol.elements)
+    G_degree = np.zeros(n, np.int32)
+    aromatic = np.zeros(n, bool)
+    bond_order_sum = np.zeros(n, np.float32)
+    for (a, b), t in zip(mol.bonds, mol.bond_types):
+        G_degree[a] += 1
+        G_degree[b] += 1
+        order = 1.5 if t == 4 else t
+        bond_order_sum[a] += order
+        bond_order_sum[b] += order
+        if t == 4:
+            aromatic[a] = aromatic[b] = True
+    num_rings, in_ring = ring_info(n, mol.bonds)
+
+    feats = np.zeros((n, 16), np.int32)
+    for i, e in enumerate(mol.elements):
+        z = atomic_number(e)
+        val = _VALENCE.get(e.capitalize(), 4)
+        num_h = max(0, int(round(val - bond_order_sum[i] + mol.charges[i] * (1 if e.upper() in ("N",) else -1))))
+        # heuristic hybridization from connectivity
+        heavy = G_degree[i]
+        if aromatic[i] or heavy + num_h == 3:
+            hyb = "SP2"
+        elif heavy + num_h <= 2 and e.upper() == "C":
+            hyb = "SP"
+        else:
+            hyb = "SP3"
+        total_degree = heavy + num_h
+        feats[i] = [
+            safe_index(A["possible_atomic_num_list"], z),
+            0,  # chirality unspecified in the fallback
+            safe_index(A["possible_degree_list"], int(total_degree)),
+            safe_index(A["possible_formal_charge_list"], int(mol.charges[i])),
+            safe_index(A["possible_implicit_valence_list"], int(num_h)),
+            safe_index(A["possible_numH_list"], int(num_h)),
+            0,  # radical electrons
+            safe_index(A["possible_hybridization_list"], hyb),
+            A["possible_is_aromatic_list"].index(bool(aromatic[i])),
+            safe_index(A["possible_numring_list"], int(num_rings[i])),
+            *(A[f"possible_is_in_ring{k}_list"].index(bool(in_ring[k][i])) for k in range(3, 9)),
+        ]
+    return feats
+
+
+@dataclasses.dataclass
+class MiniResidue:
+    name: str
+    chain: str
+    atoms: dict  # name -> (element, xyz)
+
+
+def parse_pdb_residues(path_or_text: str) -> list[MiniResidue]:
+    """Parse ATOM records of a PDB file into residues (first model only)."""
+    if "\n" in path_or_text:
+        lines = path_or_text.splitlines()
+    else:
+        with open(path_or_text) as f:
+            lines = f.read().splitlines()
+    residues: list[MiniResidue] = []
+    cur_key = None
+    for L in lines:
+        if L.startswith("ENDMDL"):
+            break
+        if not (L.startswith("ATOM") or L.startswith("HETATM")):
+            continue
+        resname = L[17:20].strip()
+        if resname == "HOH":
+            continue
+        chain = L[21]
+        resseq = L[22:27]
+        key = (chain, resseq, resname)
+        name = L[12:16].strip()
+        elem = L[76:78].strip() or name[0]
+        xyz = (float(L[30:38]), float(L[38:46]), float(L[46:54]))
+        if key != cur_key:
+            residues.append(MiniResidue(resname, chain, {}))
+            cur_key = key
+        residues[-1].atoms[name] = (elem, xyz)
+    return residues

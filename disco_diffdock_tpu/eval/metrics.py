@@ -1,0 +1,127 @@
+"""Evaluation metrics: RMSDs (incl. symmetry-corrected), clashes, aggregates.
+
+Parity targets: ``get_symmetry_rmsd`` (utils/utils.py:84-114, spyrmsd with a
+10s timeout and plain-RMSD fallback) and the metric aggregation of
+evaluate.py:414-585 (top-k raw and confidence-filtered percentiles,
+rmsds_below_2/5, centroid distances, steric-clash and self-intersection
+fractions).
+
+The symmetry correction enumerates ligand bond-graph automorphisms with
+networkx VF2 (element + bond-type labels) instead of spyrmsd; the enumeration
+is capped (count cap playing the role of the reference's SIGALRM timeout)
+and falls back to plain RMSD.
+"""
+from __future__ import annotations
+
+import itertools
+
+import networkx as nx
+import numpy as np
+
+
+def rmsd(a: np.ndarray, b: np.ndarray) -> float:
+    return float(np.sqrt(((a - b) ** 2).sum(-1).mean()))
+
+
+def ligand_automorphisms(
+    elements: np.ndarray, bonds: np.ndarray, max_count: int = 1000
+) -> list[np.ndarray]:
+    """Permutations of atom indices preserving elements and bonds."""
+    G = nx.Graph()
+    for i, e in enumerate(elements):
+        G.add_node(i, el=int(e))
+    for a, b in bonds:
+        G.add_edge(int(a), int(b))
+    matcher = nx.algorithms.isomorphism.GraphMatcher(
+        G, G, node_match=lambda x, y: x["el"] == y["el"]
+    )
+    perms = []
+    for mapping in matcher.isomorphisms_iter():
+        perms.append(np.asarray([mapping[i] for i in range(len(elements))]))
+        if len(perms) >= max_count:
+            break
+    return perms
+
+
+def symmetry_rmsd(
+    pred: np.ndarray,
+    true: np.ndarray,
+    elements: np.ndarray,
+    bonds: np.ndarray,
+    max_automorphisms: int = 1000,
+) -> float:
+    """Minimum RMSD over ligand-graph automorphisms (no re-alignment --
+    matching spyrmsd's symmrmsd on fixed coordinates)."""
+    try:
+        perms = ligand_automorphisms(elements, bonds, max_automorphisms)
+    except Exception:
+        perms = []
+    if not perms:
+        return rmsd(pred, true)
+    return min(rmsd(pred[p], true) for p in perms)
+
+
+def min_cross_distance(lig: np.ndarray, rec_atoms: np.ndarray) -> float:
+    d = np.linalg.norm(lig[:, None] - rec_atoms[None], axis=-1)
+    return float(d.min())
+
+
+def min_self_distance(lig: np.ndarray, bonds: np.ndarray) -> float:
+    """Minimum non-bonded intra-ligand atom distance."""
+    n = len(lig)
+    d = np.linalg.norm(lig[:, None] - lig[None], axis=-1)
+    mask = ~np.eye(n, dtype=bool)
+    for a, b in bonds:
+        mask[a, b] = mask[b, a] = False
+    return float(d[mask].min()) if mask.any() else np.inf
+
+
+def aggregate(
+    rmsds: np.ndarray,
+    confidences: np.ndarray | None = None,
+    centroid_dists: np.ndarray | None = None,
+    no_overlap_mask: np.ndarray | None = None,
+    prefix: str = "",
+) -> dict:
+    """Aggregate (n_complex, n_poses) arrays into the reference's metric dict.
+
+    top-k: best over the k highest-confidence poses (or first k when no
+    confidence).  ``filtered_*``: the single top-confidence pose.
+    """
+    out = {}
+
+    def block(r, c, cd, pre):
+        res = {}
+        order = (
+            np.argsort(-c, axis=1) if c is not None
+            else np.tile(np.arange(r.shape[1]), (r.shape[0], 1))
+        )
+        r_sorted = np.take_along_axis(r, order, axis=1)
+        for k, tag in ((1, "filtered_" if c is not None else "top1_"), (5, "top5_"), (10, "top10_")):
+            if r.shape[1] < k:
+                continue
+            best = r_sorted[:, :k].min(axis=1)
+            res[f"{pre}{tag}rmsds_below_2"] = 100.0 * float((best < 2).mean())
+            res[f"{pre}{tag}rmsds_below_5"] = 100.0 * float((best < 5).mean())
+            res[f"{pre}{tag}rmsds_median"] = float(np.median(best))
+            res[f"{pre}{tag}rmsds_p25"] = float(np.percentile(best, 25))
+            res[f"{pre}{tag}rmsds_p75"] = float(np.percentile(best, 75))
+        res[f"{pre}rmsds_below_2"] = 100.0 * float((r.min(axis=1) < 2).mean())
+        res[f"{pre}rmsds_below_5"] = 100.0 * float((r.min(axis=1) < 5).mean())
+        if cd is not None:
+            top_cd = np.take_along_axis(cd, order, axis=1)[:, 0]
+            res[f"{pre}centroid_below_2"] = 100.0 * float((top_cd < 2).mean())
+            res[f"{pre}centroid_median"] = float(np.median(top_cd))
+        return res
+
+    out.update(block(rmsds, confidences, centroid_dists, prefix))
+    if no_overlap_mask is not None and no_overlap_mask.any():
+        out.update(
+            block(
+                rmsds[no_overlap_mask],
+                confidences[no_overlap_mask] if confidences is not None else None,
+                centroid_dists[no_overlap_mask] if centroid_dists is not None else None,
+                prefix + "no_overlap_",
+            )
+        )
+    return out

