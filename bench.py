@@ -43,7 +43,7 @@ def build():
     from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
     from disco_diffdock_tpu.sampling import SamplerConfig, randomize_position, sampling
 
-    cfg = ScoreModelConfig(latent_dim=0, latent_droprate=0.0, dropout=0.0)
+    cfg = ScoreModelConfig(latent_dim=0, latent_droprate=0.0, dropout=0.0, compute_dtype="bfloat16")
     caps = GraphCaps(
         max_lig=N_LIG, max_rec=N_RES, lig_bond_cap=72, lig_radius_cap=448,
         rec_edge_cap=N_RES * 24, cross_cap=4096, tor_cap=8, tor_edge_cap=256,

@@ -66,6 +66,7 @@ class ScoreModelConfig:
     embedding_type: str = "sinusoidal"
     embedding_scale: float = 1000.0
     esm_embedding_dim: int = 1280  # 0 disables LM embeddings
+    compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
     confidence_mode: bool = False
     confidence_dropout: float = 0.0
     confidence_no_batchnorm: bool = False
@@ -75,6 +76,10 @@ class ScoreModelConfig:
     latent_dim: int = 2
     latent_vocab: int = 1
     latent_droprate: float = 0.1
+    latent_cross_attention: bool = False
+    new_cross_attention: bool = False
+    cross_attention_heads: int = 1
+    cross_attention_dim: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,110 @@
+"""ESM language-model embedding pipeline (offline prep + online compute).
+
+Parity with the reference's three offline scripts + online path (SURVEY.md
+section 2.2 "ESM pipeline"):
+  * ``pdb_to_fasta``: receptor PDBs -> per-chain FASTA records
+    (datasets_utils/esm_embedding_preparation.py)
+  * ``combine_embeddings``: per-chain ESM .pt outputs -> one mapping
+    (datasets_utils/esm_embeddings_to_pt.py; layer-33 representations)
+  * ``compute_esm_embeddings``: online esm2_t33_650M path
+    (utils/inference_utils.py:90-119), gated on fair-esm being installed.
+
+Embeddings are stored as one .npz mapping complex-name -> (n_res, dim)
+float32 (the reference uses a torch .pt dict; both load paths are supported
+by data/pdbbind.py).
+"""
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import numpy as np
+
+THREE_TO_ONE = {
+    "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C", "GLN": "Q",
+    "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I", "LEU": "L", "LYS": "K",
+    "MET": "M", "PHE": "F", "PRO": "P", "SER": "S", "THR": "T", "TRP": "W",
+    "TYR": "Y", "VAL": "V",
+    # the reference maps noncanonical names through their parents
+    "HIP": "H", "HIE": "H", "HID": "H", "HIZ": "H", "TPO": "T", "PTR": "Y",
+    "SEP": "S", "CYX": "C", "CYM": "C", "CYT": "C", "MEU": "M", "LEV": "L",
+    "GLV": "E", "GLM": "Q", "GLZ": "G", "ASQ": "D", "TYS": "Y",
+}
+
+
+def chain_sequences(pdb_path: str) -> list[tuple[str, str]]:
+    """[(chain_id, one-letter sequence)] for residues with complete backbone."""
+    from .featurize import HAS_BIOPYTHON, _residues_biopython
+    from . import minichem
+
+    residues = (
+        _residues_biopython(pdb_path) if HAS_BIOPYTHON else minichem.parse_pdb_residues(pdb_path)
+    )
+    chains: dict[str, list[str]] = {}
+    for r in residues:
+        if all(k in r.atoms for k in ("N", "CA", "C")):
+            chains.setdefault(r.chain, []).append(THREE_TO_ONE.get(r.name, "X"))
+    return [(c, "".join(seq)) for c, seq in chains.items()]
+
+
+def pdb_to_fasta(pdb_paths: Iterable[str], out_path: str, max_len: int = 1022) -> None:
+    """Write per-chain FASTA records named <name>_chain_<i> (sequences
+    truncated at 1022 tokens as in inference_utils.py:95)."""
+    with open(out_path, "w") as f:
+        for path in pdb_paths:
+            name = os.path.splitext(os.path.basename(path))[0]
+            for i, (_, seq) in enumerate(chain_sequences(path)):
+                f.write(f">{name}_chain_{i}\n{seq[:max_len]}\n")
+
+
+def combine_embeddings(embedding_dir: str, out_path: str) -> None:
+    """Combine per-chain ESM outputs (<name>_chain_<i>.pt with layer-33
+    representations, or .npy) into one npz mapping name -> (n_res, dim)."""
+    chains: dict[str, dict[int, np.ndarray]] = {}
+    for fn in sorted(os.listdir(embedding_dir)):
+        base, ext = os.path.splitext(fn)
+        if "_chain_" not in base:
+            continue
+        name, idx = base.rsplit("_chain_", 1)
+        if ext == ".pt":
+            import torch
+
+            d = torch.load(os.path.join(embedding_dir, fn), map_location="cpu")
+            emb = d["representations"][33].numpy()
+        else:
+            emb = np.load(os.path.join(embedding_dir, fn))
+        chains.setdefault(name, {})[int(idx)] = np.asarray(emb, np.float32)
+    out = {
+        name: np.concatenate([parts[i] for i in sorted(parts)], 0)
+        for name, parts in chains.items()
+    }
+    np.savez_compressed(out_path, **out)
+
+
+def compute_esm_embeddings(pdb_paths: Iterable[str], out_path: str, device: str = "cpu") -> None:
+    """Online path: esm2_t33_650M over receptor chains (needs fair-esm)."""
+    try:
+        import esm  # noqa: F401
+        import torch
+    except ImportError as e:
+        raise RuntimeError(
+            "fair-esm is not installed in this environment; precompute "
+            "embeddings offline (pdb_to_fasta + the ESM extraction script + "
+            "combine_embeddings)"
+        ) from e
+
+    model, alphabet = esm.pretrained.esm2_t33_650M_UR50D()
+    model = model.eval().to(device)
+    converter = alphabet.get_batch_converter()
+    out = {}
+    for path in pdb_paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        chains = chain_sequences(path)
+        embs = []
+        for _, seq in chains:
+            _, _, toks = converter([(name, seq[:1022])])
+            with torch.no_grad():
+                rep = model(toks.to(device), repr_layers=[33])["representations"][33]
+            embs.append(rep[0, 1 : len(seq[:1022]) + 1].cpu().numpy())
+        out[name] = np.concatenate(embs, 0).astype(np.float32)
+    np.savez_compressed(out_path, **out)

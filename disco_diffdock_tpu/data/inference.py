@@ -1,0 +1,86 @@
+"""Inference dataset for user-provided protein/ligand lists (no cache).
+
+Parity with ``InferenceDataset`` (utils/inference_utils.py:153-275): builds
+records directly from protein PDB paths + ligand files or SMILES
+descriptions; when no crystal ligand pose exists the ligand is centered at
+its own centroid (:269-270) and a generated conformer is the starting
+structure.  SMILES input needs RDKit; file input works through minichem too.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+from . import featurize
+
+
+def record_from_paths(
+    protein_path: str,
+    ligand_description: str,
+    esm: Optional[np.ndarray] = None,
+    name: str = "complex",
+    keep_local_structures: bool = False,
+    receptor_radius: float = 15.0,
+    c_alpha_max_neighbors: Optional[int] = 24,
+    all_atoms: bool = False,
+    remove_hs: bool = True,
+    seed: int = 0,
+) -> Optional[dict]:
+    """Build an inference record.  ``ligand_description`` is a file path or a
+    SMILES string (RDKit only)."""
+    import os
+
+    if os.path.exists(ligand_description):
+        mol = featurize.read_molecule(ligand_description, remove_hs=remove_hs)
+    else:
+        if not featurize.HAS_RDKIT:
+            raise RuntimeError("SMILES ligand input requires RDKit")
+        from rdkit import Chem
+        from rdkit.Chem import AllChem
+
+        mol = Chem.MolFromSmiles(ligand_description)
+        if mol is None:
+            return None
+        mol = Chem.AddHs(mol)
+        ps = AllChem.ETKDGv2()
+        ps.randomSeed = seed
+        AllChem.EmbedMolecule(mol, ps)
+        if remove_hs:
+            mol = Chem.RemoveHs(mol)
+        keep_local_structures = False  # no meaningful input pose
+
+    lig = featurize.ligand_graph(mol)
+    receptor = featurize.receptor_from_pdb(protein_path, lig["lig_pos"])
+    rec = featurize.build_complex_record(
+        mol, receptor, esm=esm, receptor_radius=receptor_radius,
+        c_alpha_max_neighbors=c_alpha_max_neighbors,
+        matching=not keep_local_structures,
+        all_atoms=all_atoms, name=name, seed=seed,
+    )
+    # no crystal pose: center the start ligand at its own centroid
+    # (inference_utils.py:269-270) -- the "orig" pose is just the input
+    rec["lig_pos"] = rec["lig_pos"] - rec["lig_pos"].mean(0, keepdims=True)
+    return rec
+
+
+def build_inference_records(
+    protein_paths: Sequence[str],
+    ligand_descriptions: Sequence[str],
+    esm_map: Optional[dict] = None,
+    **kw,
+) -> list[dict]:
+    out = []
+    for i, (pp, ld) in enumerate(zip(protein_paths, ligand_descriptions)):
+        import os
+
+        name = f"{os.path.splitext(os.path.basename(pp))[0]}_{i}"
+        esm = esm_map.get(os.path.splitext(os.path.basename(pp))[0]) if esm_map else None
+        try:
+            rec = record_from_paths(pp, ld, esm=esm, name=name, **kw)
+        except Exception as e:
+            print(f"| WARNING: skipping {name}: {e}")
+            rec = None
+        if rec is not None:
+            out.append(rec)
+    return out

@@ -76,6 +76,7 @@ class AllAtomScoreModel(nn.Module):
                         in_irreps=in_ir, sh_irreps=self.sh_irreps, out_irreps=out_ir,
                         n_edge_features=3 * ns, residual=False,
                         batch_norm=cfg.batch_norm, dropout=cfg.dropout,
+                        n_scalars=ns,
                         name=f"conv{i}_{j}",
                     )
                 )
@@ -226,37 +227,28 @@ class AllAtomScoreModel(nn.Module):
         attrs = {"lig": lig_attr, "rec": rec_attr, "atom": atom_attr}
         masks = {"lig": batch.lig_mask, "rec": batch.rec_mask, "atom": batch.atom_mask}
 
-        def sc(t, edges_idx):
-            return gather_nodes(attrs[t][..., :ns], edges_idx)
-
         L = cfg.num_conv_layers
         for l in range(L):
-            def run(conv_idx, edges, src_t, dst_t, base, sh_, out_t):
-                eattr = jnp.concatenate([base, sc(src_t, edges.src), sc(dst_t, edges.dst)], -1)
+            def run(conv_idx, edges, src_t, dst_t, base, sh_):
+                # receiver/supplier scalar features appended inside the layer
                 return self.conv_layers[9 * l + conv_idx](
-                    {dst_t: attrs[dst_t]}, masks,
-                    [ConvBlock(edges, out_t, dst_t, eattr, sh_)],
-                    out_types=[out_t], out_counts={out_t: attrs[out_t].shape[1]},
+                    attrs, masks,
+                    [ConvBlock(edges, src_t, dst_t, base, sh_)],
+                    out_types=[src_t], out_counts={src_t: attrs[src_t].shape[1]},
                     deterministic=deterministic, use_running_average=use_running_average,
-                )[out_t]
+                )[src_t]
 
-            lig_update = run(0, lig_edges, "lig", "lig", lig_eattr, lig_sh, "lig")
-            lr_update = run(1, lr_edges, "lig", "rec", lr_eattr, lr_sh, "lig")
-            la_update = run(2, la_edges, "lig", "atom", la_eattr, la_sh, "lig")
+            lig_update = run(0, lig_edges, "lig", "lig", lig_eattr, lig_sh)
+            lr_update = run(1, lr_edges, "lig", "rec", lr_eattr, lr_sh)
+            la_update = run(2, la_edges, "lig", "atom", la_eattr, la_sh)
 
             if l != L - 1:
-                atom_update = run(3, batch.atom_edges, "atom", "atom", atom_eattr, atom_sh, "atom")
-                al_update = run(4, la_edges.flip(), "atom", "lig",
-                                jnp.concatenate([la_eattr, sc("atom", la_edges.dst), sc("lig", la_edges.src)], -1),
-                                la_sh, "atom")
-                ar_update = run(5, ar_edges, "atom", "rec", ar_eattr, ar_sh, "atom")
-                rec_update = run(6, batch.rec_edges, "rec", "rec", rec_eattr, rec_sh, "rec")
-                rl_update = run(7, lr_edges.flip(), "rec", "lig",
-                                jnp.concatenate([lr_eattr, sc("rec", lr_edges.dst), sc("lig", lr_edges.src)], -1),
-                                lr_sh, "rec")
-                ra_update = run(8, ar_edges.flip(), "rec", "atom",
-                                jnp.concatenate([ar_eattr, sc("rec", ar_edges.dst), sc("atom", ar_edges.src)], -1),
-                                ar_sh, "rec")
+                atom_update = run(3, batch.atom_edges, "atom", "atom", atom_eattr, atom_sh)
+                al_update = run(4, la_edges.flip(), "atom", "lig", la_eattr, la_sh)
+                ar_update = run(5, ar_edges, "atom", "rec", ar_eattr, ar_sh)
+                rec_update = run(6, batch.rec_edges, "rec", "rec", rec_eattr, rec_sh)
+                rl_update = run(7, lr_edges.flip(), "rec", "lig", lr_eattr, lr_sh)
+                ra_update = run(8, ar_edges.flip(), "rec", "atom", ar_eattr, ar_sh)
 
             def pad_to(x, D):
                 return jnp.pad(x, [(0, 0), (0, 0), (0, D - x.shape[-1])])
@@ -307,7 +299,7 @@ class AllAtomScoreModel(nn.Module):
         center_edges = ListEdges(jnp.zeros((B, NL), jnp.int32), idx, batch.lig_mask)
         global_pred = self.final_conv(
             {"lig": lig_attr}, {"center": batch.graph_mask[:, None]},
-            [ConvBlock(center_edges, "center", "lig", center_eattr, center_sh)],
+            [ConvBlock(center_edges, "center", "lig", center_eattr, center_sh, append_scalars=False)],
             out_types=["center"], out_counts={"center": 1},
             deterministic=deterministic, use_running_average=use_running_average,
         )["center"][:, 0]
@@ -354,7 +346,7 @@ class AllAtomScoreModel(nn.Module):
         )
         tor_feat = self.tor_bond_conv(
             {"lig": lig_attr}, {"bond": batch.tor_mask},
-            [ConvBlock(tor_edges, "bond", "lig", t_eattr, tor_sh)],
+            [ConvBlock(tor_edges, "bond", "lig", t_eattr, tor_sh, append_scalars=False)],
             out_types=["bond"], out_counts={"bond": R},
             deterministic=deterministic, use_running_average=use_running_average,
         )["bond"]

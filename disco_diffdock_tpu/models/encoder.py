@@ -93,6 +93,7 @@ class TPEncoder(nn.Module):
                 batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout,
                 edge_groups=4,
+                n_scalars=ns,
                 name=f"conv{i}",
             )
             for i in range(cfg.num_conv_layers)
@@ -202,21 +203,11 @@ class TPEncoder(nn.Module):
         attrs = {"lig": lig_attr, "rec": rec_attr}
         masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
         for layer in self.conv_layers:
-            def ws(base, edges, src_t, dst_t):
-                return jnp.concatenate(
-                    [base,
-                     gather_nodes(attrs[src_t][..., :ns], edges.src),
-                     gather_nodes(attrs[dst_t][..., :ns], edges.dst)], -1)
-
             blocks = [
-                ConvBlock(lig_edges, "lig", "lig", ws(lig_eattr, lig_edges, "lig", "lig"), lig_sh, 0),
-                ConvBlock(cross_edges, "lig", "rec", ws(cross_eattr, cross_edges, "lig", "rec"), cross_sh, 1),
-                ConvBlock(rec_edges, "rec", "rec", ws(rec_eattr, rec_edges, "rec", "rec"), rec_sh, 2),
-                ConvBlock(cross_edges.flip(), "rec", "lig",
-                          jnp.concatenate([cross_eattr,
-                                           gather_nodes(attrs["rec"][..., :ns], cross_edges.dst),
-                                           gather_nodes(attrs["lig"][..., :ns], cross_edges.src)], -1),
-                          cross_sh, 3),
+                ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0),
+                ConvBlock(cross_edges, "lig", "rec", cross_eattr, cross_sh, 1),
+                ConvBlock(rec_edges, "rec", "rec", rec_eattr, rec_sh, 2),
+                ConvBlock(cross_edges.flip(), "rec", "lig", cross_eattr, cross_sh, 3),
             ]
             attrs = layer(attrs, masks, blocks, deterministic=deterministic,
                           use_running_average=use_running_average)

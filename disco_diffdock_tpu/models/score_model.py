@@ -33,7 +33,7 @@ from ..graphs.radius import radius_edges
 from ..graphs.segment import masked_mean_pool
 from ..nn.basic import AtomEncoder, FCBlock
 from ..nn.batchnorm import MaskedIrrepsBatchNorm
-from ..nn.conv import ConvBlock, TPConvLayer, gather_nodes
+from ..nn.conv import ConvBlock, TPConvLayer, build_onehots, gather_nodes
 from ..nn.irreps import Irreps, spherical_harmonics_irreps
 from ..nn.sh import irrep_to_vec, spherical_harmonics
 from ..nn.tensor_product import FullTensorProduct, get_irrep_seq
@@ -108,6 +108,33 @@ class TensorProductScoreModel(nn.Module):
         self.rec_distance_expansion = GaussianSmearing(0.0, cfg.rec_max_radius, cfg.distance_embed_dim)
         self.cross_distance_expansion = GaussianSmearing(0.0, cfg.cross_max_distance, cfg.cross_distance_embed_dim)
 
+        if cfg.latent_cross_attention:
+            # per-slot latent embeddings + per-layer residual MLPs (+ optional
+            # multi-head cross attention), score_model.py:69-87
+            self.tot_scalar_size = cfg.num_conv_layers * ns + max(0, cfg.num_conv_layers - 2) * ns
+            self.latent_embedding_layers = [
+                FCBlock(self.tot_scalar_size, self.tot_scalar_size, 2, cfg.dropout, name=f"lat_emb{i}")
+                for i in range(cfg.latent_dim)
+            ]
+            self.latent_residual_layers = [
+                FCBlock(ns if i < 2 else 2 * ns, ns if i < 2 else 2 * ns, 2, cfg.dropout, name=f"lat_res{i}")
+                for i in range(cfg.num_conv_layers)
+            ]
+            if cfg.new_cross_attention:
+                from ..nn.basic import CrossAttention
+
+                self.cross_attention_layers = [
+                    CrossAttention(
+                        ns if i < 2 else 2 * ns, heads=cfg.cross_attention_heads,
+                        dim_head=cfg.cross_attention_dim, dropout=cfg.dropout,
+                        name=f"lat_xattn{i}",
+                    )
+                    for i in range(cfg.num_conv_layers)
+                ]
+
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        )
         self.conv_layers = [
             TPConvLayer(
                 in_irreps=self.irrep_seq[min(i, len(self.irrep_seq) - 1)],
@@ -119,6 +146,8 @@ class TensorProductScoreModel(nn.Module):
                 batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout,
                 edge_groups=4,
+                n_scalars=ns,
+                compute_dtype=self.compute_dtype,
                 name=f"conv{i}",
             )
             for i in range(cfg.num_conv_layers)
@@ -289,32 +318,77 @@ class TensorProductScoreModel(nn.Module):
             rec_eattr = rec_eattr + u * self.rec_edge_uncond
             cross_eattr = cross_eattr + u * self.cross_edge_uncond
 
-        # ---- conv trunk
+        # ---- per-layer latent cross-attention embeddings (vocab > 1 only)
+        latent_embedding = None
+        if cfg.latent_cross_attention and latent is not None and cfg.latent_vocab > 1:
+            lat3 = latent.reshape(B, cfg.latent_dim, cfg.latent_vocab)
+            latent_embedding = jnp.stack(
+                [self.latent_embedding_layers[i](lat3[:, i], deterministic=deterministic)
+                 for i in range(cfg.latent_dim)], axis=1,
+            )  # (B, latent_dim, tot_scalar_size)
+
+        # ---- conv trunk (one-hots built once; edges fixed within a forward)
+        cdt = self.compute_dtype
         attrs = {"lig": lig_attr, "rec": rec_attr}
         masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
-        for layer in self.conv_layers:
-            def with_scalars(base, edges, src_t, dst_t):
-                return jnp.concatenate(
-                    [base,
-                     gather_nodes(attrs[src_t][..., :ns], edges.src),
-                     gather_nodes(attrs[dst_t][..., :ns], edges.dst)], -1)
-
+        lig_oh = build_onehots(lig_edges, NL, NL, cdt)
+        cross_oh = build_onehots(cross_edges, NL, NR, cdt)
+        crossT_oh = build_onehots(cross_edges.flip(), NR, NL, cdt)
+        rec_oh = build_onehots(rec_edges, NR, NR, cdt)
+        for li, layer in enumerate(self.conv_layers):
             blocks = [
-                ConvBlock(lig_edges, "lig", "lig", with_scalars(lig_eattr, lig_edges, "lig", "lig"), lig_sh, group=0),
-                ConvBlock(cross_edges, "lig", "rec", with_scalars(cross_eattr, cross_edges, "lig", "rec"), cross_sh, group=1),
-                ConvBlock(rec_edges, "rec", "rec", with_scalars(rec_eattr, rec_edges, "rec", "rec"), rec_sh, group=2),
-                ConvBlock(cross_edges.flip(), "rec", "lig",
-                          jnp.concatenate([cross_eattr,
-                                           gather_nodes(attrs["rec"][..., :ns], cross_edges.dst),
-                                           gather_nodes(attrs["lig"][..., :ns], cross_edges.src)], -1),
-                          cross_sh, group=3),
+                ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0, onehots=lig_oh),
+                ConvBlock(cross_edges, "lig", "rec", cross_eattr, cross_sh, 1, onehots=cross_oh),
+                ConvBlock(rec_edges, "rec", "rec", rec_eattr, rec_sh, 2, onehots=rec_oh),
+                ConvBlock(cross_edges.flip(), "rec", "lig", cross_eattr, cross_sh, 3, onehots=crossT_oh),
             ]
             attrs = layer(
                 attrs, masks, blocks,
                 deterministic=deterministic, use_running_average=use_running_average,
             )
 
+            if latent_embedding is not None:
+                attrs = self._latent_attention(
+                    attrs, latent_embedding, li, deterministic
+                )
+
         return attrs["lig"], attrs["rec"], sigmas
+
+    def _latent_attention(self, attrs, latent_embedding, li, deterministic):
+        """Latent<->node scalar mixing after conv layer li
+        (score_model.py:232-254): either the simple bilinear attention
+        (bmm with the latent embeddings) or multi-head cross attention, then
+        a residual MLP, zero-padded back onto the irreps layout."""
+        cfg = self.cfg
+        ns = cfg.ns
+        cur_len = ns if li < 2 else 2 * ns
+        cur_idx = li * ns + max(0, li - 2) * ns
+        lat = latent_embedding[:, :, cur_idx : cur_idx + cur_len]  # (B, dim, d)
+        new_attrs = {}
+        for t, x in attrs.items():
+            if li < 2:
+                scal = x[..., :ns]
+            else:
+                scal = jnp.concatenate([x[..., :ns], x[..., -ns:]], -1)
+            if cfg.new_cross_attention:
+                res = self.cross_attention_layers[li](
+                    scal, lat, deterministic=deterministic
+                ) + scal
+                res = self.latent_residual_layers[li](res, deterministic=deterministic) + res
+                res = res - scal  # it is added back below
+            else:
+                att = jnp.einsum("bnd,bkd->bnk", scal, lat)
+                res = jnp.einsum("bnk,bkd->bnd", att, lat)
+                res = self.latent_residual_layers[li](res, deterministic=deterministic)
+            D = x.shape[-1]
+            if li < 2:
+                res_full = jnp.pad(res, [(0, 0), (0, 0), (0, D - res.shape[-1])])
+            else:
+                res_full = jnp.concatenate(
+                    [jnp.pad(res[..., :ns], [(0, 0), (0, 0), (0, D - 2 * ns)]), res[..., ns:]], -1
+                )
+            new_attrs[t] = x + res_full
+        return new_attrs
 
     def scalar_features(self, attr: jnp.ndarray) -> jnp.ndarray:
         """[0e scalars ; 0o pseudoscalars] when depth >= 3 (score_model.py:264)."""
@@ -376,7 +450,7 @@ class TensorProductScoreModel(nn.Module):
         center_edges = ListEdges(
             src=jnp.zeros((B, NL), jnp.int32), dst=idx, mask=batch.lig_mask
         )
-        blocks = [ConvBlock(center_edges, "center", "lig", center_eattr, center_sh)]
+        blocks = [ConvBlock(center_edges, "center", "lig", center_eattr, center_sh, append_scalars=False)]
         global_pred = self.final_conv(
             {"lig": lig_attr}, {"center": batch.graph_mask[:, None]}, blocks,
             out_types=["center"], out_counts={"center": 1},
@@ -430,7 +504,7 @@ class TensorProductScoreModel(nn.Module):
         edge_sh = spherical_harmonics(vec_t, cfg.sh_lmax)
         tor_sh = self.final_tp_tor(edge_sh, gather_nodes(bond_sh2, tor_edges.src))
 
-        blocks = [ConvBlock(tor_edges, "bond", "lig", t_eattr, tor_sh)]
+        blocks = [ConvBlock(tor_edges, "bond", "lig", t_eattr, tor_sh, append_scalars=False)]
         tor_feat = self.tor_bond_conv(
             {"lig": lig_attr}, {"bond": batch.tor_mask}, blocks,
             out_types=["bond"], out_counts={"bond": R},

@@ -15,7 +15,11 @@ import numpy as np
 
 
 class FCBlock(nn.Module):
-    """n-layer MLP: Linear/act/dropout x (layers-1) + final Linear."""
+    """n-layer MLP: Linear/act/dropout x (layers-1) + final Linear.
+
+    ``dtype`` sets the computation dtype (params stay float32); bf16 halves
+    the bandwidth of the edge-weight MLPs, the forward's dominant cost.
+    """
 
     hidden_dim: int
     out_dim: int
@@ -23,15 +27,16 @@ class FCBlock(nn.Module):
     dropout: float = 0.0
     activation: str = "relu"
     batchnorm: bool = False  # plain (non-irreps) batchnorm variant unused by shipped models
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = {"relu": nn.relu, "silu": nn.silu}[self.activation]
         for _ in range(self.layers - 1):
-            x = nn.Dense(self.hidden_dim)(x)
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
             x = act(x)
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.out_dim)(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 
 class GaussianSmearing(nn.Module):

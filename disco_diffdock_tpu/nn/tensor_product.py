@@ -114,7 +114,14 @@ class WeightedTensorProduct:
                 weight.shape[:-1] + (fan, out_mi.mul)
             ) / np.sqrt(fan)
             w_ofs += n
-            out = jnp.einsum("...mk,...mo->...ok", basis, W)
+            # contraction over fan as explicit multiply+reduce: XLA lowers the
+            # einsum form to a batched tiny convolution on TPU (~60 GB/s);
+            # the broadcast product + sum fuses into a single bandwidth-bound
+            # loop fusion instead (~700 GB/s).
+            d3 = out_mi.ir.dim
+            out = jnp.sum(
+                basis[..., :, None, :] * W[..., :, :, None], axis=-3
+            )  # (..., fan, 1, d3) * (..., fan, o, 1) -> (..., o, d3)
             outs.append(out.reshape(out.shape[:-2] + (out_mi.dim,)))
         return jnp.concatenate(outs, axis=-1)
 
