@@ -33,7 +33,7 @@ from ..graphs.radius import radius_edges
 from ..graphs.segment import masked_mean_pool
 from ..nn.basic import AtomEncoder, FCBlock
 from ..nn.batchnorm import MaskedIrrepsBatchNorm
-from ..nn.conv import ConvBlock, TPConvLayer, build_onehots, gather_nodes
+from ..nn.conv import ConvBlock, TPConvLayer, build_onehots, gather_nodes, gather_pos
 from ..nn.irreps import Irreps, spherical_harmonics_irreps
 from ..nn.sh import irrep_to_vec, spherical_harmonics
 from ..nn.tensor_product import FullTensorProduct, get_irrep_seq
@@ -245,11 +245,13 @@ class TensorProductScoreModel(nn.Module):
             cfg.lig_max_radius, self.caps.lig_radius_cap, exclude_self=True,
         )
         lig_edges = _concat_edges(batch.lig_bonds, redges)
+        cdt = self.compute_dtype
+        lig_oh = build_onehots(lig_edges, NL, NL, cdt)
         EB = batch.lig_bonds.capacity
         bond_feat = jnp.concatenate(
             [batch.lig_bond_attr, jnp.zeros((B, redges.capacity, cfg.in_lig_edge_features))], 1
         )
-        vec_l = gather_nodes(pos_l, lig_edges.dst) - gather_nodes(pos_l, lig_edges.src)
+        vec_l = gather_pos(lig_oh[1], pos_l) - gather_pos(lig_oh[0], pos_l)
         dist_l = jnp.linalg.norm(vec_l + 1e-12, axis=-1)
         lig_eattr = [bond_feat,
                      jnp.broadcast_to(sig_emb[:, None, :], (B, lig_edges.capacity, sig_emb.shape[-1])),
@@ -270,7 +272,8 @@ class TensorProductScoreModel(nn.Module):
 
         # ---- receptor graph (precomputed kNN; protein rigid)
         rec_edges = batch.rec_edges
-        vec_r = gather_nodes(batch.rec_pos, rec_edges.dst) - gather_nodes(batch.rec_pos, rec_edges.src)
+        rec_oh = build_onehots(rec_edges, NR, NR, cdt)
+        vec_r = gather_pos(rec_oh[1], batch.rec_pos) - gather_pos(rec_oh[0], batch.rec_pos)
         dist_r = jnp.linalg.norm(vec_r + 1e-12, axis=-1)
         rec_eattr = [jnp.broadcast_to(sig_emb[:, None, :], (B, rec_edges.capacity, sig_emb.shape[-1])),
                      self.rec_distance_expansion(dist_r)]
@@ -297,7 +300,9 @@ class TensorProductScoreModel(nn.Module):
             pos_l, batch.lig_mask, batch.rec_pos, batch.rec_mask,
             cross_cutoff, self.caps.cross_cap,
         )
-        vec_x = gather_nodes(batch.rec_pos, cross_edges.dst) - gather_nodes(pos_l, cross_edges.src)
+        cross_oh = build_onehots(cross_edges, NL, NR, cdt)
+        crossT_oh = build_onehots(cross_edges.flip(), NR, NL, cdt)
+        vec_x = gather_pos(cross_oh[1], batch.rec_pos) - gather_pos(crossT_oh[1], pos_l)
         dist_x = jnp.linalg.norm(vec_x + 1e-12, axis=-1)
         cross_eattr = [jnp.broadcast_to(sig_emb[:, None, :], (B, cross_edges.capacity, sig_emb.shape[-1])),
                        self.cross_distance_expansion(dist_x)]
@@ -328,13 +333,8 @@ class TensorProductScoreModel(nn.Module):
             )  # (B, latent_dim, tot_scalar_size)
 
         # ---- conv trunk (one-hots built once; edges fixed within a forward)
-        cdt = self.compute_dtype
         attrs = {"lig": lig_attr, "rec": rec_attr}
         masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
-        lig_oh = build_onehots(lig_edges, NL, NL, cdt)
-        cross_oh = build_onehots(cross_edges, NL, NR, cdt)
-        crossT_oh = build_onehots(cross_edges.flip(), NR, NL, cdt)
-        rec_oh = build_onehots(rec_edges, NR, NR, cdt)
         for li, layer in enumerate(self.conv_layers):
             blocks = [
                 ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0, onehots=lig_oh),

@@ -55,6 +55,19 @@ def gather_mm(oh: jnp.ndarray, node_attr: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def gather_pos(oh: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Position gather as a HIGH-precision one-hot matmul.
+
+    XLA's native gather on 3-wide f32 rows is latency-bound (~5 GB/s); the
+    matmul form runs ~4x faster.  HIGH precision (3-pass bf16) keeps
+    coordinates exact to ~2^-21 relative -- sub-micro-Angstrom here.
+    """
+    return jnp.einsum(
+        "ben,bnd->bed", oh.astype(jnp.float32), pos,
+        precision=jax.lax.Precision.HIGH,
+    )
+
+
 def scatter_mm(oh_src: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
     """One-hot matmul scatter-add: (B,E,N)^T @ (B,E,D) -> (B,N,D), f32 acc."""
     return jnp.einsum(

@@ -103,16 +103,25 @@ class WeightedTensorProduct:
                 C = jnp.asarray(
                     cg_tensor(in_mi.ir.l, sh_mi.ir.l, out_mi.ir.l), dtype=x.dtype
                 )
-                # (..., mul, d1) x (..., d2) x (d1,d2,d3) -> (..., mul, d3)
-                b = jnp.einsum(
-                    "...mi,...j,ijk->...mk", x_blocks[path.in_block], sh_blocks[path.sh_block], C
+                # two-step broadcast-multiply-reduce (einsum lowers to a
+                # batched tiny convolution on TPU): first contract sh with the
+                # CG tensor, then the input channels.
+                # T: (..., d1, d3) = sum_j sh[..., j] C[i, j, k]
+                T = jnp.sum(
+                    sh_blocks[path.sh_block][..., None, :, None] * C[None, ...], axis=-2
+                )
+                # b: (..., mul, d3) = sum_i x[..., m, i] T[..., i, k]
+                b = jnp.sum(
+                    x_blocks[path.in_block][..., :, :, None] * T[..., None, :, :], axis=-2
                 )
                 basis.append(b)
             basis = jnp.concatenate(basis, axis=-2)  # (..., fan, d3)
             n = fan * out_mi.mul
+            # divide by a python float: numpy f64 scalars would silently
+            # promote bf16 weights to f32 (2x bandwidth on the hot path)
             W = weight[..., w_ofs : w_ofs + n].reshape(
                 weight.shape[:-1] + (fan, out_mi.mul)
-            ) / np.sqrt(fan)
+            ) / float(np.sqrt(fan))
             w_ofs += n
             # contraction over fan as explicit multiply+reduce: XLA lowers the
             # einsum form to a batched tiny convolution on TPU (~60 GB/s);
@@ -161,7 +170,8 @@ class FullTensorProduct:
             b1 = x1[..., s1[i]].reshape(x1.shape[:-1] + (mi1.mul, mi1.ir.dim))
             b2 = x2[..., s2[j]]
             C = jnp.asarray(cg_tensor(mi1.ir.l, mi2.ir.l, l3), dtype=x1.dtype)
-            o = jnp.einsum("...mi,...j,ijk->...mk", b1, b2, C)
+            T = jnp.sum(b2[..., None, :, None] * C[None, ...], axis=-2)  # (..., d1, d3)
+            o = jnp.sum(b1[..., :, :, None] * T[..., None, :, :], axis=-2)  # (..., mul, d3)
             outs.append(o.reshape(o.shape[:-2] + (mi1.mul * (2 * l3 + 1),)))
         return jnp.concatenate(outs, axis=-1)
 
