@@ -108,6 +108,8 @@ class EncoderConfig:
     use_oracle: bool = True
     input_latent_dim: int = 0
     apply_gumbel_softmax: bool = True
+    latent_virtual_nodes: bool = False
+    latent_nodes_residual: bool = False
 
 
 def save_yaml(path: str, obj) -> None:

@@ -34,6 +34,7 @@ from ..nn.batchnorm import MaskedIrrepsBatchNorm
 from ..nn.conv import ConvBlock, TPConvLayer, gather_nodes
 from ..nn.irreps import spherical_harmonics_irreps
 from ..nn.sh import spherical_harmonics
+from ..nn.transformer import DenseTransformerAttention
 from ..nn.tensor_product import get_irrep_seq
 from .score_model import GaussianSmearing, _concat_edges, _edge_latent
 
@@ -57,6 +58,51 @@ class LatentPredictorMLP(nn.Module):
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.out)(x)
+
+
+class VirtualNodeBlock(nn.Module):
+    """One latent virtual-node message-passing step (latent_encoder.py:
+    105-132,271-295): virtual nodes attend over all real nodes + each other,
+    real-node scalars attend over the virtual nodes; TransformerConv
+    semantics with separable edge features (see nn/transformer.py)."""
+
+    d_node_in: int  # real-node scalar width at this depth
+    d_out: int  # transformer output width
+    ns: int
+
+    @nn.compact
+    def __call__(self, node_scal, node_mask, type_attr, latent_attr, latent_edge):
+        """node_scal (B,N,d_in), node_mask (B,N), type_attr (B,N,ns) learned
+        per-node-type edge part, latent_attr (B,dim,d_in-ish), latent_edge
+        (B,dim,ns).  Returns (new_node_scal (B,N,d_out), new_latent)."""
+        d = self.d_out
+        B, N = node_scal.shape[:2]
+        dim = latent_attr.shape[1]
+        # source-side edge projections (key & value); target-side key parts
+        # are softmax-invariant, target-side value parts add a constant
+        ek_real = nn.Dense(d, name="ek_real")(type_attr)
+        ev_real = nn.Dense(d, name="ev_real")(type_attr)
+        ek_lat = nn.Dense(d, name="ek_lat")(latent_edge)
+        ev_lat = nn.Dense(d, name="ev_lat")(latent_edge)
+        evq_lat = nn.Dense(d, name="evq_lat")(latent_edge)  # dst-part for latent queries
+        evq_real = nn.Dense(d, name="evq_real")(type_attr)  # dst-part for real queries
+
+        # ---- virtual-node update: keys = [real nodes ; other virtuals]
+        attn_v = DenseTransformerAttention(d, name="attn_virtual")
+        kv = jnp.concatenate([node_scal, jnp.pad(latent_attr, [(0, 0), (0, 0), (0, max(0, node_scal.shape[-1] - latent_attr.shape[-1]))])[..., : node_scal.shape[-1]]], 1)
+        e_key = jnp.concatenate([ek_real, ek_lat], 1)
+        e_val = jnp.concatenate([ev_real, ev_lat], 1)
+        self_mask = ~jnp.eye(dim, dtype=bool)[None]
+        mask_v = jnp.concatenate(
+            [jnp.broadcast_to(node_mask[:, None, :], (B, dim, N)),
+             jnp.broadcast_to(self_mask, (B, dim, dim))], -1)
+        new_latent = attn_v(latent_attr, kv, mask_v, e_key, e_val) + evq_lat
+
+        # ---- real-node update: keys = the dim virtual nodes
+        attn_r = DenseTransformerAttention(d, name="attn_real")
+        mask_r = jnp.broadcast_to(node_mask[:, :, None], (B, N, dim))
+        new_scal = attn_r(node_scal, latent_attr, mask_r, ek_lat, ev_lat) + evq_real
+        return new_scal, new_latent
 
 
 class TPEncoder(nn.Module):
@@ -100,6 +146,38 @@ class TPEncoder(nn.Module):
         ]
 
         scalar_dim = 2 * ns if cfg.num_conv_layers >= 3 else ns
+        if cfg.latent_virtual_nodes:
+            dim = max(cfg.latent_dim, cfg.input_latent_dim)
+            init = nn.initializers.xavier_uniform()
+            self.initial_virtual_node_attr = self.param("initial_virtual_node_attr", init, (dim, ns))
+            self.virtual_edge_attr = self.param("virtual_edge_attr", init, (dim, ns))
+            self.complex_edge_attr = self.param("complex_edge_attr", init, (2, ns))
+            if cfg.input_latent_dim > 0:
+                self.latent_node_embedding_fc = FCBlock(ns, ns, 2, cfg.dropout)
+                self.latent_edge_embedding_fc = FCBlock(ns, ns, 2, cfg.dropout)
+                self.active_virtual_node_attr = self.param("active_virtual_node_attr", init, (dim, ns))
+                self.active_edge_attr = self.param("active_edge_attr", init, (dim, ns))
+            self.virtual_blocks = [
+                VirtualNodeBlock(
+                    d_node_in=ns if i < 2 else 2 * ns,
+                    d_out=ns if i < 1 else 2 * ns,
+                    ns=ns, name=f"virtual{i}",
+                )
+                for i in range(cfg.num_conv_layers)
+            ]
+            if cfg.latent_nodes_residual:
+                self.residual_node_layers = [
+                    FCBlock(2 * ns, ns if i < 2 else 2 * ns, 2, cfg.dropout, name=f"resnode{i}")
+                    for i in range(cfg.num_conv_layers)
+                ]
+                self.residual_latent_layers = [
+                    FCBlock(2 * ns, ns if i < 1 else 2 * ns, 2, cfg.dropout, name=f"reslat{i}")
+                    for i in range(cfg.num_conv_layers)
+                ]
+            self.virtual_node_predictors = [
+                FCBlock(cfg.latent_hidden_dim, cfg.latent_vocab, 3, cfg.latent_dropout, name=f"vpred{i}")
+                for i in range(dim)
+            ]
         if cfg.latent_vocab > 1:
             self.latent_predictor = LatentPredictorMLP(
                 cfg.latent_hidden_dim, cfg.latent_dim * cfg.latent_vocab,
@@ -142,6 +220,14 @@ class TPEncoder(nn.Module):
         else:
             pos_l = batch.lig_pos
 
+        virtual_latent_in = None
+        if cfg.latent_virtual_nodes and input_latent is not None:
+            # virtual-node mode: input latents condition the virtual nodes
+            # only, not the node/edge features (latent_factor=0,
+            # latent_encoder.py:48,194-196)
+            virtual_latent_in = input_latent
+            dec_onehot_v = jax.nn.one_hot(decoding_idx, cfg.input_latent_dim)
+            input_latent = None
         if input_latent is not None:
             lat_l_in, lat_r_in = input_latent
             dec_onehot = jax.nn.one_hot(decoding_idx, cfg.input_latent_dim)  # (B, ild)
@@ -199,10 +285,30 @@ class TPEncoder(nn.Module):
         cross_eattr = self.cross_edge_embedding(jnp.concatenate(cross_eattr, -1), deterministic=deterministic)
         cross_sh = spherical_harmonics(vec_x, cfg.sh_lmax)
 
+        # ---- latent virtual-node state (latent_encoder.py:223-245)
+        latent_attr = latent_edge = None
+        if cfg.latent_virtual_nodes:
+            dim = max(cfg.latent_dim, cfg.input_latent_dim)
+            latent_attr = jnp.broadcast_to(self.initial_virtual_node_attr[None], (B, dim, ns))
+            latent_edge = jnp.broadcast_to(self.virtual_edge_attr[None], (B, dim, ns))
+            if virtual_latent_in is not None:
+                cond = jnp.concatenate(
+                    [virtual_latent_in,
+                     jnp.broadcast_to(dec_onehot_v[:, None, :], (B, dim, cfg.input_latent_dim))], -1)
+                latent_attr = latent_attr + self.latent_node_embedding_fc(cond, deterministic=deterministic)
+                latent_edge = latent_edge + self.latent_edge_embedding_fc(cond, deterministic=deterministic)
+                active = jax.nn.one_hot(decoding_idx, dim)[..., None]  # (B, dim, 1)
+                latent_attr = latent_attr + active * self.active_virtual_node_attr[None]
+                latent_edge = latent_edge + active * self.active_edge_attr[None]
+            type_attr = jnp.concatenate(
+                [jnp.broadcast_to(self.complex_edge_attr[0][None, None], (B, NL, ns)),
+                 jnp.broadcast_to(self.complex_edge_attr[1][None, None], (B, NR, ns))], 1)
+            node_mask_all = jnp.concatenate([batch.lig_mask, batch.rec_mask], 1)
+
         # ---- conv trunk (same 4-group structure as the score model)
         attrs = {"lig": lig_attr, "rec": rec_attr}
         masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
-        for layer in self.conv_layers:
+        for li, layer in enumerate(self.conv_layers):
             blocks = [
                 ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0),
                 ConvBlock(cross_edges, "lig", "rec", cross_eattr, cross_sh, 1),
@@ -212,12 +318,59 @@ class TPEncoder(nn.Module):
             attrs = layer(attrs, masks, blocks, deterministic=deterministic,
                           use_running_average=use_running_average)
 
+            if cfg.latent_virtual_nodes:
+                def scal_of(a):
+                    if li >= 2:
+                        return jnp.concatenate([a[..., :ns], a[..., -ns:]], -1)
+                    return a[..., :ns]
+
+                node_scal = jnp.concatenate([scal_of(attrs["lig"]), scal_of(attrs["rec"])], 1)
+                new_scal, new_latent = self.virtual_blocks[li](
+                    node_scal, node_mask_all, type_attr, latent_attr, latent_edge
+                )
+                if cfg.latent_nodes_residual:
+                    res_n = self.residual_node_layers[li](new_scal, deterministic=deterministic)
+                    res_l = self.residual_latent_layers[li](new_latent, deterministic=deterministic)
+                    upd_l = res_n[:, :NL]
+                    upd_r = res_n[:, NL:]
+                    add = True
+                    if latent_attr.shape[-1] < res_l.shape[-1]:
+                        latent_attr = jnp.pad(latent_attr, [(0, 0), (0, 0), (0, res_l.shape[-1] - latent_attr.shape[-1])])
+                    latent_attr = latent_attr + res_l
+                else:
+                    upd_l, upd_r = new_scal[:, :NL], new_scal[:, NL:]
+                    add = False
+                    latent_attr = new_latent
+
+                def write_back(a, upd, addmode):
+                    first = a[..., :ns] + upd[..., :ns] if addmode else upd[..., :ns]
+                    a = jnp.concatenate([first, a[..., ns:]], -1)
+                    if li >= 2:
+                        last = a[..., -ns:] + upd[..., -ns:] if addmode else upd[..., -ns:]
+                        a = jnp.concatenate([a[..., :-ns], last], -1)
+                    return a
+
+                attrs = dict(attrs)
+                attrs["lig"] = write_back(attrs["lig"], upd_l, add)
+                attrs["rec"] = write_back(attrs["rec"], upd_r, add)
+
         def scalars(a):
             if cfg.num_conv_layers >= 3:
                 return jnp.concatenate([a[..., :ns], a[..., -ns:]], -1)
             return a[..., :ns]
 
         s_lig, s_rec = scalars(attrs["lig"]), scalars(attrs["rec"])
+
+        if cfg.latent_virtual_nodes:
+            dim = max(cfg.latent_dim, cfg.input_latent_dim)
+            logits = jnp.stack(
+                [self.virtual_node_predictors[i](latent_attr[:, i], deterministic=deterministic)
+                 for i in range(dim)], 1,
+            )  # (B, dim, vocab)
+            if not apply_gumbel:
+                return logits
+            key = self.make_rng("gumbel")
+            return gumbel_softmax(key, logits, latent_temperature)
 
         if cfg.latent_vocab > 1:
             from ..graphs.segment import masked_mean_pool

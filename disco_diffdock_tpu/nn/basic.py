@@ -28,6 +28,7 @@ class FCBlock(nn.Module):
     activation: str = "relu"
     batchnorm: bool = False  # plain (non-irreps) batchnorm variant unused by shipped models
     dtype: object = None
+    out_splits: tuple = ()  # when set, final layer emits per-split outputs
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -36,6 +37,13 @@ class FCBlock(nn.Module):
             x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
             x = act(x)
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        if self.out_splits:
+            # column partition of the final Dense: identical math, but each
+            # block is materialized directly (no slice pass downstream)
+            return tuple(
+                nn.Dense(d, dtype=self.dtype, name=f"out{i}")(x) if d > 0 else None
+                for i, d in enumerate(self.out_splits)
+            )
         return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 

@@ -129,6 +129,7 @@ class TPConvLayer(nn.Module):
             FCBlock(
                 hidden, tp.weight_numel, layers=self.tp_weights_layers,
                 dropout=self.dropout, dtype=cdt, name=f"fc{g}",
+                out_splits=tuple(tp.weight_splits),
             )
             for g in range(self.edge_groups)
         ]

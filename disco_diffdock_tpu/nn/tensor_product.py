@@ -65,20 +65,24 @@ class WeightedTensorProduct:
                     fan += in_mi.mul
             self.paths.append(paths_k)
             self.fan_in.append(fan)
-        self.weight_numel = sum(
-            f * out_mi.mul for f, out_mi in zip(self.fan_in, self.out_irreps) if f > 0
-        )
+        self.weight_splits = [
+            f * out_mi.mul for f, out_mi in zip(self.fan_in, self.out_irreps)
+        ]
+        self.weight_numel = sum(self.weight_splits)
 
-    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, weight: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, weight) -> jnp.ndarray:
         """Apply the TP.
 
         Args:
           x: (..., in_dim) input features.
           sh: (..., sh_dim) spherical-harmonic features.
-          weight: (..., weight_numel) per-edge weights.
+          weight: (..., weight_numel) per-edge weights, or a tuple of per-key
+            blocks matching ``weight_splits`` (avoids a slice pass over the
+            big weight tensor on the hot path).
         Returns:
           (..., out_dim).
         """
+        w_blocks = weight if isinstance(weight, (tuple, list)) else None
         in_slices = self.in_irreps.slices()
         sh_slices = self.sh_irreps.slices()
         x_blocks = [
@@ -119,9 +123,8 @@ class WeightedTensorProduct:
             n = fan * out_mi.mul
             # divide by a python float: numpy f64 scalars would silently
             # promote bf16 weights to f32 (2x bandwidth on the hot path)
-            W = weight[..., w_ofs : w_ofs + n].reshape(
-                weight.shape[:-1] + (fan, out_mi.mul)
-            ) / float(np.sqrt(fan))
+            wk = w_blocks[k] if w_blocks is not None else weight[..., w_ofs : w_ofs + n]
+            W = wk.reshape(wk.shape[:-1] + (fan, out_mi.mul)) / float(np.sqrt(fan))
             w_ofs += n
             # contraction over fan as explicit multiply+reduce: XLA lowers the
             # einsum form to a batched tiny convolution on TPU (~60 GB/s);
