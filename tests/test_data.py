@@ -1,0 +1,161 @@
+"""Data-layer tests: featurization fallback, torsion detection, matching,
+collation/bucketing, native ops, inference records."""
+import numpy as np
+import pytest
+
+from disco_diffdock_tpu.data import featurize, minichem
+from disco_diffdock_tpu.data.collate import DEFAULT_BUCKETS, collate, pick_bucket
+from disco_diffdock_tpu.data.conformer_matching import aligned_rmsd, optimize_rotatable_bonds
+from disco_diffdock_tpu.data.torsion_detect import apply_torsion_np, get_transformation_mask
+from disco_diffdock_tpu.ops import native
+
+SDF = (
+    "test\n  mini\n\n  6  5  0  0  0  0  0  0  0  0999 V2000\n"
+    "    0.0000    0.0000    0.0000 C   0  0\n"
+    "    1.5000    0.0000    0.0000 C   0  0\n"
+    "    2.2000    1.3000    0.0000 O   0  0\n"
+    "    2.2000   -1.3000    0.0000 C   0  0\n"
+    "    3.7000   -1.3000    0.0000 N   0  0\n"
+    "    1.7000   -2.6000    0.5000 C   0  0\n"
+    "  1  2  1  0\n  2  3  2  0\n  2  4  1  0\n  4  5  1  0\n  4  6  1  0\n"
+    "M  END\n$$$$\n"
+)
+
+
+def make_pdb(n_res=6, seed=0):
+    rng = np.random.RandomState(seed)
+    lines = []
+    serial = 1
+    pos = np.cumsum(rng.randn(n_res, 3) * 2.5, 0)
+    for i in range(n_res):
+        for nm, el in (("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O"), ("CB", "C")):
+            p = pos[i] + rng.randn(3) * 0.8
+            lines.append(
+                f"ATOM  {serial:5d}  {nm:<3s}GLY A{i + 1:4d}    "
+                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00           {el:>2s}"
+            )
+            serial += 1
+    return "\n".join(lines) + "\n"
+
+
+class TestMinichem:
+    def test_sdf_roundtrip(self):
+        mol = minichem.parse_sdf(SDF)
+        assert len(mol.elements) == 6 and len(mol.bonds) == 5
+        assert mol.elements[2] == "O" and mol.bond_types[1] == 2
+        text = minichem.write_sdf(mol, mol.pos)
+        mol2 = minichem.parse_sdf(text)
+        np.testing.assert_allclose(mol2.pos, mol.pos, atol=1e-3)
+
+    def test_featurize_codes_in_range(self):
+        from disco_diffdock_tpu.data.features import LIG_FEATURE_DIMS
+
+        mol = minichem.parse_sdf(SDF)
+        x = minichem.featurize_minimol(mol)
+        assert x.shape == (6, 16)
+        for i, dim in enumerate(LIG_FEATURE_DIMS):
+            assert x[:, i].min() >= 0 and x[:, i].max() < dim
+
+    def test_pdb_parse(self):
+        residues = minichem.parse_pdb_residues(make_pdb())
+        assert len(residues) == 6
+        assert all("CA" in r.atoms for r in residues)
+
+
+class TestTorsionDetect:
+    def test_chain_molecule(self):
+        # chain 0-1-2-3-4: bonds (1,2),(2,3) are rotatable (both sides >1)
+        bonds = np.array([[0, 1], [1, 2], [2, 3], [3, 4]])
+        tor, masks = get_transformation_mask(5, bonds)
+        assert len(tor) == 2
+        for (u, v), m in zip(tor, masks):
+            assert not m[u] and m[v]  # v side rotates
+            assert 1 < m.sum() < 4  # smaller component
+
+    def test_ring_not_rotatable(self):
+        bonds = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 4], [4, 5]])
+        tor, _ = get_transformation_mask(6, bonds)
+        # ring bonds never rotate; (2,3) and (3,4) both split with >1 atoms
+        pairs = {tuple(sorted(t)) for t in tor}
+        assert pairs == {(2, 3), (3, 4)}
+
+
+class TestConformerMatching:
+    def test_recovers_torsions(self):
+        rng = np.random.RandomState(0)
+        pos = np.zeros((8, 3), np.float32)
+        pos[:, 0] = np.arange(8) * 1.5
+        pos[:, 1] = 0.3 * np.sin(np.arange(8))
+        bonds = np.stack([np.arange(7), np.arange(1, 8)], 1)
+        tor, masks = get_transformation_mask(8, bonds)
+        true_angles = rng.uniform(-2, 2, len(tor))
+        true_pos = apply_torsion_np(pos, tor, masks, true_angles)
+        matched, rmsd = optimize_rotatable_bonds(pos, true_pos, tor, masks, popsize=20, maxiter=40)
+        assert rmsd < 0.3, rmsd
+        assert aligned_rmsd(matched, true_pos) < 0.3
+
+
+class TestFeaturizePipeline:
+    def test_build_record_and_collate(self):
+        mol = minichem.parse_sdf(SDF)
+        receptor = featurize.receptor_from_pdb(make_pdb())
+        rec = featurize.build_complex_record(
+            mol, receptor, matching=True, maxiter=2, popsize=4, all_atoms=True
+        )
+        assert rec["lig_x"].shape == (6, 16)
+        assert len(rec["rec_pos"]) == 6
+        assert rec["atom_x"].shape[1] == 4
+        # centered at protein centroid
+        np.testing.assert_allclose(rec["rec_pos"].mean(0), 0.0, atol=1e-4)
+        batch = collate([rec, rec], esm_dim=0)
+        assert batch.num_graphs == 2
+        assert bool(batch.lig_mask[0, :6].all()) and not bool(batch.lig_mask[0, 6:].any())
+
+    def test_chain_cutoff(self):
+        receptor_all = featurize.receptor_from_pdb(make_pdb())
+        far_lig = np.full((3, 3), 500.0, np.float32)
+        rec2 = featurize.receptor_from_pdb(make_pdb(), far_lig, chain_cutoff=10.0)
+        # no chain near the ligand -> keep-all fallback
+        assert len(rec2["rec_pos"]) == len(receptor_all["rec_pos"])
+
+
+class TestBuckets:
+    def test_pick_smallest_fitting(self):
+        rec = dict(
+            lig_pos=np.zeros((20, 3)), rec_pos=np.zeros((100, 3)),
+            tor_edges=np.zeros((3, 2), np.int32), bonds=np.zeros((40, 2), np.int32),
+            rec_src=np.zeros(500, np.int32),
+        )
+        caps = pick_bucket([rec])
+        assert caps is DEFAULT_BUCKETS[0]
+        rec["lig_pos"] = np.zeros((60, 3))
+        assert pick_bucket([rec]) is DEFAULT_BUCKETS[3]
+
+    def test_oversized_raises(self):
+        rec = dict(
+            lig_pos=np.zeros((100, 3)), rec_pos=np.zeros((100, 3)),
+            tor_edges=np.zeros((3, 2), np.int32), bonds=np.zeros((4, 2), np.int32),
+            rec_src=np.zeros(5, np.int32),
+        )
+        with pytest.raises(ValueError):
+            pick_bucket([rec])
+
+
+class TestNativeOps:
+    def test_knn_matches_python(self):
+        from disco_diffdock_tpu.graphs.radius import knn_edges_host
+
+        rng = np.random.RandomState(1)
+        pos = (np.cumsum(rng.randn(80, 3), 0) * 2).astype(np.float32)
+        s1, d1 = native.knn_edges(pos, 10.0, 12)
+        s2, d2 = knn_edges_host(pos, 10.0, 12)
+        assert set(zip(s1.tolist(), d1.tolist())) == set(zip(s2.tolist(), d2.tolist()))
+
+    def test_radius_pairs(self):
+        rng = np.random.RandomState(2)
+        a = rng.randn(30, 3).astype(np.float32) * 5
+        b = rng.randn(50, 3).astype(np.float32) * 5
+        ia, ib = native.radius_pairs(a, b, 4.0)
+        d = np.linalg.norm(a[:, None] - b[None], axis=-1)
+        expect = set(zip(*np.nonzero(d < 4.0)))
+        assert set(zip(ia.tolist(), ib.tolist())) == expect

@@ -1,0 +1,100 @@
+"""Evaluation-stack tests: symmetry RMSD, aggregation, meters, PDB writer."""
+import os
+
+import numpy as np
+
+from disco_diffdock_tpu.eval.metrics import (
+    aggregate,
+    ligand_automorphisms,
+    min_cross_distance,
+    min_self_distance,
+    symmetry_rmsd,
+)
+from disco_diffdock_tpu.eval.visualise import PDBTrajectory
+from disco_diffdock_tpu.utils.meters import AverageMeter, sigma_interval_index
+
+
+class TestSymmetryRMSD:
+    def test_symmetric_molecule(self):
+        """A 'benzene-like' ring: rotating atom labels must not change RMSD."""
+        n = 6
+        ang = np.arange(n) * np.pi / 3
+        pos = np.stack([np.cos(ang), np.sin(ang), np.zeros(n)], 1)
+        elements = np.full(n, 6)
+        bonds = np.stack([np.arange(n), (np.arange(n) + 1) % n], 1)
+        autos = ligand_automorphisms(elements, bonds)
+        assert len(autos) == 12  # dihedral group of the hexagon
+        # relabeled prediction: plain RMSD large, symmetry RMSD ~0
+        perm = np.roll(np.arange(n), 1)
+        pred = pos[perm]
+        plain = np.sqrt(((pred - pos) ** 2).sum(-1).mean())
+        assert plain > 0.5
+        assert symmetry_rmsd(pred, pos, elements, bonds) < 1e-6
+
+    def test_asymmetric_falls_back(self):
+        pos = np.random.RandomState(0).randn(5, 3)
+        elements = np.array([6, 7, 8, 6, 1])
+        bonds = np.array([[0, 1], [1, 2], [2, 3], [3, 4]])
+        r = symmetry_rmsd(pos + 0.1, pos, elements, bonds)
+        np.testing.assert_allclose(r, 0.1 * np.sqrt(3), rtol=0.2)
+
+
+class TestClashMetrics:
+    def test_min_cross(self):
+        lig = np.zeros((1, 3))
+        rec = np.array([[0.3, 0, 0], [5, 5, 5]])
+        assert abs(min_cross_distance(lig, rec) - 0.3) < 1e-6
+
+    def test_min_self_excludes_bonds(self):
+        pos = np.array([[0, 0, 0], [0.1, 0, 0], [5, 0, 0]], float)
+        bonds = np.array([[0, 1]])
+        assert min_self_distance(pos, bonds) > 4  # bonded 0-1 pair excluded
+
+
+class TestAggregate:
+    def test_confidence_filtering(self):
+        # 2 complexes x 4 poses; best pose has the highest confidence
+        rmsds = np.array([[1.0, 8.0, 9.0, 10.0], [6.0, 1.5, 9.0, 9.0]])
+        conf = np.array([[5.0, 1.0, 0.0, -1.0], [0.0, 9.0, 1.0, 2.0]])
+        m = aggregate(rmsds, conf)
+        assert m["filtered_rmsds_below_2"] == 100.0
+        # without confidence the first pose is picked: only complex 0 < 2
+        m2 = aggregate(rmsds, None)
+        assert m2["top1_rmsds_below_2"] == 50.0
+
+    def test_no_overlap_subset(self):
+        rmsds = np.asarray([[1.0], [10.0], [1.0]])
+        mask = np.asarray([True, True, False])
+        m = aggregate(rmsds, None, no_overlap_mask=mask)
+        assert m["no_overlap_rmsds_below_2"] == 50.0
+        np.testing.assert_allclose(m["rmsds_below_2"], 200 / 3)
+
+
+class TestMeters:
+    def test_average(self):
+        m = AverageMeter(["loss", "acc"])
+        m.add([np.asarray(1.0), np.asarray(0.5)])
+        m.add([np.asarray(3.0), np.asarray(1.0)])
+        s = m.summary()
+        assert s["loss"] == 2.0 and s["acc"] == 0.75
+
+    def test_intervals(self):
+        m = AverageMeter(["loss"], intervals=10)
+        t = np.asarray([0.05, 0.95, 0.96])
+        idx = sigma_interval_index(t, 10)
+        m.add([np.asarray([1.0, 2.0, 4.0])], interval_idx=[idx])
+        s = m.summary()
+        assert s["int0_loss"] == 1.0 and s["int9_loss"] == 3.0
+
+
+class TestPDBWriter:
+    def test_multimodel(self, tmp_path):
+        viz = PDBTrajectory([6, 7, 8])
+        for i in range(3):
+            viz.add(np.full((3, 3), float(i)), latent_pos=np.ones((1, 3)))
+        path = os.path.join(tmp_path, "traj.pdb")
+        viz.write(path)
+        text = open(path).read()
+        assert text.count("MODEL") == 3
+        assert text.count("HETATM") == 12  # (3 atoms + 1 latent) x 3 frames
+        assert "LAT" in text
