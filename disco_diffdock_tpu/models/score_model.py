@@ -148,6 +148,7 @@ class TensorProductScoreModel(nn.Module):
                 edge_groups=4,
                 n_scalars=ns,
                 compute_dtype=self.compute_dtype,
+                use_pallas=cfg.use_pallas_conv,
                 name=f"conv{i}",
             )
             for i in range(cfg.num_conv_layers)

@@ -109,6 +109,7 @@ class TPConvLayer(nn.Module):
     tp_weights_layers: int = 2
     n_scalars: Optional[int] = None  # scalar feature width (default: ns from irreps)
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused edge-message kernel (inference path)
 
     @nn.compact
     def __call__(
@@ -125,14 +126,34 @@ class TPConvLayer(nn.Module):
         tp = WeightedTensorProduct(self.in_irreps, self.sh_irreps, self.out_irreps)
         hidden = self.hidden_features or self.n_edge_features
         cdt = self.compute_dtype
-        fcs = [
-            FCBlock(
-                hidden, tp.weight_numel, layers=self.tp_weights_layers,
-                dropout=self.dropout, dtype=cdt, name=f"fc{g}",
-                out_splits=tuple(tp.weight_splits),
+        # edge-weight MLP params declared inline (not via FCBlock) so the
+        # Pallas fused kernel can consume the same parameter tree
+        assert self.tp_weights_layers == 2
+        init = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        f_in = self.n_edge_features
+        mlps = []
+        for g in range(self.edge_groups):
+            w1 = self.param(f"fc{g}_w1", init, (f_in, hidden))
+            b1 = self.param(f"fc{g}_b1", zeros, (hidden,))
+            w2 = [
+                self.param(f"fc{g}_w2_{k}", init, (hidden, d)) if d else None
+                for k, d in enumerate(tp.weight_splits)
+            ]
+            b2 = [
+                self.param(f"fc{g}_b2_{k}", zeros, (d,)) if d else None
+                for k, d in enumerate(tp.weight_splits)
+            ]
+            mlps.append((w1, b1, w2, b2))
+
+        def run_mlp(g, e, deterministic):
+            w1, b1, w2, b2 = mlps[g]
+            h = nn.relu(e @ w1.astype(cdt) + b1.astype(cdt))
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            return tuple(
+                (h @ wk.astype(cdt) + bk.astype(cdt)) if wk is not None else None
+                for wk, bk in zip(w2, b2)
             )
-            for g in range(self.edge_groups)
-        ]
         ns = self.n_scalars or Irreps(self.in_irreps)[0].mul
 
         if out_types is None:
@@ -165,8 +186,16 @@ class TPConvLayer(nn.Module):
                     s_src = jnp.zeros(eattr.shape[:2] + (ns,), cdt)
                 s_dst = x[..., :ns]
                 eattr = jnp.concatenate([eattr, s_src, s_dst], -1)
-            w = fcs[blk.group](eattr, deterministic=deterministic)
-            msg = tp(x, blk.edge_sh.astype(cdt), w)
+            if self.use_pallas and (deterministic or self.dropout == 0.0):
+                from ..ops.pallas_conv import edge_message
+
+                w1, b1, w2, b2 = mlps[blk.group]
+                msg = edge_message(
+                    tp, eattr, x, blk.edge_sh.astype(cdt), w1, b1, w2, b2
+                )
+            else:
+                w = run_mlp(blk.group, eattr, deterministic)
+                msg = tp(x, blk.edge_sh.astype(cdt), w)
             sums[blk.src_type] = sums[blk.src_type] + scatter_mm(oh_src, msg)
             ones = jnp.ones(msg.shape[:2] + (1,), cdt)
             ns_count[blk.src_type] = ns_count[blk.src_type] + scatter_mm(oh_src, ones)

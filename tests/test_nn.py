@@ -207,9 +207,11 @@ class TestConvLayer:
         edges = ListEdges(jnp.asarray(src), jnp.asarray(dst), jnp.asarray(mask))
         e_attr = rng.randn(B, E, 8).astype(np.float32)
 
+        # n_edge_features counts the FULL assembled width: base (8) +
+        # receiver scalars (4) + supplier scalars (4)
         layer = conv.TPConvLayer(
             in_irreps=in_ir, sh_irreps="1x0e+1x1o", out_irreps=out_ir,
-            n_edge_features=8, batch_norm=False, residual=True,
+            n_edge_features=16, batch_norm=False, residual=True,
         )
 
         def run(pos_, feat_):
@@ -239,7 +241,7 @@ class TestConvLayer:
         dst = np.array([[1, 2, 3, 0, 2, 3]], np.int32)
         layer = conv.TPConvLayer(
             in_irreps="4x0e", sh_irreps="1x0e+1x1o", out_irreps="4x0e+2x1o",
-            n_edge_features=5, batch_norm=False,
+            n_edge_features=13, batch_norm=False,
         )
 
         def run(m):
