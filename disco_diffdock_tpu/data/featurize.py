@@ -344,6 +344,10 @@ def build_complex_record(
         rec_dst=dst,
         esm=esm,
         mu_r_norm=mu_r_norm_features(receptor["rec_pos"], src, dst),
+        side_chain_vecs=np.stack(
+            [receptor["n_coords"] - receptor["rec_pos"],
+             receptor["c_coords"] - receptor["rec_pos"]], 1
+        ).astype(np.float32),
         original_center=center[0].astype(np.float32),
     )
     if all_atoms:

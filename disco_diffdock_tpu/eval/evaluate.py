@@ -19,6 +19,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import GraphCaps, ScoreModelConfig
@@ -47,6 +48,8 @@ def parse_args(argv=None):
     p.add_argument("--temp_psi", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--temp_sigma_data", type=float, nargs=3, default=[0.5, 0.5, 0.5])
     p.add_argument("--classifier_free_guidance_weight", type=float, default=0.0)
+    p.add_argument("--softmax_latent_temperature", type=float, default=1.0)
+    p.add_argument("--esm_embeddings_path", default=None)
     p.add_argument("--save_visualisation", action="store_true")
     p.add_argument("--limit_failures", type=int, default=3)
     return p.parse_args(argv)
@@ -150,6 +153,150 @@ def evaluate_complexes(
     return metrics
 
 
+def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
+    """Full-dataset evaluation from trained run dirs (evaluate.py:107-610).
+
+    Loads model_parameters.yml + checkpoints from ``--model_dir`` (score
+    model, optionally with encoder), ``--confidence_model_dir`` and
+    ``--ar_model_dir``; featurizes the test split; per complex: N pose copies
+    -> randomize -> jitted sampler (+ oracle/AR latents) -> confidence ->
+    symmetry-corrected metrics.  One compiled program per size bucket.
+    """
+    import dataclasses as _dc
+
+    import optax
+
+    from ..config import EncoderConfig, ScoreModelConfig
+    from ..data.collate import DEFAULT_BUCKETS, collate, fits, replicate_record
+    from ..data.pdbbind import PDBBind, PDBBindConfig
+    from ..models.all_atom_score_model import AllAtomScoreModel
+    from ..models.ar import PretrainedScoreEncoder, encode_ar
+    from ..models.score_model import TensorProductScoreModel
+    from ..models.wrapper import ModelWrapper
+    from ..train.checkpoints import CheckpointManager, load_config
+    from ..train.steps import TrainState
+
+    def _cfg(d, cls):
+        fields = {f.name for f in _dc.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in fields})
+
+    run_cfg = load_config(args.model_dir)
+    score_cfg = _cfg(run_cfg["score_model"], ScoreModelConfig)
+    enc_cfg = _cfg(run_cfg["encoder"], EncoderConfig) if "encoder" in run_cfg else None
+
+    ds = PDBBind(PDBBindConfig(
+        data_dir=args.data_dir, split_path=args.split_path,
+        esm_embeddings_path=getattr(args, "esm_embeddings_path", None),
+        all_atoms=args.confidence_model_dir is not None,
+    ))
+    print(f"HAPPENING | evaluating {len(ds)} complexes from {args.split_path}")
+
+    def restore(run_dir, model, example, tag):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+        tx = optax.adam(1e-3)
+        state = CheckpointManager(run_dir).restore(tag, TrainState.create(variables, tx))
+        return {"params": state.ema.shadow, "batch_stats": state.batch_stats}
+
+    # group complexes by bucket so each bucket compiles once
+    per_bucket: dict[int, list[int]] = {}
+    for i in range(len(ds)):
+        rec = ds[i]
+        for bi, caps in enumerate(DEFAULT_BUCKETS):
+            if fits(rec, caps):
+                per_bucket.setdefault(bi, []).append(i)
+                break
+
+    all_metrics = []
+    for bi, idxs in sorted(per_bucket.items()):
+        caps = DEFAULT_BUCKETS[bi]
+        if enc_cfg is not None:
+            model = ModelWrapper(score_cfg=score_cfg, encoder_cfg=enc_cfg, caps=caps,
+                                 latent_droprate=score_cfg.latent_droprate)
+        else:
+            model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
+        batches, metas = [], []
+        for i in idxs:
+            rec = ds[i]
+            batches.append(collate(replicate_record(rec, args.samples_per_complex), caps))
+            elements = rec["lig_x"][:, 0] + 1  # atomic-number code -> Z
+            metas.append({"elements": elements, "bonds": rec["bonds"][::2]})
+        variables = restore(args.model_dir, model, batches[0], args.ckpt)
+
+        conf_model = conf_vars = None
+        if args.confidence_model_dir:
+            conf_run = load_config(args.confidence_model_dir)
+            conf_cfg = _cfg(conf_run["confidence_model"], ScoreModelConfig)
+            conf_model = AllAtomScoreModel(cfg=conf_cfg, caps=caps) if conf_cfg.all_atoms \
+                else TensorProductScoreModel(cfg=conf_cfg, caps=caps)
+            conf_vars = restore(args.confidence_model_dir, conf_model,
+                                batches[0].set_time(0.0, 0.0, 0.0), "best")
+
+        latent_fn = None
+        if enc_cfg is not None and args.ar_model_dir:
+            ar_run = load_config(args.ar_model_dir)
+            ar_model = PretrainedScoreEncoder(
+                score_cfg=score_cfg, caps=caps, latent_dim=1,
+                input_latent_dim=score_cfg.latent_dim,
+            )
+            B = batches[0].num_graphs
+            NL, NR = caps.max_lig, caps.max_rec
+            lat0 = (jnp.zeros((B, NL, score_cfg.latent_dim)), jnp.zeros((B, NR, score_cfg.latent_dim)))
+            v0 = jax.jit(
+                lambda b: ar_model.init(jax.random.PRNGKey(0), b, lat0, jnp.zeros((B,), jnp.int32))
+            )(batches[0])
+            st = CheckpointManager(args.ar_model_dir).restore(
+                "best", TrainState.create(v0, optax.adam(1e-3)))
+            ar_vars = {"params": st.params, "batch_stats": st.batch_stats}
+
+            def latent_fn(b, key):
+                def apply_fn(bb, lat, dec):
+                    return ar_model.apply(ar_vars, bb, lat, dec,
+                                          deterministic=True, use_running_average=True)
+                return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
+                                 getattr(args, "softmax_latent_temperature", 1.0))
+        elif enc_cfg is not None:
+            def latent_fn(b, key):
+                return model.apply(
+                    variables, b,
+                    method=lambda m, bb: m.encoder(
+                        bb, latent_temperature=0.01, apply_gumbel=True,
+                        deterministic=True, use_running_average=True,
+                    ),
+                    rngs={"gumbel": key},
+                )
+
+        score_model_view = model
+        if enc_cfg is not None:
+            class _SV:  # adapter: sampling() drives the score submodule
+                @staticmethod
+                def apply(v, b, latent=None, unconditional=None, **kw):
+                    return model.apply(
+                        v, b, method=lambda m, bb: m.score_model(
+                            bb, latent=latent, unconditional=unconditional,
+                            deterministic=True, use_running_average=True))
+            score_model_view = _SV
+
+        m = evaluate_complexes(
+            score_model_view, variables, batches, scfg, sigma,
+            jax.random.PRNGKey(bi), latent_fn=latent_fn,
+            confidence_model=conf_model, confidence_variables=conf_vars,
+            lig_meta=metas, out_dir=os.path.join(args.out_dir, f"bucket{bi}"),
+            save_visualisation=args.save_visualisation,
+        )
+        m["n_complexes"] = len(idxs)
+        all_metrics.append(m)
+
+    # weighted merge across buckets for the headline numbers
+    total = sum(m["n_complexes"] for m in all_metrics)
+    merged = {}
+    for key in all_metrics[0]:
+        vals = [m.get(key) for m in all_metrics]
+        if all(isinstance(v, (int, float)) and v is not None for v in vals):
+            merged[key] = sum(v * m["n_complexes"] for v, m in zip(vals, all_metrics)) / total
+    merged["n_complexes"] = total
+    return merged
+
+
 def main(argv=None):
     args = parse_args(argv)
     sigma = SigmaSchedule()
@@ -186,14 +333,7 @@ def main(argv=None):
             out_dir=args.out_dir, save_visualisation=args.save_visualisation,
         )
     else:
-        from ..data.collate import collate, pick_bucket, replicate_record
-        from ..data.pdbbind import PDBBind, PDBBindConfig
-        from ..train.checkpoints import CheckpointManager, load_config
-
-        raise NotImplementedError(
-            "real-data evaluation wiring lands with trained checkpoints; "
-            "use --synthetic in environments without PDBBind"
-        )
+        metrics = evaluate_real(args, scfg, sigma)
 
     print(json.dumps(metrics, indent=2))
     return metrics

@@ -19,6 +19,24 @@ import networkx as nx
 import numpy as np
 
 
+def obrms_rmsd(pred_sdf_path: str, true_sdf_path: str) -> float | None:
+    """Alternative RMSD via the OpenBabel ``obrms`` CLI (utils/utils.py:18-34;
+    unused on the main path).  Returns None when obrms is unavailable."""
+    import shutil
+    import subprocess
+
+    if shutil.which("obrms") is None:
+        return None
+    try:
+        out = subprocess.run(
+            ["obrms", pred_sdf_path, true_sdf_path],
+            capture_output=True, text=True, timeout=30, check=True,
+        )
+        return float(out.stdout.split()[-1])
+    except Exception:
+        return None
+
+
 def rmsd(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(((a - b) ** 2).sum(-1).mean()))
 

@@ -91,6 +91,38 @@ class AtomEncoder(nn.Module):
         return emb
 
 
+class OldAtomEncoder(nn.Module):
+    """Legacy encoder variant (models/layers.py:81-116): categorical sum +
+    scalar linear added, ESM embedding fused through a separate late linear
+    (instead of one joint linear over all extras).  Selected by the
+    ``use_old_atom_encoder`` flag; shipped models use the new encoder."""
+
+    emb_dim: int
+    categorical_dims: Sequence[int]
+    scalar_dim: int = 0  # scalar feats + sigma emb
+    lm_embedding_dim: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        n_cat = len(self.categorical_dims)
+        emb = 0.0
+        for i, vocab in enumerate(self.categorical_dims):
+            table = nn.Embed(
+                vocab, self.emb_dim, embedding_init=nn.initializers.xavier_uniform()
+            )
+            emb = emb + table(x[..., i].astype(jnp.int32))
+        if self.scalar_dim > 0:
+            emb = emb + nn.Dense(self.emb_dim)(
+                x[..., n_cat : n_cat + self.scalar_dim].astype(emb.dtype)
+            )
+        if self.lm_embedding_dim > 0:
+            lm = x[..., -self.lm_embedding_dim :]
+            emb = nn.Dense(self.emb_dim)(
+                jnp.concatenate([emb, lm.astype(emb.dtype)], axis=-1)
+            )
+        return emb
+
+
 def gumbel_softmax(
     key: jax.Array, logits: jnp.ndarray, temperature: float, mask: jnp.ndarray | None = None
 ) -> jnp.ndarray:

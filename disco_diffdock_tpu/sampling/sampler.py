@@ -54,6 +54,34 @@ class SamplerConfig:
     return_trajectory: bool = False
 
 
+def decode_latent_anchors(batch: ComplexBatch, latent) -> list[dict]:
+    """Decode equivariant latents into anchor strings + positions per graph
+    (parity with utils/sampling.py:205-221: 'L<idx>'/'R<idx>' per slot, with
+    positions shifted back by the original center)."""
+    import numpy as np
+
+    lat_l, lat_r = latent
+    lat_l = np.asarray(lat_l)
+    lat_r = np.asarray(lat_r)
+    pos_l = np.asarray(batch.lig_pos)
+    pos_r = np.asarray(batch.rec_pos)
+    center = np.asarray(batch.original_center)
+    out = []
+    for b in range(batch.num_graphs):
+        s, pos = "", []
+        for j in range(lat_l.shape[-1]):
+            if lat_l[b, :, j].sum() >= 0.5:
+                idx = int(lat_l[b, :, j].argmax())
+                s += f"L{idx}"
+                pos.append(pos_l[b, idx] + center[b])
+            else:
+                idx = int(lat_r[b, :, j].argmax())
+                s += f"R{idx}"
+                pos.append(pos_r[b, idx] + center[b])
+        out.append({"latent_str": s, "latent_pos": np.asarray(pos)})
+    return out
+
+
 def randomize_position(
     key: jax.Array,
     batch: ComplexBatch,

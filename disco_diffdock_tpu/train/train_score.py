@@ -142,6 +142,10 @@ def main(argv=None):
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--num_inference_complexes", type=int, default=500)
     p.add_argument("--restart", action="store_true")
+    p.add_argument("--restart_lr", type=float, default=None,
+                   help="override the learning rate when restarting")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--project", default="disco_diffdock_tpu")
     p.add_argument("--use_latents", action="store_true", default=True)
     p.add_argument("--no_latents", dest="use_latents", action="store_false")
     p.add_argument("--sampling_alpha", type=float, default=1.0)
@@ -206,6 +210,20 @@ def main(argv=None):
     if args.restart and ckpt.exists("last"):
         state = ckpt.restore("last", state)
         print(f"restarted from step {int(state.step)}")
+        if args.restart_lr is not None:
+            # fresh optimizer at the overridden LR (train.py:121-124)
+            tx = optax.adam(args.restart_lr)
+            state = state.replace(opt_state=tx.init(state.params))
+
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project=args.project, name=args.run_name,
+                                   config=vars(args))
+        except ImportError:
+            print("| WARNING: wandb not installed; logging disabled")
 
     if enc_cfg is not None:
         step_fn = jax.jit(make_wrapper_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
@@ -235,6 +253,8 @@ def main(argv=None):
                 break
         mean_loss = float(np.mean(losses))
         print(f"epoch {epoch}: train_loss={mean_loss:.4f} ({time.time() - t0:.1f}s, {it} steps)")
+        if wandb_run:
+            wandb_run.log({"train_loss": mean_loss}, step=epoch)
 
         ckpt.save("last", state)
         if mean_loss < best_loss:
@@ -252,6 +272,8 @@ def main(argv=None):
                 is_wrapper=enc_cfg is not None,
             )
             print(f"epoch {epoch}: {metrics}")
+            if wandb_run:
+                wandb_run.log(metrics, step=epoch)
             if metrics["valinf_rmsds_lt2"] >= best_inf:
                 best_inf = metrics["valinf_rmsds_lt2"]
                 ckpt.save("best_inference", state)
