@@ -70,17 +70,24 @@ def build():
 
 
 def main():
+    import sys
+
     run, batch = build()
+    profile = "--profile" in sys.argv
     # warmup / compile
     out = run(batch, jax.random.PRNGKey(0))
     jax.block_until_ready(out)
 
+    if profile:
+        jax.profiler.start_trace("/tmp/bench_trace")
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         out = run(batch, jax.random.PRNGKey(i + 1))
     jax.block_until_ready(out)
     sec = (time.perf_counter() - t0) / reps
+    if profile:
+        jax.profiler.stop_trace()
 
     complexes_per_sec = 1.0 / sec
     baseline = get_baseline_seconds()

@@ -95,8 +95,19 @@ def evaluate_complexes(
     for ci, batch in enumerate(complex_batches):
         key, k = jax.random.split(key)
         t0 = time.time()
-        final, conf, traj = _run(batch, k)
-        jax.block_until_ready(final.lig_pos)
+        try:
+            final, conf, traj = _run(batch, k)
+            jax.block_until_ready(final.lig_pos)
+        except Exception as e:
+            # failure sentinel parity (evaluate.py:400-408)
+            print(f"| WARNING: complex {ci} failed ({type(e).__name__}: {e}); "
+                  "recording rmsd=10000, confidence=-10000")
+            n = batch.num_graphs
+            all_rmsds.append([10000.0] * n)
+            all_cent.append([10000.0] * n)
+            all_conf.append(np.full(n, -10000.0))
+            run_times.append(time.time() - t0)
+            continue
         run_times.append(time.time() - t0)
 
         pos = np.asarray(final.lig_pos)
