@@ -13,7 +13,6 @@ and falls back to plain RMSD.
 """
 from __future__ import annotations
 
-import itertools
 
 import networkx as nx
 import numpy as np

@@ -78,7 +78,7 @@ class TensorProductScoreModel(nn.Module):
         self.sh_irreps = str(spherical_harmonics_irreps(cfg.sh_lmax))
         self.irrep_seq = get_irrep_seq(ns, nv, cfg.use_second_order_repr)
         lat = cfg.latent_dim * cfg.latent_vocab
-        lat_edge = cfg.latent_dim * max(cfg.latent_vocab, 2)
+
 
         self.timestep_emb = get_timestep_embedding(
             cfg.embedding_type, cfg.sigma_embed_dim, cfg.embedding_scale

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from ..graphs.containers import ListEdges
-from .basic import FCBlock
 from .batchnorm import MaskedIrrepsBatchNorm
 from .irreps import Irreps
 from .tensor_product import WeightedTensorProduct

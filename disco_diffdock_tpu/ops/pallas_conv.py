@@ -154,7 +154,6 @@ def _edge_message_flat(tp, eattr, x_imajor, sh, w1, b1, w2s, b2s, ereps, tile, i
     struct = _tp_structure(tp)
     kernel = _make_kernel(struct, F, w1.shape[1], out_dim)
 
-    n_w2 = len(w2s)
     grid = (M // tile,)
     in_specs = [
         pl.BlockSpec((tile, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
