@@ -176,6 +176,26 @@ class TPConvLayer(nn.Module):
                     blk.edges, counts[blk.src_type], node_attrs[blk.dst_type].shape[1],
                     dtype=cdt,
                 )
+            use_fused = (
+                self.use_pallas
+                and (deterministic or self.dropout == 0.0)
+                and blk.append_scalars
+                and blk.src_type in node_attrs
+            )
+            if use_fused:
+                # fully fused gather+MLP+TP+scatter kernel; node sums direct
+                from ..ops.pallas_conv import edge_block_message_sum, prepare_x_imajor
+
+                w1, b1, w2, b2 = mlps[blk.group]
+                sums[blk.src_type] = sums[blk.src_type] + edge_block_message_sum(
+                    tp, blk.edge_attr.astype(cdt), blk.edge_sh.astype(cdt),
+                    oh_src, oh_dst,
+                    prepare_x_imajor(tp, node_attrs[blk.dst_type]).astype(cdt),
+                    node_attrs[blk.src_type].astype(cdt), ns, w1, b1, w2, b2,
+                )
+                ones = jnp.ones(blk.edge_attr.shape[:2] + (1,), cdt)
+                ns_count[blk.src_type] = ns_count[blk.src_type] + scatter_mm(oh_src, ones)
+                continue
             x = gather_mm(oh_dst, node_attrs[blk.dst_type].astype(cdt))
             eattr = blk.edge_attr.astype(cdt)
             if blk.append_scalars:
@@ -185,16 +205,8 @@ class TPConvLayer(nn.Module):
                     s_src = jnp.zeros(eattr.shape[:2] + (ns,), cdt)
                 s_dst = x[..., :ns]
                 eattr = jnp.concatenate([eattr, s_src, s_dst], -1)
-            if self.use_pallas and (deterministic or self.dropout == 0.0):
-                from ..ops.pallas_conv import edge_message
-
-                w1, b1, w2, b2 = mlps[blk.group]
-                msg = edge_message(
-                    tp, eattr, x, blk.edge_sh.astype(cdt), w1, b1, w2, b2
-                )
-            else:
-                w = run_mlp(blk.group, eattr, deterministic)
-                msg = tp(x, blk.edge_sh.astype(cdt), w)
+            w = run_mlp(blk.group, eattr, deterministic)
+            msg = tp(x, blk.edge_sh.astype(cdt), w)
             sums[blk.src_type] = sums[blk.src_type] + scatter_mm(oh_src, msg)
             ones = jnp.ones(msg.shape[:2] + (1,), cdt)
             ns_count[blk.src_type] = ns_count[blk.src_type] + scatter_mm(oh_src, ones)

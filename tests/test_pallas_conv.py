@@ -61,3 +61,20 @@ def test_x_imajor_roundtrip():
     assert xi.shape == x.shape
     # scalars block unchanged (d=1)
     np.testing.assert_allclose(np.asarray(xi[..., :8]), np.asarray(x[..., :8]))
+
+
+def test_fused_block_matches_xla_model():
+    """End-to-end: the fused gather+MLP+TP+scatter kernel inside the score
+    model reproduces the XLA path (interpret mode)."""
+    from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
+    from tests.test_score_model import small_batch, small_caps, small_cfg
+
+    batch = small_batch()
+    m0 = TensorProductScoreModel(cfg=small_cfg(), caps=small_caps())
+    v = m0.init(jax.random.PRNGKey(0), batch)
+    (tr0, rot0, tor0), _ = m0.apply(v, batch, mutable=["batch_stats"])
+    m1 = TensorProductScoreModel(cfg=small_cfg(use_pallas_conv=True), caps=small_caps())
+    (tr1, rot1, tor1), _ = m1.apply(v, batch, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot1), np.asarray(rot0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tor1), np.asarray(tor0), atol=1e-5)
