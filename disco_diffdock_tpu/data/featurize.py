@@ -304,6 +304,7 @@ def build_complex_record(
     keep_original: bool = True,
     name: str = "complex",
     seed: int = 0,
+    num_conformers: int = 1,
 ) -> dict:
     """Assemble a HeteroComplex record (datasets_utils/pdbbind.py:295-352):
     ligand graph (+ conformer matching), receptor kNN graph, centering at the
@@ -312,6 +313,7 @@ def build_complex_record(
     orig_pos = lig["lig_pos"].copy()
     tor_edges, mask_rotate = get_transformation_mask(len(orig_pos), lig["bonds_undirected"])
 
+    extra_conformers = []
     if matching:
         from .conformer_matching import optimize_rotatable_bonds
 
@@ -319,10 +321,15 @@ def build_complex_record(
         matched, rmsd = optimize_rotatable_bonds(
             conf, orig_pos, tor_edges, mask_rotate, popsize, maxiter, seed
         )
-        # rigidly align the matched conformer onto the crystal pose
-        from .conformer_matching import aligned_rmsd  # noqa: F401
-
         start_pos = _kabsch_to(matched, orig_pos)
+        # multi-conformer option (process_mols.py:308-321): extra matched
+        # conformers; the loader picks one at random per epoch
+        for k in range(1, num_conformers):
+            ck = generate_conformer(mol, seed + 1000 * k)
+            mk, _ = optimize_rotatable_bonds(
+                ck, orig_pos, tor_edges, mask_rotate, popsize, maxiter, seed + 1000 * k
+            )
+            extra_conformers.append(_kabsch_to(mk, orig_pos))
     else:
         start_pos = orig_pos.copy()
 
@@ -350,6 +357,8 @@ def build_complex_record(
         ).astype(np.float32),
         original_center=center[0].astype(np.float32),
     )
+    if extra_conformers:
+        rec["extra_conformers"] = (np.stack(extra_conformers) - center).astype(np.float32)
     if all_atoms:
         asrc, adst = knn_edges_host(receptor["atom_pos"], atom_radius, atom_max_neighbors)
         rec.update(

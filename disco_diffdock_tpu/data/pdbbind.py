@@ -41,6 +41,7 @@ class PDBBindConfig:
     esm_embeddings_path: Optional[str] = None
     num_workers: int = 1
     limit_complexes: int = 0
+    num_conformers: int = 1
 
     def cache_dir(self) -> str:
         key = json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
@@ -78,6 +79,7 @@ def _process_one(args) -> Optional[str]:
             matching=cfg.matching, popsize=cfg.popsize, maxiter=cfg.maxiter,
             all_atoms=cfg.all_atoms, atom_radius=cfg.atom_radius,
             atom_max_neighbors=cfg.atom_max_neighbors, name=name,
+            num_conformers=cfg.num_conformers,
         )
         np.savez_compressed(out_path, **{k: v for k, v in rec.items() if v is not None})
         return name
@@ -137,6 +139,24 @@ class PDBBind:
         return self.get(self.names[i])
 
 
+def print_statistics(dataset: PDBBind) -> dict:
+    """Dataset statistics (pdbbind.py:print_statistics analogue)."""
+    nl, nr, nt = [], [], []
+    for i in range(len(dataset)):
+        rec = dataset[i]
+        nl.append(len(rec["lig_pos"]))
+        nr.append(len(rec["rec_pos"]))
+        nt.append(len(rec["tor_edges"]))
+    stats = {
+        "complexes": len(dataset),
+        "lig_atoms_mean": float(np.mean(nl)), "lig_atoms_max": int(np.max(nl)),
+        "residues_mean": float(np.mean(nr)), "residues_max": int(np.max(nr)),
+        "rot_bonds_mean": float(np.mean(nt)), "rot_bonds_max": int(np.max(nt)),
+    }
+    print("HAPPENING | dataset statistics:", stats)
+    return stats
+
+
 def bucketed_batches(
     dataset: PDBBind,
     batch_size: int,
@@ -145,15 +165,19 @@ def bucketed_batches(
     esm_dim: int = 1280,
     shuffle: bool = True,
     drop_oversized: bool = True,
+    multiplicity: int = 1,
 ) -> Iterator:
     """Yield padded ComplexBatches grouped by size bucket.
 
     Complexes are assigned to the smallest fitting bucket, shuffled within
     buckets, and emitted as full batches per bucket (so every batch of a
-    bucket reuses one compiled program).
+    bucket reuses one compiled program).  ``multiplicity`` repeats the dataset
+    (train_multiplicity); complexes with extra matched conformers start from
+    a randomly chosen one each epoch (pdbbind.py:41-42).
     """
     groups: dict[int, list[int]] = {i: [] for i in range(len(buckets))}
-    for idx in range(len(dataset)):
+    for idx0 in range(len(dataset) * multiplicity):
+        idx = idx0 % len(dataset)
         rec = dataset[idx]
         placed = False
         for bi, caps in enumerate(buckets):
@@ -172,4 +196,12 @@ def bucketed_batches(
     if shuffle:
         rng.shuffle(order)
     for bi, idxs in order:
-        yield collate([dataset[i] for i in idxs], buckets[bi], esm_dim=esm_dim)
+        recs = []
+        for i in idxs:
+            rec = dataset[i]
+            ec = rec.get("extra_conformers")
+            if ec is not None and len(ec) and rng.rand() < len(ec) / (len(ec) + 1):
+                rec = dict(rec)
+                rec["lig_pos"] = ec[rng.randint(len(ec))]
+            recs.append(rec)
+        yield collate(recs, buckets[bi], esm_dim=esm_dim)
