@@ -1,0 +1,409 @@
+"""Numeric parity vs the reference's math, using the installed torch CPU.
+
+The reference (gcorso/disco-diffdock) cannot run in this image, but its three
+quality-critical kernels are pure math that CAN be checked exactly:
+
+  (a) FasterTensorProduct (reference models/tensor_layers.py:39-116) -- the
+      torch oracle is ``FastTP`` in benchmarks/reference_torch_baseline.py,
+      a faithful reimplementation of the reference fast path.  Identical
+      fixed weights/inputs must produce identical outputs from the JAX
+      ``WeightedTensorProduct``.
+  (b) SO(3) / torus diffusion tables (reference utils/so3.py:21-61,
+      utils/torus.py:11-76) -- the truncated-series formulas are recomputed
+      here in float64 at sampled grid rows and compared against the repo's
+      device tables.
+  (c) ``modify_conformer`` (reference utils/diffusion_utils.py:19-34,
+      utils/torsion.py:48-68, utils/geometry.py:88-124) -- an independent
+      numpy/scipy oracle implementing the documented semantics (rigid
+      update, serial torsion rotations, Kabsch re-alignment) is compared
+      against the batched masked JAX implementation.
+
+These turn the grid/TP "parity" docstring claims into executable tests.
+"""
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_torch_baseline():
+    path = os.path.join(_REPO, "benchmarks", "reference_torch_baseline.py")
+    spec = importlib.util.spec_from_file_location("reference_torch_baseline", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestFasterTensorProductParity:
+    """JAX WeightedTensorProduct == reference FasterTensorProduct math."""
+
+    @pytest.mark.parametrize(
+        "in_muls,out_muls",
+        [
+            # the shipped score model's layer shapes (ns=24, nv=6)
+            ({"0e": 24, "1o": 0, "1e": 0, "0o": 0}, {"0e": 24, "1o": 6, "1e": 0, "0o": 0}),
+            ({"0e": 24, "1o": 6, "1e": 0, "0o": 0}, {"0e": 24, "1o": 6, "1e": 6, "0o": 0}),
+            ({"0e": 24, "1o": 6, "1e": 6, "0o": 0}, {"0e": 24, "1o": 6, "1e": 6, "0o": 24}),
+            ({"0e": 24, "1o": 6, "1e": 6, "0o": 24}, {"0e": 24, "1o": 6, "1e": 6, "0o": 24}),
+            # final center-conv head (out 2x1o+2x1e, score_model.py:273)
+            ({"0e": 24, "1o": 6, "1e": 6, "0o": 24}, {"0e": 0, "1o": 2, "1e": 2, "0o": 0}),
+        ],
+    )
+    def test_same_weights_same_output(self, in_muls, out_muls):
+        from disco_diffdock_tpu.nn.tensor_product import WeightedTensorProduct
+
+        base = _load_torch_baseline()
+        ref_tp = base.FastTP(in_muls, out_muls)
+
+        def irreps_str(muls):
+            parts = []
+            for key in ("0e", "1o", "1e", "0o"):
+                if muls[key]:
+                    parts.append(f"{muls[key]}x{key}")
+            return " + ".join(parts)
+
+        jax_tp = WeightedTensorProduct(
+            irreps_str(in_muls), "1x0e + 1x1o", irreps_str(out_muls)
+        )
+        assert jax_tp.weight_numel == ref_tp.numel
+
+        rng = np.random.RandomState(7)
+        E = 64
+        in_dim = sum(m * d for m, d in zip(
+            (in_muls["0e"], in_muls["1o"], in_muls["1e"], in_muls["0o"]), (1, 3, 3, 1)))
+        x = rng.randn(E, in_dim).astype(np.float32)
+        v = rng.randn(E, 3).astype(np.float32)
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        sh = np.concatenate([np.ones((E, 1), np.float32), np.sqrt(3.0) * v], -1).astype(np.float32)
+        w = rng.randn(E, ref_tp.numel).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref_tp(
+                torch.from_numpy(x), torch.from_numpy(sh), torch.from_numpy(w)
+            ).numpy()
+        jax_out = np.asarray(jax_tp(jnp.asarray(x), jnp.asarray(sh), jnp.asarray(w)))
+
+        assert ref_out.shape == jax_out.shape
+        np.testing.assert_allclose(jax_out, ref_out, rtol=2e-5, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# SO(3) table parity (reference utils/so3.py formulas, float64 recompute)
+# ---------------------------------------------------------------------------
+
+def _ref_so3_expansion(omega, eps, L=2000):
+    """Truncated IGSO(3) series (so3.py:21-25), float64."""
+    ls = np.arange(L, dtype=np.float64)
+    A = (2 * ls + 1) * np.exp(-ls * (ls + 1) * eps**2)
+    return A @ (np.sin(np.outer(ls + 0.5, omega)) / np.sin(omega / 2.0)[None, :])
+
+
+def _ref_so3_score(exp, omega, eps, L=2000):
+    """d/domega log density series (so3.py:35-43), float64."""
+    ls = np.arange(L, dtype=np.float64)
+    A = (2 * ls + 1) * np.exp(-ls * (ls + 1) * eps**2)
+    hi = np.sin(np.outer(ls + 0.5, omega))
+    dhi = (ls + 0.5)[:, None] * np.cos(np.outer(ls + 0.5, omega))
+    lo = np.sin(omega / 2.0)[None, :]
+    dlo = 0.5 * np.cos(omega / 2.0)[None, :]
+    return (A @ ((lo * dhi - hi * dlo) / lo**2)) / exp
+
+
+class TestSO3TableParity:
+    # rows across the eps grid: small / mid / large noise
+    EPS_ROWS = [0, 137, 499, 850, 999]
+
+    def test_tables_match_reference_formulas(self):
+        from disco_diffdock_tpu.geom import so3
+
+        omega = np.linspace(0, np.pi, so3.X_N + 1)[1:]
+        eps_grid = 10 ** np.linspace(
+            np.log10(so3.MIN_EPS), np.log10(so3.MAX_EPS), so3.N_EPS
+        )
+        np.testing.assert_allclose(np.asarray(so3.OMEGA), omega.astype(np.float32))
+
+        for i in self.EPS_ROWS:
+            eps = eps_grid[i]
+            exp = _ref_so3_expansion(omega, eps)
+            pdf = exp * (1 - np.cos(omega)) / np.pi
+            cdf = np.cumsum(pdf) / so3.X_N * np.pi
+            score = _ref_so3_score(exp, omega, eps)
+            exp_score_norm = np.sqrt(
+                np.sum(score**2 * pdf) / np.sum(pdf) / np.pi
+            )
+
+            mine_score = np.asarray(so3.SCORE_NORMS[i], dtype=np.float64)
+            mine_cdf = np.asarray(so3.CDF[i], dtype=np.float64)
+            # relative agreement on the score rows, restricted to where the
+            # density is non-negligible: in the far tail (e.g. omega ~ pi at
+            # eps=0.01, density ~ e^-49000) the truncated series cancels
+            # catastrophically and BOTH the reference loop and the matrix-
+            # product compute produce summation-order-dependent garbage that
+            # never influences sampling or scores.
+            support = pdf > pdf.max() * 1e-8
+            denom = np.abs(score[support]) + 1e-3
+            assert np.max(
+                np.abs(mine_score[support] - score[support]) / denom
+            ) < 1e-3, f"row {i}"
+            np.testing.assert_allclose(mine_cdf, cdf, rtol=2e-3, atol=2e-4)
+            np.testing.assert_allclose(
+                float(so3.EXP_SCORE_NORMS[i]), exp_score_norm, rtol=1e-3
+            )
+
+    def test_score_norm_lookup_semantics(self):
+        """Nearest-row index matches the reference's round+clip (so3.py:91-95)."""
+        from disco_diffdock_tpu.geom import so3
+
+        eps_vals = np.array([0.005, 0.0123, 0.05, 0.31, 1.0, 1.9, 2.5], np.float32)
+        idx = (np.log10(eps_vals) - np.log10(so3.MIN_EPS)) / (
+            np.log10(so3.MAX_EPS) - np.log10(so3.MIN_EPS)
+        ) * so3.N_EPS
+        idx = np.clip(np.around(idx).astype(int), 0, so3.N_EPS - 1)
+        expected = np.asarray(so3.EXP_SCORE_NORMS)[idx]
+        got = np.asarray(so3.score_norm(jnp.asarray(eps_vals)))
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_score_vec_matches_reference_interp(self):
+        """score_vec == interp(|vec|, omega_grid, score_row) * vec/|vec|
+        (so3.py:83-88)."""
+        from disco_diffdock_tpu.geom import so3
+
+        rng = np.random.RandomState(3)
+        eps = np.float32(0.37)
+        vecs = rng.randn(16, 3).astype(np.float32)
+        vecs *= (rng.uniform(0.05, 3.0, (16, 1)) / np.linalg.norm(vecs, axis=-1, keepdims=True)).astype(np.float32)
+
+        i = int(np.clip(np.around(
+            (np.log10(eps) - np.log10(so3.MIN_EPS))
+            / (np.log10(so3.MAX_EPS) - np.log10(so3.MIN_EPS)) * so3.N_EPS
+        ), 0, so3.N_EPS - 1))
+        row = np.asarray(so3.SCORE_NORMS[i], dtype=np.float64)
+        omega = np.asarray(so3.OMEGA, dtype=np.float64)
+        om = np.linalg.norm(vecs, axis=-1)
+        expected = np.interp(om, omega, row)[:, None] * vecs / om[:, None]
+
+        got = np.asarray(so3.score_vec(jnp.full((16,), eps), jnp.asarray(vecs)))
+        np.testing.assert_allclose(got, expected, rtol=2e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Torus table parity (reference utils/torus.py formulas, float64 recompute)
+# ---------------------------------------------------------------------------
+
+def _ref_torus_p_grad(x, sigma, N=100):
+    """Wrapped-Gaussian density + gradient sums (torus.py:11-22), float64."""
+    p = np.zeros_like(x)
+    g = np.zeros_like(x)
+    for i in range(-N, N + 1):
+        xi = x + 2 * np.pi * i
+        e = np.exp(-(xi**2) / 2 / sigma**2)
+        p += e
+        g += xi / sigma**2 * e
+    return p, g
+
+
+class TestTorusTableParity:
+    SIGMA_ROWS = [0, 700, 2500, 4100, 5000]
+
+    def test_score_table_matches_reference(self):
+        from disco_diffdock_tpu.geom import torus
+
+        x = 10 ** np.linspace(np.log10(torus.X_MIN), 0, torus.X_N + 1) * np.pi
+        sig = 10 ** np.linspace(
+            np.log10(torus.SIGMA_MIN), np.log10(torus.SIGMA_MAX), torus.SIGMA_N + 1
+        ) * np.pi
+        for i in self.SIGMA_ROWS:
+            p, g = _ref_torus_p_grad(x, sig[i])
+            ref_score = np.divide(g, p, out=np.full_like(g, np.nan), where=p > 0)
+            mine = np.asarray(torus.SCORE_TABLE[i], dtype=np.float64)
+            finite = np.isfinite(ref_score)
+            # where the reference's direct sum is well-defined, match it
+            denom = np.abs(ref_score[finite]) + 1e-2
+            assert np.max(np.abs(mine[finite] - ref_score[finite]) / denom) < 2e-3, f"row {i}"
+            # where the reference underflows to NaN, ours must still be finite
+            assert np.all(np.isfinite(mine))
+
+    def test_score_lookup_semantics(self):
+        """score(x, sigma): wrap to (-pi, pi], -sign(x) * table[nearest log
+        indices] (torus.py:43-52)."""
+        from disco_diffdock_tpu.geom import torus
+
+        rng = np.random.RandomState(11)
+        xs = rng.uniform(-3 * np.pi, 3 * np.pi, 64)
+        sigs = rng.uniform(0.05, 3.0, 64)
+
+        xw = (xs + np.pi) % (2 * np.pi) - np.pi
+        sign = np.sign(xw)
+        xi = np.log(np.abs(xw) / np.pi)
+        xi = (xi - np.log(torus.X_MIN)) / (0 - np.log(torus.X_MIN)) * torus.X_N
+        xi = np.round(np.clip(xi, 0, torus.X_N)).astype(int)
+        si = np.log(sigs / np.pi)
+        si = (si - np.log(torus.SIGMA_MIN)) / (
+            np.log(torus.SIGMA_MAX) - np.log(torus.SIGMA_MIN)
+        ) * torus.SIGMA_N
+        si = np.round(np.clip(si, 0, torus.SIGMA_N)).astype(int)
+        expected = -sign * np.asarray(torus.SCORE_TABLE)[si, xi]
+
+        got = np.asarray(
+            torus.score(jnp.asarray(xs, jnp.float32), jnp.asarray(sigs, jnp.float32))
+        )
+        # f32 lookup can land on a neighboring grid cell at bin boundaries;
+        # compare values, not indices
+        np.testing.assert_allclose(got, expected, rtol=5e-3, atol=5e-3)
+
+    def test_score_norm_matches_monte_carlo(self):
+        """score_norm (quadrature) == the reference's E[score^2] MC estimate
+        (torus.py:72-76), within MC error."""
+        from disco_diffdock_tpu.geom import torus
+
+        rng = np.random.RandomState(5)
+        sig_idx = [700, 2500, 4100]
+        sig_grid = 10 ** np.linspace(
+            np.log10(torus.SIGMA_MIN), np.log10(torus.SIGMA_MAX), torus.SIGMA_N + 1
+        ) * np.pi
+        for i in sig_idx:
+            s = sig_grid[i]
+            samples = s * rng.randn(200_000)
+            samples = (samples + np.pi) % (2 * np.pi) - np.pi
+            p, g = _ref_torus_p_grad(samples, s)
+            mc = np.mean((g / p) ** 2)
+            mine = float(torus.SCORE_NORM_TABLE[i])
+            np.testing.assert_allclose(mine, mc, rtol=0.04)
+
+
+# ---------------------------------------------------------------------------
+# modify_conformer parity (reference utils/diffusion_utils.py:19-34)
+# ---------------------------------------------------------------------------
+
+def _oracle_axis_angle(rotvec):
+    from scipy.spatial.transform import Rotation
+
+    return Rotation.from_rotvec(rotvec).as_matrix()
+
+
+def _oracle_kabsch(A, B):
+    """Rigid R, t minimizing ||R A + t - B|| (reference utils/geometry.py:88-124
+    semantics, A/B are (3, N))."""
+    ca = A.mean(axis=1, keepdims=True)
+    cb = B.mean(axis=1, keepdims=True)
+    H = (A - ca) @ (B - cb).T
+    U, S, Vt = np.linalg.svd(H)
+    d = np.sign(np.linalg.det(Vt.T @ U.T))
+    D = np.diag([1.0, 1.0, d])
+    R = Vt.T @ D @ U.T
+    t = cb - R @ ca
+    return R, t
+
+
+def _oracle_modify_conformer(pos, tr, rotvec, tor_edges, mask_rotate, torsions):
+    """Reference semantics: rigid update about centroid, serial torsion
+    rotations (v-side moves, axis u - v), Kabsch re-align flexible onto rigid
+    (diffusion_utils.py:19-34, torsion.py:48-68)."""
+    center = pos.mean(axis=0, keepdims=True)
+    Rm = _oracle_axis_angle(rotvec)
+    rigid = (pos - center) @ Rm.T + tr + center
+
+    flex = rigid.copy()
+    for r in range(len(tor_edges)):
+        u, v = tor_edges[r]
+        axis = flex[u] - flex[v]
+        axis = axis / np.linalg.norm(axis) * torsions[r]
+        Rb = _oracle_axis_angle(axis)
+        sel = mask_rotate[r]
+        flex[sel] = (flex[sel] - flex[v]) @ Rb.T + flex[v]
+
+    R, t = _oracle_kabsch(flex.T, rigid.T)
+    return flex @ R.T + t.T
+
+
+class TestModifyConformerParity:
+    def _chain_molecule(self, rng, n=12):
+        """A linear chain with 3 rotatable bonds; v-side (larger index) moves
+        ... matching the reference convention mask_rotate[r, v]=True."""
+        pos = np.cumsum(rng.randn(n, 3) * 0.5 + np.array([1.2, 0, 0]), axis=0)
+        tor_edges = np.array([[2, 3], [5, 6], [8, 9]])
+        mask_rotate = np.zeros((3, n), dtype=bool)
+        for r, (u, v) in enumerate(tor_edges):
+            mask_rotate[r, v:] = True
+        return pos.astype(np.float64), tor_edges, mask_rotate
+
+    def test_matches_oracle(self):
+        from disco_diffdock_tpu.geom.conformer import modify_conformer
+
+        rng = np.random.RandomState(0)
+        B, N = 4, 12
+        poses, tr_u, rot_u, tor_u = [], [], [], []
+        tor_edges = mask_rotate = None
+        for b in range(B):
+            pos, tor_edges, mask_rotate = self._chain_molecule(rng, N)
+            poses.append(pos)
+            tr_u.append(rng.randn(3) * 2)
+            rot_u.append(rng.randn(3) * 0.5)
+            tor_u.append(rng.uniform(-np.pi, np.pi, 3))
+
+        expected = np.stack([
+            _oracle_modify_conformer(
+                poses[b], tr_u[b], rot_u[b], tor_edges, mask_rotate, tor_u[b]
+            )
+            for b in range(B)
+        ])
+
+        got = modify_conformer(
+            jnp.asarray(np.stack(poses), jnp.float32),
+            jnp.ones((B, N), bool),
+            jnp.asarray(np.stack(tr_u), jnp.float32),
+            jnp.asarray(np.stack(rot_u), jnp.float32),
+            torsion_updates=jnp.asarray(np.stack(tor_u), jnp.float32),
+            tor_edges=jnp.asarray(np.tile(tor_edges[None], (B, 1, 1))),
+            mask_rotate=jnp.asarray(np.tile(mask_rotate[None], (B, 1, 1))),
+            bond_mask=jnp.ones((B, 3), bool),
+        )
+        np.testing.assert_allclose(np.asarray(got), expected, atol=2e-4)
+
+    def test_rigid_only_matches_oracle(self):
+        from disco_diffdock_tpu.geom.conformer import modify_conformer
+
+        rng = np.random.RandomState(1)
+        pos = rng.randn(10, 3) * 3
+        tr = rng.randn(3)
+        rot = rng.randn(3)
+        center = pos.mean(0, keepdims=True)
+        expected = (pos - center) @ _oracle_axis_angle(rot).T + tr + center
+
+        got = modify_conformer(
+            jnp.asarray(pos[None], jnp.float32),
+            jnp.ones((1, 10), bool),
+            jnp.asarray(tr[None], jnp.float32),
+            jnp.asarray(rot[None], jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(got[0]), expected, atol=1e-4)
+
+
+class TestSigmaScheduleParity:
+    def test_t_to_sigma(self):
+        """Geometric interpolation parity (diffusion_utils.py:12-16)."""
+        from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
+
+        sched = SigmaSchedule()  # shipped defaults
+        ts = np.linspace(0, 1, 7)
+        t = jnp.asarray(ts, jnp.float32)
+        tr, rot, tor = sched.t_to_sigma(t, t, t)
+        np.testing.assert_allclose(
+            np.asarray(tr), 0.1 ** (1 - ts) * 19.0**ts, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(rot), 0.03 ** (1 - ts) * 1.55**ts, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(tor), 0.03 ** (1 - ts) * 3.14**ts, rtol=1e-5
+        )
