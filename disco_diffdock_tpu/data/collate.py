@@ -50,6 +50,54 @@ def fits(rec: dict, caps: GraphCaps) -> bool:
     return ok
 
 
+def _roundup(x: int, m: int) -> int:
+    return int(-(-max(int(x), 1) // m) * m)
+
+
+def caps_from_datasets(datasets, all_atoms: bool | None = None) -> GraphCaps:
+    """Exact-fit GraphCaps over one or more preprocessed datasets.
+
+    Node/bond/kNN-edge capacities come from the observed maxima; the
+    runtime-geometry capacities (ligand radius graph, sigma-dependent cross
+    edges, torsion-midpoint edges, ligand-atom cross edges) are set to their
+    *worst-case* values (all-pairs), so no edge can ever be silently dropped.
+    Right for small/fixture datasets where worst-case padding is affordable;
+    large trees should use the DEFAULT_BUCKETS ladder instead.
+    """
+    nl = nr = nb = nre = nt = na = nae = 0
+    seen_atoms = False
+    for ds in datasets:
+        for i in range(len(ds)):
+            rec = ds[i]
+            nl = max(nl, len(rec["lig_pos"]))
+            nr = max(nr, len(rec["rec_pos"]))
+            nb = max(nb, len(rec["bonds"]))
+            nre = max(nre, len(rec["rec_src"]))
+            nt = max(nt, len(rec["tor_edges"]))
+            if rec.get("atom_pos") is not None:
+                seen_atoms = True
+                na = max(na, len(rec["atom_pos"]))
+                nae = max(nae, len(rec["atom_src"]))
+    if all_atoms is None:
+        all_atoms = seen_atoms
+    max_lig = _roundup(nl, 4)
+    max_rec = _roundup(nr, 8)
+    caps = GraphCaps(
+        max_lig=max_lig,
+        max_rec=max_rec,
+        lig_bond_cap=_roundup(nb, 4),
+        lig_radius_cap=max_lig * max_lig,
+        rec_edge_cap=_roundup(nre, 8),
+        cross_cap=max_lig * max_rec,
+        tor_cap=max(nt, 1),
+        tor_edge_cap=max(nt, 1) * max_lig,
+        max_atoms=_roundup(na, 8) if all_atoms else GraphCaps.max_atoms,
+        atom_edge_cap=_roundup(nae, 8) if all_atoms else GraphCaps.atom_edge_cap,
+        la_cap=max_lig * _roundup(na, 8) if all_atoms else GraphCaps.la_cap,
+    )
+    return caps
+
+
 def pick_bucket(recs: Sequence[dict], buckets: Sequence[GraphCaps] = DEFAULT_BUCKETS) -> GraphCaps:
     for caps in buckets:
         if all(fits(r, caps) for r in recs):

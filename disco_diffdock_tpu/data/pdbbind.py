@@ -166,6 +166,7 @@ def bucketed_batches(
     shuffle: bool = True,
     drop_oversized: bool = True,
     multiplicity: int = 1,
+    drop_remainder: bool = True,
 ) -> Iterator:
     """Yield padded ComplexBatches grouped by size bucket.
 
@@ -191,7 +192,8 @@ def bucketed_batches(
     for bi, idxs in groups.items():
         if shuffle:
             rng.shuffle(idxs)
-        for i in range(0, len(idxs) - batch_size + 1, batch_size):
+        stop = len(idxs) - batch_size + 1 if drop_remainder else len(idxs)
+        for i in range(0, max(stop, 0), batch_size):
             order.append((bi, idxs[i : i + batch_size]))
     if shuffle:
         rng.shuffle(order)

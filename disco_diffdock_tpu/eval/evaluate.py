@@ -36,6 +36,7 @@ def parse_args(argv=None):
     p.add_argument("--n_complexes", type=int, default=3, help="synthetic mode")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split_path", default="data/splits/timesplit_test")
+    p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--model_dir", default=None, help="score-model run dir")
     p.add_argument("--confidence_model_dir", default=None)
     p.add_argument("--ar_model_dir", default=None)
@@ -173,91 +174,73 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     -> randomize -> jitted sampler (+ oracle/AR latents) -> confidence ->
     symmetry-corrected metrics.  One compiled program per size bucket.
     """
-    import dataclasses as _dc
-
-    import optax
-
-    from ..config import EncoderConfig, ScoreModelConfig
+    from ..config import ScoreModelConfig
     from ..data.collate import DEFAULT_BUCKETS, collate, fits, replicate_record
     from ..data.pdbbind import PDBBind, PDBBindConfig
     from ..models.all_atom_score_model import AllAtomScoreModel
     from ..models.ar import PretrainedScoreEncoder, encode_ar
     from ..models.score_model import TensorProductScoreModel
-    from ..models.wrapper import ModelWrapper
-    from ..train.checkpoints import CheckpointManager, load_config
-    from ..train.steps import TrainState
+    from ..train.checkpoints import load_config
+    from ..train.loading import (
+        build_score_runtime, cfg_from_dict, load_run_configs, restore_variables,
+    )
 
-    def _cfg(d, cls):
-        fields = {f.name for f in _dc.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in fields})
-
-    run_cfg = load_config(args.model_dir)
-    score_cfg = _cfg(run_cfg["score_model"], ScoreModelConfig)
-    enc_cfg = _cfg(run_cfg["encoder"], EncoderConfig) if "encoder" in run_cfg else None
+    score_cfg, enc_cfg, run_caps = load_run_configs(args.model_dir)
 
     ds = PDBBind(PDBBindConfig(
         data_dir=args.data_dir, split_path=args.split_path,
+        cache_path=args.cache_path,
         esm_embeddings_path=getattr(args, "esm_embeddings_path", None),
         all_atoms=args.confidence_model_dir is not None,
     ))
     print(f"HAPPENING | evaluating {len(ds)} complexes from {args.split_path}")
 
-    def restore(run_dir, model, example, tag):
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
-        tx = optax.adam(1e-3)
-        state = CheckpointManager(run_dir).restore(tag, TrainState.create(variables, tx))
-        return {"params": state.ema.shadow, "batch_stats": state.batch_stats}
+    # bucket ladder: the training run's exact-fit caps first (small datasets
+    # evaluate in one program), then the default ladder for anything larger
+    buckets = ((run_caps,) if run_caps is not None else ()) + tuple(DEFAULT_BUCKETS)
 
     # group complexes by bucket so each bucket compiles once
     per_bucket: dict[int, list[int]] = {}
     for i in range(len(ds)):
         rec = ds[i]
-        for bi, caps in enumerate(DEFAULT_BUCKETS):
+        for bi, caps in enumerate(buckets):
             if fits(rec, caps):
                 per_bucket.setdefault(bi, []).append(i)
                 break
 
     all_metrics = []
     for bi, idxs in sorted(per_bucket.items()):
-        caps = DEFAULT_BUCKETS[bi]
-        if enc_cfg is not None:
-            model = ModelWrapper(score_cfg=score_cfg, encoder_cfg=enc_cfg, caps=caps,
-                                 latent_droprate=score_cfg.latent_droprate)
-        else:
-            model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
+        caps = buckets[bi]
         batches, metas = [], []
         for i in idxs:
             rec = ds[i]
-            batches.append(collate(replicate_record(rec, args.samples_per_complex), caps))
+            batches.append(collate(
+                replicate_record(rec, args.samples_per_complex), caps,
+                esm_dim=score_cfg.esm_embedding_dim,
+            ))
             elements = rec["lig_x"][:, 0] + 1  # atomic-number code -> Z
             metas.append({"elements": elements, "bonds": rec["bonds"][::2]})
-        variables = restore(args.model_dir, model, batches[0], args.ckpt)
+
+        score_model_view, variables, latent_fn, _, _ = build_score_runtime(
+            args.model_dir, caps, tag=args.ckpt,
+        )
 
         conf_model = conf_vars = None
         if args.confidence_model_dir:
             conf_run = load_config(args.confidence_model_dir)
-            conf_cfg = _cfg(conf_run["confidence_model"], ScoreModelConfig)
+            conf_cfg = cfg_from_dict(conf_run["confidence_model"], ScoreModelConfig)
             conf_model = AllAtomScoreModel(cfg=conf_cfg, caps=caps) if conf_cfg.all_atoms \
                 else TensorProductScoreModel(cfg=conf_cfg, caps=caps)
-            conf_vars = restore(args.confidence_model_dir, conf_model,
-                                batches[0].set_time(0.0, 0.0, 0.0), "best")
+            conf_vars = restore_variables(args.confidence_model_dir, "best",
+                                          use_ema=False)
 
-        latent_fn = None
         if enc_cfg is not None and args.ar_model_dir:
-            ar_run = load_config(args.ar_model_dir)
+            # AR latents replace the oracle-encoder latents
             ar_model = PretrainedScoreEncoder(
                 score_cfg=score_cfg, caps=caps, latent_dim=1,
                 input_latent_dim=score_cfg.latent_dim,
             )
-            B = batches[0].num_graphs
-            NL, NR = caps.max_lig, caps.max_rec
-            lat0 = (jnp.zeros((B, NL, score_cfg.latent_dim)), jnp.zeros((B, NR, score_cfg.latent_dim)))
-            v0 = jax.jit(
-                lambda b: ar_model.init(jax.random.PRNGKey(0), b, lat0, jnp.zeros((B,), jnp.int32))
-            )(batches[0])
-            st = CheckpointManager(args.ar_model_dir).restore(
-                "best", TrainState.create(v0, optax.adam(1e-3)))
-            ar_vars = {"params": st.params, "batch_stats": st.batch_stats}
+            ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
 
             def latent_fn(b, key):
                 def apply_fn(bb, lat, dec):
@@ -265,27 +248,6 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                                           deterministic=True, use_running_average=True)
                 return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
                                  getattr(args, "softmax_latent_temperature", 1.0))
-        elif enc_cfg is not None:
-            def latent_fn(b, key):
-                return model.apply(
-                    variables, b,
-                    method=lambda m, bb: m.encoder(
-                        bb, latent_temperature=0.01, apply_gumbel=True,
-                        deterministic=True, use_running_average=True,
-                    ),
-                    rngs={"gumbel": key},
-                )
-
-        score_model_view = model
-        if enc_cfg is not None:
-            class _SV:  # adapter: sampling() drives the score submodule
-                @staticmethod
-                def apply(v, b, latent=None, unconditional=None, **kw):
-                    return model.apply(
-                        v, b, method=lambda m, bb: m.score_model(
-                            bb, latent=latent, unconditional=unconditional,
-                            deterministic=True, use_running_average=True))
-            score_model_view = _SV
 
         m = evaluate_complexes(
             score_model_view, variables, batches, scfg, sigma,

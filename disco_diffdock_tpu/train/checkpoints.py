@@ -50,5 +50,12 @@ class CheckpointManager:
     def restore(self, tag: str, template: TrainState) -> TrainState:
         return self._ckpt.restore(self._path(tag), target=template)
 
+    def restore_raw(self, tag: str) -> dict:
+        """Restore without a template (raw pytree dict) -- lets downstream
+        tools read {params, batch_stats, ema} without knowing the optimizer
+        the run was trained with (the opt_state structure differs by tx)."""
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(self._path(tag))
+
     def exists(self, tag: str) -> bool:
         return os.path.exists(self._path(tag))

@@ -1,0 +1,103 @@
+"""Rebuild trained models from self-describing run dirs (yml + checkpoint).
+
+The reference's downstream tools reconstruct models purely from
+``model_parameters.yml`` + ``.pt`` checkpoints (evaluate.py:107-199,
+confidence/confidence_train.py:288-294, autoregressive/train_ar.py:107-131).
+This module is the TPU counterpart: one place that turns a run dir into a
+model + restored variables + (for DisCo wrappers) a latent function and a
+score-forward adapter that ``sampling()`` can drive.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from ..config import EncoderConfig, GraphCaps, ScoreModelConfig
+from ..models.score_model import TensorProductScoreModel
+from ..models.wrapper import ModelWrapper
+from .checkpoints import CheckpointManager, load_config
+
+
+def cfg_from_dict(d: dict, cls):
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in d.items() if k in fields})
+
+
+def load_run_configs(run_dir: str):
+    """Returns (score_cfg, enc_cfg_or_None, caps_or_None) from a run dir."""
+    run_cfg = load_config(run_dir)
+    key = "score_model" if "score_model" in run_cfg else (
+        "confidence_model" if "confidence_model" in run_cfg else "ar_model"
+    )
+    score_cfg = cfg_from_dict(run_cfg[key], ScoreModelConfig)
+    enc_cfg = cfg_from_dict(run_cfg["encoder"], EncoderConfig) if "encoder" in run_cfg else None
+    caps = cfg_from_dict(run_cfg["caps"], GraphCaps) if "caps" in run_cfg else None
+    return score_cfg, enc_cfg, caps
+
+
+def restore_variables(run_dir: str, tag: str, use_ema: bool = True):
+    """Restore ``{"params", "batch_stats"}`` from a run dir (EMA params by
+    default).  Template-free: reads the raw checkpoint pytree, so it works
+    regardless of which optimizer the run was trained with.
+
+    Falls back through tag -> "best_ema" -> "best" -> "last" so small fixture
+    runs that never hit the best-inference path still load.
+    """
+    ckpt = CheckpointManager(run_dir)
+    for t in (tag, "best_ema", "best", "last"):
+        if ckpt.exists(t):
+            raw = ckpt.restore_raw(t)
+            break
+    else:
+        raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    params = raw["ema"]["shadow"] if use_ema else raw["params"]
+    return {"params": params, "batch_stats": raw.get("batch_stats") or {}}
+
+
+def build_score_runtime(
+    run_dir: str,
+    caps: GraphCaps,
+    tag: str = "best_ema_inference",
+    use_ema: bool = True,
+    latent_temperature: float = 0.01,
+):
+    """Load a trained score run (plain or DisCo wrapper) for inference.
+
+    Returns ``(score_view, variables, latent_fn, score_cfg, enc_cfg)`` where
+    ``score_view.apply(variables, batch, latent=..., unconditional=...)`` is
+    what ``sampling()`` drives, and ``latent_fn(batch, key)`` produces oracle
+    -encoder latents (None for latent-free models).
+    """
+    score_cfg, enc_cfg, _ = load_run_configs(run_dir)
+    if enc_cfg is not None:
+        model = ModelWrapper(
+            score_cfg=score_cfg, encoder_cfg=enc_cfg, caps=caps,
+            latent_droprate=score_cfg.latent_droprate,
+        )
+        variables = restore_variables(run_dir, tag, use_ema)
+
+        def latent_fn(batch, key):
+            return model.apply(
+                variables, batch,
+                method=lambda m, b: m.encoder(
+                    b, latent_temperature=latent_temperature, apply_gumbel=True,
+                    deterministic=True, use_running_average=True,
+                ),
+                rngs={"gumbel": key},
+            )
+
+        class _ScoreView:
+            @staticmethod
+            def apply(v, b, latent=None, unconditional=None, **kw):
+                return model.apply(
+                    v, b,
+                    method=lambda m, bb: m.score_model(
+                        bb, latent=latent, unconditional=unconditional,
+                        deterministic=True, use_running_average=True,
+                    ),
+                )
+
+        return _ScoreView, variables, latent_fn, score_cfg, enc_cfg
+
+    model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
+    variables = restore_variables(run_dir, tag, use_ema)
+    return model, variables, None, score_cfg, None

@@ -89,15 +89,20 @@ def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key)
     """Random decoding slot, teacher-forced input one-hots, hard labels."""
     B, NL = batch.lig_x.shape[:2]
     NR = batch.rec_x.shape[1]
-    hard = np.asarray(labels_soft).argmax(-1)  # (B, Ld) node index per slot
+    # mask padded node slots before the argmax -- otherwise a padding node can
+    # become the label and the CE explodes against the -1e9 masked logit
+    soft = np.where(np.asarray(node_mask)[:, None, :], np.asarray(labels_soft), -np.inf)
+    hard = soft.argmax(-1)  # (B, Ld) node index per slot
     dec_idx = rng.randint(0, input_latent_dim, B)
     lat = np.zeros((B, NL + NR, input_latent_dim), np.float32)
     for b in range(B):
         for j in range(dec_idx[b]):
             lat[b, hard[b, j], j] = 1.0
     labels = hard[np.arange(B), dec_idx]
-    # ligand at a randomly rotated generated conformer (no_randomness mode)
-    pos = batch.extras["orig_pos"]
+    # ligand at a randomly rotated generated conformer (no_randomness mode,
+    # dataset_ar.py:91-95): lig_pos holds the matched/generated conformer,
+    # NOT the oracle pose the encoder labels were produced from
+    pos = batch.lig_pos
     center = jnp.mean(pos, axis=1, keepdims=True)
     R = random_rotation_matrix(key, (B,))
     pos = jnp.einsum("bni,bji->bnj", pos - center, R)
@@ -115,35 +120,82 @@ def main(argv=None):
     p.add_argument("--run_name", default="ar_run")
     p.add_argument("--log_dir", default="workdir")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--original_model_dir", default=None,
+                   help="trained DisCo score+encoder run dir")
+    p.add_argument("--ckpt", default="best_ema_inference")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--split_train", default="data/splits/timesplit_no_lig_overlap_train")
+    p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", type=int, default=2)
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--latent_dim", type=int, default=2)
     args = p.parse_args(argv)
 
-    assert args.synthetic, "real-data AR training needs trained encoder/score run dirs"
-    caps = GraphCaps(
-        max_lig=16, max_rec=24, lig_bond_cap=36, lig_radius_cap=96,
-        rec_edge_cap=24 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
-    )
-    score_cfg = ScoreModelConfig(
-        ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
-        latent_dim=args.latent_dim, latent_vocab=1, latent_droprate=0.1,
-    )
-    enc_cfg = EncoderConfig(
-        ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
-        latent_dim=args.latent_dim, apply_gumbel_softmax=False,
-    )
-    batches = [
-        make_complex_batch(seed=s, batch=4, n_lig=10, n_res=16, caps=caps,
-                           esm_dim=16, c_alpha_max_neighbors=8)
-        for s in range(2)
-    ]
+    if args.synthetic:
+        caps = GraphCaps(
+            max_lig=16, max_rec=24, lig_bond_cap=36, lig_radius_cap=96,
+            rec_edge_cap=24 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+        )
+        score_cfg = ScoreModelConfig(
+            ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
+            latent_dim=args.latent_dim, latent_vocab=1, latent_droprate=0.1,
+        )
+        enc_cfg = EncoderConfig(
+            ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
+            latent_dim=args.latent_dim, apply_gumbel_softmax=False,
+        )
+        batches = [
+            make_complex_batch(seed=s, batch=4, n_lig=10, n_res=16, caps=caps,
+                               esm_dim=16, c_alpha_max_neighbors=8)
+            for s in range(2)
+        ]
+        # phase 1 with a freshly init'd encoder (no trained run dir exists)
+        encoder = TPEncoder(cfg=enc_cfg, caps=caps)
+        enc_vars = jax.jit(encoder.init)(jax.random.PRNGKey(0), batches[0])
+        warm_score_params = warm_score_stats = None
+    else:
+        assert args.original_model_dir and args.data_dir, (
+            "real-data AR training needs --original_model_dir and --data_dir"
+        )
+        from ..data.collate import caps_from_datasets
+        from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
+        from .loading import load_run_configs, restore_variables
 
-    # ---- phase 1: oracle-encoder labels (here a freshly init'd encoder; with
-    # real data the trained wrapper's encoder weights are loaded)
-    encoder = TPEncoder(cfg=enc_cfg, caps=caps)
-    enc_vars = jax.jit(encoder.init)(jax.random.PRNGKey(0), batches[0])
+        ds = PDBBind(PDBBindConfig(
+            data_dir=args.data_dir, split_path=args.split_train,
+            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
+        ))
+        caps = caps_from_datasets([ds])
+        score_cfg, enc_cfg, _ = load_run_configs(args.original_model_dir)
+        assert enc_cfg is not None, (
+            "--original_model_dir must be a DisCo run (encoder in its yml)"
+        )
+        args.latent_dim = enc_cfg.latent_dim
+        import dataclasses as _dc
+
+        enc_cfg = _dc.replace(enc_cfg, apply_gumbel_softmax=False)
+        batches = list(bucketed_batches(
+            ds, args.batch_size, np.random.RandomState(0), buckets=(caps,),
+            esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
+            drop_remainder=False,
+        ))
+        print(f"HAPPENING | {len(ds)} complexes in {len(batches)} batches, caps: {caps}")
+        # phase 1 uses the TRAINED encoder from the wrapper checkpoint
+        wrapper_vars = restore_variables(args.original_model_dir, args.ckpt)
+        encoder = TPEncoder(cfg=enc_cfg, caps=caps)
+        enc_vars = {
+            "params": wrapper_vars["params"]["encoder"],
+            "batch_stats": (wrapper_vars["batch_stats"] or {}).get("encoder", {}),
+        }
+        # phase 2 warm-starts the AR trunk from the trained score model
+        # (the reference loads the score ckpt, train_ar.py:107-131)
+        warm_score_params = wrapper_vars["params"]["score_model"]
+        warm_score_stats = (wrapper_vars["batch_stats"] or {}).get("score_model")
+
+    # ---- phase 1: oracle-encoder soft latent labels
     labels = generate_ar_labels(encoder, enc_vars, batches, jax.random.PRNGKey(1))
     print(f"phase 1 done: {len(labels)} label batches, logits {labels[0][0].shape}")
 
@@ -158,13 +210,21 @@ def main(argv=None):
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(2), b, lat0, jnp.zeros((B,), jnp.int32))
     )(batches[0])
+    if warm_score_params is not None:
+        params = dict(variables["params"])
+        params["pretrained_score_model"] = warm_score_params
+        variables = {**variables, "params": params}
+        if warm_score_stats is not None and variables.get("batch_stats"):
+            stats = dict(variables["batch_stats"])
+            stats["pretrained_score_model"] = warm_score_stats
+            variables = {**variables, "batch_stats": stats}
     tx = optax.adam(args.lr)
     state = TrainState.create(variables, tx)
     frozen_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True))
     free_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False))
 
     run_dir = f"{args.log_dir}/{args.run_name}"
-    save_config(run_dir, ar_model=score_cfg)
+    save_config(run_dir, ar_model=score_cfg, caps=caps)
     ckpt = CheckpointManager(run_dir)
 
     rng = np.random.RandomState(0)

@@ -32,27 +32,30 @@ from .steps import TrainState
 
 
 def generate_confidence_dataset(
-    model, variables, batches, scfg, sigma, key, cache_dir=None, cache_id=0
+    model, variables, batches, scfg, sigma, key, cache_dir=None, cache_id=0,
+    latent_fn=None, names=None,
 ):
     """Phase 1: sampled poses + RMSD labels per complex batch.
 
     Each input batch is N pose copies of one complex; returns a list of
-    (positions (N, NL, 3), rmsds (N,)).  Cached per (complex index, cache_id)
-    so multiple runs combine (confidence/dataset.py:100-124).
+    (positions (N, NL, 3), rmsds (N,)).  Cached per (complex name, cache_id)
+    so multiple runs combine (confidence/dataset.py:100-124).  ``latent_fn``
+    supplies oracle-encoder latents for DisCo score models.
     """
-    run = jax.jit(
-        lambda b, k: sampling(
-            model, variables,
-            randomize_position(jax.random.fold_in(k, 0), b, scfg.no_torsion, False, sigma.tr_sigma_max),
-            jax.random.fold_in(k, 1), scfg, sigma,
-        )[0].lig_pos
-    )
+    @jax.jit
+    def run(b, k):
+        k0, k1, k2 = jax.random.split(k, 3)
+        latent = latent_fn(b, k2) if latent_fn is not None else None
+        rb = randomize_position(k0, b, scfg.no_torsion, False, sigma.tr_sigma_max)
+        return sampling(model, variables, rb, k1, scfg, sigma, latent=latent)[0].lig_pos
+
     out = []
     for ci, batch in enumerate(batches):
         path = None
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
-            path = os.path.join(cache_dir, f"complex{ci}_cache{cache_id}.npz")
+            name = names[ci] if names is not None else f"complex{ci}"
+            path = os.path.join(cache_dir, f"{name}_cache{cache_id}.npz")
             if os.path.exists(path):
                 with np.load(path) as z:
                     out.append((z["pos"], z["rmsd"]))
@@ -126,6 +129,11 @@ def main(argv=None):
     p.add_argument("--log_dir", default="workdir")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--original_model_dir", default=None, help="trained score run dir")
+    p.add_argument("--ckpt", default="best_ema_inference")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--split_train", default="data/splits/timesplit_no_lig_overlap_train")
+    p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--samples_per_complex", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=4)
     p.add_argument("--epochs", type=int, default=1)
@@ -134,35 +142,78 @@ def main(argv=None):
     p.add_argument("--rmsd_prediction", action="store_true")
     p.add_argument("--balanced", action="store_true")
     p.add_argument("--cache_dir", default=None)
+    p.add_argument("--cache_creation_id", type=int, default=0)
+    # confidence-model scale (defaults = shipped all-atom confidence model)
+    p.add_argument("--ns", type=int, default=24)
+    p.add_argument("--nv", type=int, default=6)
+    p.add_argument("--num_conv_layers", type=int, default=5)
     args = p.parse_args(argv)
 
-    assert args.synthetic, "real-data confidence training needs a trained score run dir"
     sigma = SigmaSchedule()
-    caps = GraphCaps(
-        max_lig=16, max_rec=24, lig_bond_cap=36, lig_radius_cap=96,
-        rec_edge_cap=24 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
-        max_atoms=96, atom_edge_cap=96 * 8, la_cap=128,
-    )
-    score_cfg = ScoreModelConfig(
-        ns=8, nv=2, num_conv_layers=2, esm_embedding_dim=16, dropout=0.0,
-        latent_dim=0, latent_droprate=0.0,
-    )
-    score_model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
-    batches = [
-        make_complex_batch(
-            seed=s, batch=args.samples_per_complex, n_lig=10, n_res=16, caps=caps,
-            esm_dim=16, c_alpha_max_neighbors=8, same_complex=True, all_atoms=True,
-            atoms_per_res=4,
+    esm_dim = 16
+    if args.synthetic:
+        caps = GraphCaps(
+            max_lig=16, max_rec=24, lig_bond_cap=36, lig_radius_cap=96,
+            rec_edge_cap=24 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+            max_atoms=96, atom_edge_cap=96 * 8, la_cap=128,
         )
-        for s in range(2)
-    ]
-    score_vars = jax.jit(score_model.init)(jax.random.PRNGKey(0), batches[0])
+        score_cfg = ScoreModelConfig(
+            ns=8, nv=2, num_conv_layers=2, esm_embedding_dim=16, dropout=0.0,
+            latent_dim=0, latent_droprate=0.0,
+        )
+        score_model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
+        batches = [
+            make_complex_batch(
+                seed=s, batch=args.samples_per_complex, n_lig=10, n_res=16, caps=caps,
+                esm_dim=16, c_alpha_max_neighbors=8, same_complex=True, all_atoms=True,
+                atoms_per_res=4,
+            )
+            for s in range(2)
+        ]
+        score_vars = jax.jit(score_model.init)(jax.random.PRNGKey(0), batches[0])
+        latent_fn = None
+        names = None
+        conf_ns, conf_nv, conf_layers = 8, 2, 2
+    else:
+        assert args.original_model_dir and args.data_dir, (
+            "real-data confidence training needs --original_model_dir and --data_dir"
+        )
+        from ..data.collate import caps_from_datasets, collate, replicate_record
+        from ..data.pdbbind import PDBBind, PDBBindConfig
+        from .loading import build_score_runtime
+
+        ds = PDBBind(PDBBindConfig(
+            data_dir=args.data_dir, split_path=args.split_train,
+            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
+            all_atoms=True,
+        ))
+        caps = caps_from_datasets([ds], all_atoms=True)
+        print(f"HAPPENING | {len(ds)} complexes, fitted caps: {caps}")
+        # pull the score run's feature dims so rec_x widths line up
+        from .loading import load_run_configs
+
+        trained_score_cfg, _, _ = load_run_configs(args.original_model_dir)
+        esm_dim = trained_score_cfg.esm_embedding_dim
+        names = list(ds.names)
+        batches = [
+            collate(replicate_record(ds.get(n), args.samples_per_complex), caps,
+                    esm_dim=esm_dim)
+            for n in names
+        ]
+        score_model, score_vars, latent_fn, score_cfg, _ = build_score_runtime(
+            args.original_model_dir, caps, tag=args.ckpt,
+        )
+        conf_ns, conf_nv, conf_layers = args.ns, args.nv, args.num_conv_layers
 
     # ---- phase 1
     scfg = SamplerConfig(inference_steps=args.inference_steps)
+    cache_dir = args.cache_dir
+    if cache_dir is None and not args.synthetic:
+        cache_dir = os.path.join(args.log_dir, args.run_name, "pose_cache")
     data = generate_confidence_dataset(
         score_model, score_vars, batches, scfg, sigma, jax.random.PRNGKey(1),
-        cache_dir=args.cache_dir,
+        cache_dir=cache_dir, cache_id=args.cache_creation_id,
+        latent_fn=latent_fn, names=names,
     )
     print(f"phase 1 done: {len(data)} complexes x {args.samples_per_complex} poses; "
           f"rmsd range [{min(d[1].min() for d in data):.2f}, {max(d[1].max() for d in data):.2f}]")
@@ -173,7 +224,8 @@ def main(argv=None):
     )
     n_out = (len(args.rmsd_classification_cutoff) + 1) if args.rmsd_classification_cutoff else 1
     conf_cfg = ScoreModelConfig(
-        ns=8, nv=2, num_conv_layers=2, sh_lmax=2, esm_embedding_dim=16,
+        ns=conf_ns, nv=conf_nv, num_conv_layers=conf_layers, sh_lmax=2,
+        esm_embedding_dim=esm_dim,
         dropout=0.0, confidence_mode=True, num_confidence_outputs=n_out,
         all_atoms=True, latent_dim=0, latent_droprate=0.0,
     )
@@ -183,9 +235,12 @@ def main(argv=None):
     tx = optax.adam(args.lr)
     state = TrainState.create(variables, tx)
     step_fn = jax.jit(make_confidence_train_step(model, tx, mode))
+    eval_fn = jax.jit(
+        lambda v, b: model.apply(v, b, deterministic=True, use_running_average=True)
+    )
 
     run_dir = f"{args.log_dir}/{args.run_name}"
-    save_config(run_dir, confidence_model=conf_cfg)
+    save_config(run_dir, confidence_model=conf_cfg, caps=caps)
     ckpt = CheckpointManager(run_dir)
 
     rng = np.random.RandomState(0)
@@ -209,9 +264,15 @@ def main(argv=None):
             state, m = step_fn(state, b, jnp.asarray(lab), k)
             metrics.append({k2: float(v) for k2, v in m.items()})
             labels_all.append((rmsd[idx] < 2).astype(np.float32))
+            if mode == "bce":
+                out = eval_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats}, b
+                )
+                scores.append(np.asarray(out).reshape(-1))
         loss = np.mean([m["loss"] for m in metrics])
         acc = np.mean([m["accuracy"] for m in metrics])
-        print(f"epoch {epoch}: loss={loss:.4f} acc={acc:.3f}")
+        auc = roc_auc(np.concatenate(labels_all), np.concatenate(scores)) if scores else float("nan")
+        print(f"epoch {epoch}: loss={loss:.4f} acc={acc:.3f} auc={auc:.3f}")
         ckpt.save("last", state)
     ckpt.save("best", state)
     print("confidence training done")

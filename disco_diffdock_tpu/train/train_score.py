@@ -130,7 +130,19 @@ def main(argv=None):
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split_train", default="data/splits/timesplit_no_lig_overlap_train")
     p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
+    p.add_argument("--cache_path", default="data/cache_tpu")
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--num_dataloader_workers", type=int, default=1)
     p.add_argument("--esm_embeddings_path", default=None)
+    # model-scale flags (defaults = the shipped DisCo-DiffDock-S score model)
+    p.add_argument("--ns", type=int, default=24)
+    p.add_argument("--nv", type=int, default=6)
+    p.add_argument("--num_conv_layers", type=int, default=5)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--esm_embedding_dim", type=int, default=1280)
+    p.add_argument("--enc_ns", type=int, default=24)
+    p.add_argument("--enc_nv", type=int, default=4)
+    p.add_argument("--enc_num_conv_layers", type=int, default=3)
     p.add_argument("--steps", type=int, default=10, help="synthetic-mode train steps")
     p.add_argument("--n_epochs", type=int, default=1000)
     p.add_argument("--batch_size", type=int, default=24)
@@ -174,19 +186,43 @@ def main(argv=None):
         ]
         val_batches = train_batches[:1]
     else:
+        from ..data.collate import caps_from_datasets
         from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
 
-        score_cfg = ScoreModelConfig(latent_dim=2 if args.use_latents else 0)
-        enc_cfg = EncoderConfig() if args.use_latents else None
-        caps = None
+        score_cfg = ScoreModelConfig(
+            ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
+            dropout=args.dropout, esm_embedding_dim=args.esm_embedding_dim,
+            latent_dim=2 if args.use_latents else 0,
+            latent_droprate=0.1 if args.use_latents else 0.0,
+        )
+        enc_cfg = EncoderConfig(
+            ns=args.enc_ns, nv=args.enc_nv,
+            num_conv_layers=args.enc_num_conv_layers,
+            dropout=args.dropout, esm_embedding_dim=args.esm_embedding_dim,
+        ) if args.use_latents else None
         ds_train = PDBBind(PDBBindConfig(
             data_dir=args.data_dir, split_path=args.split_train,
+            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
+            num_workers=args.num_dataloader_workers,
             esm_embeddings_path=args.esm_embeddings_path,
         ))
         ds_val = PDBBind(PDBBindConfig(
             data_dir=args.data_dir, split_path=args.split_val,
+            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
+            num_workers=args.num_dataloader_workers,
             esm_embeddings_path=args.esm_embeddings_path,
         ))
+        # one exact-fit capacity profile over train+val: no edge slot can
+        # overflow, and the whole run compiles one train program
+        caps = caps_from_datasets([ds_train, ds_val])
+        print(f"HAPPENING | fitted caps: {caps}")
+        val_batches = list(bucketed_batches(
+            ds_val, args.batch_size, np.random.RandomState(0), buckets=(caps,),
+            esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
+            drop_remainder=False,
+        ))
+        n_keep = max(1, args.num_inference_complexes // args.batch_size)
+        val_batches = val_batches[:n_keep]
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, score_model=score_cfg,
@@ -199,7 +235,13 @@ def main(argv=None):
         "params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1),
         "droprate": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
     }
-    example = train_batches[0] if args.synthetic else None
+    if args.synthetic:
+        example = train_batches[0]
+    else:
+        example = next(iter(bucketed_batches(
+            ds_train, args.batch_size, np.random.RandomState(0), buckets=(caps,),
+            esm_dim=score_cfg.esm_embedding_dim, drop_remainder=False,
+        )))
     variables = jax.jit(lambda b: model.init(init_rngs, b, deterministic=False))(example)
 
     tx = optax.chain(
@@ -239,7 +281,9 @@ def main(argv=None):
         steps = args.steps if args.synthetic else None
         it = 0
         batches = train_batches if args.synthetic else bucketed_batches(
-            ds_train, args.batch_size, np.random.RandomState(epoch)
+            ds_train, args.batch_size, np.random.RandomState(epoch),
+            buckets=(caps,), esm_dim=score_cfg.esm_embedding_dim,
+            drop_remainder=len(ds_train) >= args.batch_size,
         )
         while True:
             for batch in batches:
@@ -267,7 +311,7 @@ def main(argv=None):
             metrics = inference_epoch(
                 model,
                 {"params": state.ema.shadow, "batch_stats": state.batch_stats},
-                val_batches if args.synthetic else [],
+                val_batches,
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
             )

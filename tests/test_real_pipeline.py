@@ -1,0 +1,137 @@
+"""End-to-end real-data pipeline on the committed fixture complexes.
+
+Exercises the exact command sequence a user runs on real PDBBind data
+(reference README.md:13-32), on the minichem-parseable fixtures under
+tests/fixtures/: score+encoder training -> two-phase confidence training ->
+two-phase AR training -> full evaluation with confidence reranking and AR
+latents.  Quality is NOT asserted (the models train for one tiny epoch);
+the contract -- featurization, caching, yml+checkpoint round-trips, phase-1
+pose caches, metric artifacts -- is.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+_FIX = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
+DATA = os.path.join(_FIX, "pdbbind")
+SPLITS = os.path.join(_FIX, "splits")
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("real_pipeline")
+    return {
+        "cache": str(root / "cache"),
+        "runs": str(root / "runs"),
+        "eval": str(root / "eval"),
+    }
+
+
+@pytest.fixture(scope="module")
+def score_run(dirs):
+    from disco_diffdock_tpu.train.train_score import main
+
+    main([
+        "--data_dir", DATA,
+        "--split_train", os.path.join(SPLITS, "fixture_train"),
+        "--split_val", os.path.join(SPLITS, "fixture_val"),
+        "--cache_path", dirs["cache"],
+        "--ns", "4", "--nv", "2", "--num_conv_layers", "2",
+        "--dropout", "0.0", "--esm_embedding_dim", "4",
+        "--enc_ns", "4", "--enc_nv", "2", "--enc_num_conv_layers", "2",
+        "--batch_size", "2", "--n_epochs", "1", "--val_inference_freq", "0",
+        "--run_name", "score", "--log_dir", dirs["runs"],
+    ])
+    return os.path.join(dirs["runs"], "score")
+
+
+class TestFixtureFeaturization:
+    def test_pdbbind_over_fixtures(self, dirs):
+        from disco_diffdock_tpu.data.pdbbind import PDBBind, PDBBindConfig
+
+        ds = PDBBind(PDBBindConfig(
+            data_dir=DATA, split_path=os.path.join(SPLITS, "fixture_train"),
+            cache_path=dirs["cache"],
+        ))
+        assert len(ds) == 2
+        rec = ds[0]
+        assert len(rec["tor_edges"]) >= 2
+        assert rec["lig_x"].shape[1] == 16
+        # centered at the protein centroid (pdbbind.py:341-352)
+        assert np.abs(rec["rec_pos"].mean(0)).max() < 1e-3
+
+
+class TestScoreTraining:
+    def test_run_dir_contract(self, score_run):
+        from disco_diffdock_tpu.train.loading import load_run_configs
+
+        assert os.path.exists(os.path.join(score_run, "model_parameters.yml"))
+        score_cfg, enc_cfg, caps = load_run_configs(score_run)
+        assert enc_cfg is not None  # DisCo wrapper run
+        assert caps is not None and caps.max_lig >= 13
+        assert os.path.exists(os.path.join(score_run, "ckpt_last"))
+
+
+class TestConfidenceTraining:
+    def test_two_phase_real_data(self, dirs, score_run):
+        from disco_diffdock_tpu.train.train_confidence import main
+
+        main([
+            "--original_model_dir", score_run,
+            "--data_dir", DATA,
+            "--split_train", os.path.join(SPLITS, "fixture_train"),
+            "--cache_path", dirs["cache"],
+            "--samples_per_complex", "2", "--inference_steps", "2",
+            "--epochs", "1", "--ns", "4", "--nv", "2", "--num_conv_layers", "2",
+            "--run_name", "conf", "--log_dir", dirs["runs"],
+        ])
+        run = os.path.join(dirs["runs"], "conf")
+        assert os.path.exists(os.path.join(run, "ckpt_best"))
+        # phase-1 pose caches are per complex name + cache id
+        cache = os.path.join(run, "pose_cache")
+        assert sorted(os.listdir(cache)) == ["fix1_cache0.npz", "fix2_cache0.npz"]
+        with np.load(os.path.join(cache, "fix1_cache0.npz")) as z:
+            assert z["pos"].shape[0] == 2 and z["rmsd"].shape == (2,)
+
+
+class TestARTraining:
+    def test_two_phase_real_data(self, dirs, score_run):
+        from disco_diffdock_tpu.train.train_ar import main
+
+        main([
+            "--original_model_dir", score_run,
+            "--data_dir", DATA,
+            "--split_train", os.path.join(SPLITS, "fixture_train"),
+            "--cache_path", dirs["cache"],
+            "--batch_size", "2", "--epochs", "2", "--warmup_epochs", "1",
+            "--run_name", "ar", "--log_dir", dirs["runs"],
+        ])
+        assert os.path.exists(os.path.join(dirs["runs"], "ar", "ckpt_best"))
+
+
+class TestEvaluateReal:
+    def test_full_eval_with_confidence_and_ar(self, dirs, score_run):
+        from disco_diffdock_tpu.eval.evaluate import main
+
+        metrics = main([
+            "--data_dir", DATA,
+            "--split_path", os.path.join(SPLITS, "fixture_test"),
+            "--cache_path", dirs["cache"],
+            "--model_dir", score_run,
+            "--confidence_model_dir", os.path.join(dirs["runs"], "conf"),
+            "--ar_model_dir", os.path.join(dirs["runs"], "ar"),
+            "--samples_per_complex", "2", "--inference_steps", "2",
+            "--out_dir", dirs["eval"],
+        ])
+        assert metrics["n_complexes"] == 1
+        assert np.isfinite(metrics["rmsds_below_2"])
+        bucket = os.path.join(dirs["eval"], "bucket0")
+        for artifact in ("rmsds.npy", "confidences.npy", "metrics.json",
+                         "centroid_distances.npy", "run_times.npy"):
+            assert os.path.exists(os.path.join(bucket, artifact)), artifact
+        with open(os.path.join(bucket, "metrics.json")) as f:
+            assert "filtered_rmsds_below_2" in json.load(f)
