@@ -81,6 +81,18 @@ def evaluate_complexes(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
+    # edge-capacity audit at the t=1 worst case: a wrong cap would truncate
+    # real edges silently, so surface the dropped-edge counts in the metrics
+    from ..graphs.audit import audit_worst_case
+
+    edge_overflow = audit_worst_case(
+        model, variables, complex_batches[0], key,
+        tr_sigma_max=sigma.tr_sigma_max, latent_fn=latent_fn,
+    )
+    if any(v > 0 for v in edge_overflow.values()):
+        print(f"| WARNING: edge capacity overflow {edge_overflow} -- "
+              "caps are truncating real edges")
+
     # one compiled program reused across complexes (shapes are bucketed)
     @jax.jit
     def _run(batch, key):
@@ -154,6 +166,7 @@ def evaluate_complexes(
     metrics["run_times_std"] = float(np.std(run_times))
     metrics["steric_clash_fraction"] = float(np.mean(clash)) if clash else None
     metrics["self_intersect_fraction"] = float(np.mean(self_int)) if self_int else None
+    metrics["edge_overflow"] = edge_overflow
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         np.save(os.path.join(out_dir, "rmsds.npy"), rmsds)

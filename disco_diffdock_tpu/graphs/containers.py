@@ -26,13 +26,18 @@ class ListEdges:
     src: jnp.ndarray  # (B, E) int32
     dst: jnp.ndarray  # (B, E) int32
     mask: jnp.ndarray  # (B, E) bool
+    # per-graph count of true edges dropped by capacity truncation; None for
+    # precomputed/static edge lists that cannot overflow (a wrong runtime cap
+    # changes results SILENTLY otherwise -- this makes it observable)
+    overflow: Any = None
 
     @property
     def capacity(self) -> int:
         return self.src.shape[-1]
 
     def flip(self) -> "ListEdges":
-        return ListEdges(src=self.dst, dst=self.src, mask=self.mask)
+        return ListEdges(src=self.dst, dst=self.src, mask=self.mask,
+                         overflow=self.overflow)
 
 
 @flax.struct.dataclass

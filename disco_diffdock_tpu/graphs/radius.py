@@ -65,7 +65,12 @@ def compact_edges(
     sel_mask = jnp.take_along_axis(flat_mask, idx, axis=1)
     src = idx // Nb
     dst = idx % Nb
-    return ListEdges(src=src.astype(jnp.int32), dst=dst.astype(jnp.int32), mask=sel_mask)
+    # dropped true edges per graph (a masked sum is free next to the top_k)
+    overflow = jnp.maximum(
+        jnp.sum(flat_mask, axis=1, dtype=jnp.int32) - capacity, 0
+    )
+    return ListEdges(src=src.astype(jnp.int32), dst=dst.astype(jnp.int32),
+                     mask=sel_mask, overflow=overflow)
 
 
 def radius_edges(

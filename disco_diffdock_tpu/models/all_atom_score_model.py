@@ -161,6 +161,7 @@ class AllAtomScoreModel(nn.Module):
             batch.lig_pos, batch.lig_mask, batch.lig_pos, batch.lig_mask,
             cfg.lig_max_radius, self.caps.lig_radius_cap, exclude_self=True,
         )
+        self.sow("intermediates", "overflow_lig_radius", redges.overflow)
         lig_edges = _concat_edges(batch.lig_bonds, redges)
         bond_feat = jnp.concatenate(
             [batch.lig_bond_attr, jnp.zeros((B, redges.capacity, cfg.in_lig_edge_features))], 1
@@ -194,6 +195,7 @@ class AllAtomScoreModel(nn.Module):
             batch.lig_pos, batch.lig_mask, batch.rec_pos, batch.rec_mask,
             cross_cutoff, self.caps.cross_cap,
         )
+        self.sow("intermediates", "overflow_cross", lr_edges.overflow)
         v = evec(batch.lig_pos, batch.rec_pos, lr_edges)
         d = jnp.linalg.norm(v + 1e-12, axis=-1)
         lr_eattr = self.lr_edge_embedding(
@@ -206,6 +208,7 @@ class AllAtomScoreModel(nn.Module):
             batch.lig_pos, batch.lig_mask, batch.atom_pos, batch.atom_mask,
             cfg.lig_max_radius, self.caps.la_cap,
         )
+        self.sow("intermediates", "overflow_lig_atom", la_edges.overflow)
         v = evec(batch.lig_pos, batch.atom_pos, la_edges)
         d = jnp.linalg.norm(v + 1e-12, axis=-1)
         la_eattr = self.la_edge_embedding(
@@ -333,6 +336,7 @@ class AllAtomScoreModel(nn.Module):
             bond_pos, batch.tor_mask, batch.lig_pos, batch.lig_mask,
             cfg.lig_max_radius, self.caps.tor_edge_cap,
         )
+        self.sow("intermediates", "overflow_tor_edges", tor_edges.overflow)
         vec_t = gather_nodes(batch.lig_pos, tor_edges.dst) - gather_nodes(bond_pos, tor_edges.src)
         dist_t = jnp.linalg.norm(vec_t + 1e-12, axis=-1)
         t_eattr = self.final_edge_embedding(self.lig_distance_expansion(dist_t), deterministic=deterministic)

@@ -239,6 +239,7 @@ class TPEncoder(nn.Module):
             pos_l, batch.lig_mask, pos_l, batch.lig_mask,
             cfg.lig_max_radius, self.caps.lig_radius_cap, exclude_self=True,
         )
+        self.sow("intermediates", "overflow_lig_radius", redges.overflow)
         lig_edges = _concat_edges(batch.lig_bonds, redges)
         bond_feat = jnp.concatenate(
             [batch.lig_bond_attr, jnp.zeros((B, redges.capacity, cfg.in_lig_edge_features))], 1
@@ -276,6 +277,7 @@ class TPEncoder(nn.Module):
             pos_l, batch.lig_mask, batch.rec_pos, batch.rec_mask,
             cfg.cross_max_distance, self.caps.cross_cap,
         )
+        self.sow("intermediates", "overflow_cross", cross_edges.overflow)
         vec_x = gather_nodes(batch.rec_pos, cross_edges.dst) - gather_nodes(pos_l, cross_edges.src)
         dist_x = jnp.linalg.norm(vec_x + 1e-12, axis=-1)
         cross_eattr = [self.cross_distance_expansion(dist_x)]

@@ -245,6 +245,7 @@ class TensorProductScoreModel(nn.Module):
             pos_l, batch.lig_mask, pos_l, batch.lig_mask,
             cfg.lig_max_radius, self.caps.lig_radius_cap, exclude_self=True,
         )
+        self.sow("intermediates", "overflow_lig_radius", redges.overflow)
         lig_edges = _concat_edges(batch.lig_bonds, redges)
         cdt = self.compute_dtype
         lig_oh = build_onehots(lig_edges, NL, NL, cdt)
@@ -301,6 +302,7 @@ class TensorProductScoreModel(nn.Module):
             pos_l, batch.lig_mask, batch.rec_pos, batch.rec_mask,
             cross_cutoff, self.caps.cross_cap,
         )
+        self.sow("intermediates", "overflow_cross", cross_edges.overflow)
         cross_oh = build_onehots(cross_edges, NL, NR, cdt)
         crossT_oh = build_onehots(cross_edges.flip(), NR, NL, cdt)
         vec_x = gather_pos(cross_oh[1], batch.rec_pos) - gather_pos(crossT_oh[1], pos_l)
@@ -489,6 +491,7 @@ class TensorProductScoreModel(nn.Module):
             bond_pos, batch.tor_mask, batch.lig_pos, batch.lig_mask,
             cfg.lig_max_radius, self.caps.tor_edge_cap,
         )
+        self.sow("intermediates", "overflow_tor_edges", tor_edges.overflow)
         vec_t = gather_nodes(batch.lig_pos, tor_edges.dst) - gather_nodes(bond_pos, tor_edges.src)
         dist_t = jnp.linalg.norm(vec_t + 1e-12, axis=-1)
         t_eattr = self.final_edge_embedding(

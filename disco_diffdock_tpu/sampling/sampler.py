@@ -14,9 +14,18 @@ Behavior parity notes:
   * temperature scaling uses the same 9 constants (psi / sampling temp /
     sigma_data per component), with sigma_data interpolated in log-space
   * in ODE mode the drift halves and noise drops (:142-144)
-  * CFG runs the unconditional forward on every step when enabled and masks
-    the guidance weight outside [cfg_end, cfg_start] (the reference skips the
-    forward entirely; same math, static shapes).
+  * the CFG window [cfg_end, cfg_start] is static (the t grid is known at
+    trace time), so the scan splits into segments and the unconditional
+    forward is only *compiled into* the in-window segments -- exactly the
+    reference's skip (utils/sampling.py:119-135), without dynamic shapes.
+
+Segmented scan: the sigma-dependent cross cutoff ``3*sigma+20`` shrinks
+monotonically along the trajectory, so early steps need a much larger cross
+-edge capacity than late ones.  ``reverse_diffusion`` accepts a list of
+``(n_steps, score_fn)`` segments -- each segment scans with its own compiled
+step (its own edge capacities) and the carry flows through.  This keeps every
+step exact (zero dropped edges, see graphs/audit.py) at a fraction of the
+worst-case-everywhere cost.
 """
 from __future__ import annotations
 
@@ -119,12 +128,15 @@ def reverse_diffusion(
     sigma: SigmaSchedule,
     t_schedule: Optional[np.ndarray] = None,
 ):
-    """Run the reverse SDE as a ``lax.scan``.
+    """Run the reverse SDE as (a chain of) ``lax.scan``s.
 
     ``score_fn(batch_with_time, unconditional) -> (tr, rot, tor)`` must be a
     pure traced function (typically a closure over model.apply + params +
-    latents).  Returns the final ComplexBatch (and the position trajectory
-    (steps, B, NL, 3) if ``cfg.return_trajectory``).
+    latents) -- or a list of ``(n_steps, score_fn)`` segments whose step
+    counts sum to ``cfg.inference_steps`` (each segment may close over a
+    model with different edge capacities).  Returns the final ComplexBatch
+    (and the position trajectory (steps, B, NL, 3) if
+    ``cfg.return_trajectory``).
     """
     steps = cfg.inference_steps
     if t_schedule is None:
@@ -136,6 +148,20 @@ def reverse_diffusion(
         noise_on[:] = 0.0
     if cfg.no_final_step_noise:
         noise_on[-1] = 0.0
+
+    if callable(score_fn):
+        fn_segments = [(steps, score_fn)]
+    else:
+        fn_segments = list(score_fn)
+        assert sum(n for n, _ in fn_segments) == steps, (
+            f"segment steps {[n for n, _ in fn_segments]} != {steps}"
+        )
+
+    # static CFG window: per-step bool on the (trace-time) t grid, matching
+    # the reference's `cfg_end <= t <= cfg_start` check (sampling.py:119-135)
+    cfg_on_steps = (
+        (cfg.cfg_weight != 0.0) & (t <= cfg.cfg_start) & (t >= cfg.cfg_end)
+    )
 
     tr_g_const = math.sqrt(2 * math.log(sigma.tr_sigma_max / sigma.tr_sigma_min))
     rot_g_const = math.sqrt(2 * math.log(sigma.rot_sigma_max / sigma.rot_sigma_min))
@@ -149,74 +175,99 @@ def reverse_diffusion(
     B = batch.num_graphs
     R = batch.tor_edges.shape[1]
 
-    def step(carry, xs):
-        pos, k = carry
-        t_cur, dt_cur, nz = xs
-        k, k_tr, k_rot, k_tor = jax.random.split(k, 4)
+    def make_step(seg_fn, use_cfg):
+        def step(carry, xs):
+            pos, k = carry
+            t_cur, dt_cur, nz = xs
+            k, k_tr, k_rot, k_tor = jax.random.split(k, 4)
 
-        b = batch.replace(lig_pos=pos).set_time(t_cur, t_cur, t_cur)
-        tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t_cur, t_cur, t_cur)
+            b = batch.replace(lig_pos=pos).set_time(t_cur, t_cur, t_cur)
+            tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t_cur, t_cur, t_cur)
 
-        tr_score, rot_score, tor_score = score_fn(b, unconditional=None)
+            tr_score, rot_score, tor_score = seg_fn(b, unconditional=None)
 
-        if cfg.cfg_weight != 0.0:
-            u_tr, u_rot, u_tor = score_fn(b, unconditional=jnp.ones((B, 1)))
-            in_range = (t_cur <= cfg.cfg_start) & (t_cur >= cfg.cfg_end)
-            w = jnp.where(in_range, cfg.cfg_weight, 0.0)
-            tr_score = tr_score + w * (tr_score - u_tr)
-            rot_score = rot_score + w * (rot_score - u_rot)
-            tor_score = tor_score + w * (tor_score - u_tor)
+            if use_cfg:
+                # unconditional forward only compiled into in-window segments
+                u_tr, u_rot, u_tor = seg_fn(b, unconditional=jnp.ones((B, 1)))
+                w = cfg.cfg_weight
+                tr_score = tr_score + w * (tr_score - u_tr)
+                rot_score = rot_score + w * (rot_score - u_rot)
+                tor_score = tor_score + w * (tor_score - u_tor)
 
-        tr_g = tr_sigma * tr_g_const
-        rot_g = rot_sigma * rot_g_const
-        tor_g = tor_sigma * tor_g_const
+            tr_g = tr_sigma * tr_g_const
+            rot_g = rot_sigma * rot_g_const
+            tor_g = tor_sigma * tor_g_const
 
-        tr_z = nz * jax.random.normal(k_tr, (B, 3))
-        rot_z = nz * jax.random.normal(k_rot, (B, 3))
-        tor_z = nz * jax.random.normal(k_tor, (B, R))
+            tr_z = nz * jax.random.normal(k_tr, (B, 3))
+            rot_z = nz * jax.random.normal(k_rot, (B, 3))
+            tor_z = nz * jax.random.normal(k_tor, (B, R))
 
-        if cfg.ode:
-            tr_perturb = 0.5 * tr_g**2 * dt_cur * tr_score
-            rot_perturb = 0.5 * rot_g**2 * dt_cur * rot_score
-            tor_perturb = 0.5 * tor_g**2 * dt_cur * tor_score
-        else:
-            tr_perturb = tr_g**2 * dt_cur * tr_score + tr_g * jnp.sqrt(dt_cur) * tr_z
-            rot_perturb = rot_g**2 * dt_cur * rot_score + rot_g * jnp.sqrt(dt_cur) * rot_z
-            tor_perturb = tor_g**2 * dt_cur * tor_score + tor_g * jnp.sqrt(dt_cur) * tor_z
+            if cfg.ode:
+                tr_perturb = 0.5 * tr_g**2 * dt_cur * tr_score
+                rot_perturb = 0.5 * rot_g**2 * dt_cur * rot_score
+                tor_perturb = 0.5 * tor_g**2 * dt_cur * tor_score
+            else:
+                tr_perturb = tr_g**2 * dt_cur * tr_score + tr_g * jnp.sqrt(dt_cur) * tr_z
+                rot_perturb = rot_g**2 * dt_cur * rot_score + rot_g * jnp.sqrt(dt_cur) * rot_z
+                tor_perturb = tor_g**2 * dt_cur * tor_score + tor_g * jnp.sqrt(dt_cur) * tor_z
 
-        # DisCo-Diff low-temperature sampling (utils/sampling.py:179-192)
-        ts, psi, tsd = cfg.temp_sampling, cfg.temp_psi, cfg.temp_sigma_data
-        if ts[0] != 1.0:
-            sd = _sigma_data(tsd[0], sigma.tr_sigma_min, sigma.tr_sigma_max)
-            lam = (sd + tr_sigma) / (sd + tr_sigma / ts[0])
-            tr_perturb = tr_g**2 * dt_cur * (lam + ts[0] * psi[0] / 2) * tr_score \
-                + tr_g * jnp.sqrt(dt_cur * (1 + psi[0])) * tr_z
-        if ts[1] != 1.0:
-            sd = _sigma_data(tsd[1], sigma.rot_sigma_min, sigma.rot_sigma_max)
-            lam = (sd + rot_sigma) / (sd + rot_sigma / ts[1])
-            rot_perturb = rot_g**2 * dt_cur * (lam + ts[1] * psi[1] / 2) * rot_score \
-                + rot_g * jnp.sqrt(dt_cur * (1 + psi[1])) * rot_z
-        if ts[2] != 1.0:
-            sd = _sigma_data(tsd[2], sigma.tor_sigma_min, sigma.tor_sigma_max)
-            lam = (sd + tor_sigma) / (sd + tor_sigma / ts[2])
-            tor_perturb = tor_g**2 * dt_cur * (lam + ts[2] * psi[2] / 2) * tor_score \
-                + tor_g * jnp.sqrt(dt_cur * (1 + psi[2])) * tor_z
+            # DisCo-Diff low-temperature sampling (utils/sampling.py:179-192)
+            ts, psi, tsd = cfg.temp_sampling, cfg.temp_psi, cfg.temp_sigma_data
+            if ts[0] != 1.0:
+                sd = _sigma_data(tsd[0], sigma.tr_sigma_min, sigma.tr_sigma_max)
+                lam = (sd + tr_sigma) / (sd + tr_sigma / ts[0])
+                tr_perturb = tr_g**2 * dt_cur * (lam + ts[0] * psi[0] / 2) * tr_score \
+                    + tr_g * jnp.sqrt(dt_cur * (1 + psi[0])) * tr_z
+            if ts[1] != 1.0:
+                sd = _sigma_data(tsd[1], sigma.rot_sigma_min, sigma.rot_sigma_max)
+                lam = (sd + rot_sigma) / (sd + rot_sigma / ts[1])
+                rot_perturb = rot_g**2 * dt_cur * (lam + ts[1] * psi[1] / 2) * rot_score \
+                    + rot_g * jnp.sqrt(dt_cur * (1 + psi[1])) * rot_z
+            if ts[2] != 1.0:
+                sd = _sigma_data(tsd[2], sigma.tor_sigma_min, sigma.tor_sigma_max)
+                lam = (sd + tor_sigma) / (sd + tor_sigma / ts[2])
+                tor_perturb = tor_g**2 * dt_cur * (lam + ts[2] * psi[2] / 2) * tor_score \
+                    + tor_g * jnp.sqrt(dt_cur * (1 + psi[2])) * tor_z
 
-        new_pos = modify_conformer(
-            pos,
-            batch.lig_mask,
-            tr_perturb,
-            rot_perturb,
-            None if cfg.no_torsion else tor_perturb,
-            batch.tor_edges,
-            batch.tor_mask_rotate,
-            batch.tor_mask,
-        )
-        out = new_pos if cfg.return_trajectory else None
-        return (new_pos, k), out
+            new_pos = modify_conformer(
+                pos,
+                batch.lig_mask,
+                tr_perturb,
+                rot_perturb,
+                None if cfg.no_torsion else tor_perturb,
+                batch.tor_edges,
+                batch.tor_mask_rotate,
+                batch.tor_mask,
+            )
+            out = new_pos if cfg.return_trajectory else None
+            return (new_pos, k), out
 
-    xs = (jnp.asarray(t), jnp.asarray(dt), jnp.asarray(noise_on))
-    (final_pos, _), traj = jax.lax.scan(step, (batch.lig_pos, key), xs)
+        return step
+
+    # split into (n, fn, use_cfg) runs: segment boundaries from the fn
+    # schedule, further split where the static CFG window opens/closes
+    runs = []
+    ofs = 0
+    for n, fn in fn_segments:
+        i = ofs
+        while i < ofs + n:
+            on = bool(cfg_on_steps[i])
+            j = i
+            while j < ofs + n and bool(cfg_on_steps[j]) == on:
+                j += 1
+            runs.append((i, j, fn, on))
+            i = j
+        ofs += n
+
+    carry = (batch.lig_pos, key)
+    trajs = []
+    for (i, j, fn, on) in runs:
+        xs = (jnp.asarray(t[i:j]), jnp.asarray(dt[i:j]), jnp.asarray(noise_on[i:j]))
+        carry, traj = jax.lax.scan(make_step(fn, on), carry, xs)
+        if cfg.return_trajectory:
+            trajs.append(traj)
+    final_pos, _ = carry
+    traj = jnp.concatenate(trajs, axis=0) if cfg.return_trajectory else None
     final = batch.replace(lig_pos=final_pos)
     return (final, traj) if cfg.return_trajectory else (final, None)
 
@@ -238,19 +289,28 @@ def sampling(
 
     Functional counterpart of utils/sampling.py:49-249.  ``latent`` is either
     None or the (lat_l, lat_r) node one-hots from the encoder / AR prior.
+    ``model`` is one model, or a list of ``(n_steps, model)`` segments (same
+    variables, different edge capacities -- see reverse_diffusion).
     Returns (final_batch, confidence, trajectory).
     """
 
-    def score_fn(b, unconditional):
-        lat = latent
-        if unconditional is not None and lat is not None:
-            lat = jax.tree.map(lambda x: 0.0 * x, lat)
-        if unconditional is None:
-            unconditional = jnp.zeros((b.num_graphs, 1))
-        return model.apply(
-            variables, b, latent=lat, unconditional=unconditional,
-            deterministic=True, use_running_average=True,
-        )
+    def make_score_fn(mdl):
+        def score_fn(b, unconditional):
+            lat = latent
+            if unconditional is not None and lat is not None:
+                lat = jax.tree.map(lambda x: 0.0 * x, lat)
+            if unconditional is None:
+                unconditional = jnp.zeros((b.num_graphs, 1))
+            return mdl.apply(
+                variables, b, latent=lat, unconditional=unconditional,
+                deterministic=True, use_running_average=True,
+            )
+        return score_fn
+
+    if isinstance(model, (list, tuple)):
+        score_fn = [(n, make_score_fn(m)) for n, m in model]
+    else:
+        score_fn = make_score_fn(model)
 
     final, traj = reverse_diffusion(score_fn, batch, key, cfg, sigma, t_schedule)
 

@@ -87,13 +87,18 @@ def build_score_runtime(
 
         class _ScoreView:
             @staticmethod
-            def apply(v, b, latent=None, unconditional=None, **kw):
+            def apply(v, b, latent=None, unconditional=None,
+                      deterministic=True, use_running_average=True, **kw):
+                # extra kwargs (e.g. mutable=["intermediates"] for the edge
+                # -capacity audit) forward to flax apply
                 return model.apply(
                     v, b,
                     method=lambda m, bb: m.score_model(
                         bb, latent=latent, unconditional=unconditional,
-                        deterministic=True, use_running_average=True,
+                        deterministic=deterministic,
+                        use_running_average=use_running_average,
                     ),
+                    **kw,
                 )
 
         return _ScoreView, variables, latent_fn, score_cfg, enc_cfg

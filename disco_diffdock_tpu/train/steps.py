@@ -29,13 +29,14 @@ class TrainState:
     step: jnp.ndarray
 
     @classmethod
-    def create(cls, variables, tx: optax.GradientTransformation, ema_decay=0.999):
+    def create(cls, variables, tx: optax.GradientTransformation, ema_decay=0.999,
+               ema_scope: Optional[str] = None):
         params = variables["params"]
         return cls(
             params=params,
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(params),
-            ema=EMAState.create(params, ema_decay),
+            ema=EMAState.create(params, ema_decay, scope=ema_scope),
             step=jnp.zeros((), jnp.int32),
         )
 

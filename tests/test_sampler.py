@@ -133,3 +133,86 @@ def test_confidence_reranking_path():
     )(batch, jax.random.PRNGKey(6))
     assert conf.shape == (2,)
     assert np.all(np.isfinite(np.asarray(conf)))
+
+
+def test_segmented_scan_matches_single_scan():
+    """A (n1, model) + (n2, model) segment schedule must be bit-identical to
+    the single-scan path: the rng key and positions flow through the carry."""
+    cfg = small_cfg()
+    caps = small_caps()
+    model = TensorProductScoreModel(cfg=cfg, caps=caps)
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    scfg = SamplerConfig(inference_steps=8, no_final_step_noise=True)
+    sigma = SigmaSchedule()
+    rb = randomize_position(jax.random.PRNGKey(1), batch, False, False, sigma.tr_sigma_max)
+
+    @jax.jit
+    def run_single(b, key):
+        return sampling(model, variables, b, key, scfg, sigma)[0].lig_pos
+
+    @jax.jit
+    def run_segmented(b, key):
+        return sampling(
+            [(3, model), (5, model)], variables, b, key, scfg, sigma
+        )[0].lig_pos
+
+    a = np.asarray(run_single(rb, jax.random.PRNGKey(2)))
+    b = np.asarray(run_segmented(rb, jax.random.PRNGKey(2)))
+    # same math, same rng stream; tolerance only for XLA fusion-order
+    # rounding differences between the two compiled programs
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_segmented_caps_change_only_capacity():
+    """Segments may close over models with different edge capacities; with
+    capacities large enough to hold every true edge the result is unchanged."""
+    cfg = small_cfg()
+    caps = small_caps()
+    big = caps.scaled(cross_cap=caps.max_lig * caps.max_rec,
+                      lig_radius_cap=caps.max_lig * caps.max_lig)
+    model = TensorProductScoreModel(cfg=cfg, caps=caps)
+    model_big = TensorProductScoreModel(cfg=cfg, caps=big)
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    scfg = SamplerConfig(inference_steps=6, no_final_step_noise=True)
+    sigma = SigmaSchedule()
+    rb = randomize_position(jax.random.PRNGKey(1), batch, False, False, sigma.tr_sigma_max)
+
+    @jax.jit
+    def run(b, key):
+        return sampling(
+            [(2, model_big), (4, model)], variables, b, key, scfg, sigma
+        )[0].lig_pos
+
+    pos = np.asarray(run(rb, jax.random.PRNGKey(2)))
+    assert np.all(np.isfinite(pos))
+
+
+def test_cfg_window_skip():
+    """Outside [cfg_end, cfg_start] no unconditional forward runs; a window
+    covering zero steps must equal cfg_weight=0 exactly."""
+    cfg = small_cfg()
+    model = TensorProductScoreModel(cfg=cfg, caps=small_caps())
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    sigma = SigmaSchedule()
+    rb = randomize_position(jax.random.PRNGKey(1), batch, False, False, sigma.tr_sigma_max)
+
+    no_cfg = SamplerConfig(inference_steps=4, cfg_weight=0.0)
+    empty_window = SamplerConfig(inference_steps=4, cfg_weight=0.7,
+                                 cfg_start=0.012, cfg_end=0.011)
+    mid_window = SamplerConfig(inference_steps=4, cfg_weight=0.7,
+                               cfg_start=0.8, cfg_end=0.4)
+
+    def run(scfg, b, key):
+        return np.asarray(jax.jit(
+            lambda bb, k: sampling(model, variables, bb, k, scfg, sigma)[0].lig_pos
+        )(b, key))
+
+    a = run(no_cfg, rb, jax.random.PRNGKey(2))
+    b = run(empty_window, rb, jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(a, b)
+    # an in-window CFG run must actually differ
+    c = run(mid_window, rb, jax.random.PRNGKey(2))
+    assert np.abs(a - c).max() > 1e-6
