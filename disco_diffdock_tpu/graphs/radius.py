@@ -58,6 +58,19 @@ def compact_edges(
     """
     B, Na, Nb = mask.shape
     flat_mask = mask.reshape(B, Na * Nb)
+    if capacity >= Na * Nb:
+        # capacity holds every pair: the compaction is an identity, so skip
+        # the top_k sort entirely (profiled at ~5 ms/forward at bench shapes)
+        pair = jnp.arange(Na * Nb, dtype=jnp.int32)
+        src = jnp.broadcast_to(pair // Nb, (B, Na * Nb))
+        dst = jnp.broadcast_to(pair % Nb, (B, Na * Nb))
+        if capacity > Na * Nb:
+            padn = capacity - Na * Nb
+            src = jnp.pad(src, ((0, 0), (0, padn)))
+            dst = jnp.pad(dst, ((0, 0), (0, padn)))
+            flat_mask = jnp.pad(flat_mask, ((0, 0), (0, padn)))
+        return ListEdges(src=src, dst=dst, mask=flat_mask,
+                         overflow=jnp.zeros((B,), jnp.int32))
     flat_dist = dist.reshape(B, Na * Nb)
     # invalid pairs get +inf so they sort last; score = -dist for top_k
     score = jnp.where(flat_mask, -flat_dist, -jnp.inf)

@@ -30,6 +30,14 @@ from .irreps import Irreps
 from .tensor_product import WeightedTensorProduct
 
 
+# per-edge TP weight layout used by all conv layers (see tensor_product.py
+# __call__ docstring).  Measured on v5e at bench shapes: "fo" 49.2 ms,
+# "of" 49.5 ms, "of_t" 50.8 ms per forward -- XLA's layout assignment
+# normalizes the logical index order away, so the reference "fo" layout
+# stays the default (it also matches the Pallas kernel's expectation).
+_DEFAULT_W_LAYOUT = "fo"
+
+
 def build_onehots(edges: ListEdges, n_src: int, n_dst: int, dtype=jnp.bfloat16):
     """(oh_src (B,E,Ns) masked, oh_dst (B,E,Nd)) for matmul gather/scatter."""
     m = edges.mask
@@ -125,6 +133,12 @@ class TPConvLayer(nn.Module):
         tp = WeightedTensorProduct(self.in_irreps, self.sh_irreps, self.out_irreps)
         hidden = self.hidden_features or self.n_edge_features
         cdt = self.compute_dtype
+        # out-major weight layout lets the fan-contraction consume the w2
+        # matmul output in its produced layout (saves a full HBM layout copy
+        # of every per-edge weight block, ~10 ms/forward at bench shapes).
+        # The Pallas kernel bakes in the reference "fo" layout, so a config
+        # must keep use_pallas fixed between training and serving.
+        w_layout = "fo" if self.use_pallas else _DEFAULT_W_LAYOUT
         # edge-weight MLP params declared inline (not via FCBlock) so the
         # Pallas fused kernel can consume the same parameter tree
         assert self.tp_weights_layers == 2
@@ -206,7 +220,7 @@ class TPConvLayer(nn.Module):
                 s_dst = x[..., :ns]
                 eattr = jnp.concatenate([eattr, s_src, s_dst], -1)
             w = run_mlp(blk.group, eattr, deterministic)
-            msg = tp(x, blk.edge_sh.astype(cdt), w)
+            msg = tp(x, blk.edge_sh.astype(cdt), w, w_layout=w_layout)
             sums[blk.src_type] = sums[blk.src_type] + scatter_mm(oh_src, msg)
             ones = jnp.ones(msg.shape[:2] + (1,), cdt)
             ns_count[blk.src_type] = ns_count[blk.src_type] + scatter_mm(oh_src, ones)

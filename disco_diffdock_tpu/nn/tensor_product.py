@@ -70,7 +70,7 @@ class WeightedTensorProduct:
         ]
         self.weight_numel = sum(self.weight_splits)
 
-    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, weight) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, sh: jnp.ndarray, weight, w_layout: str = "fo") -> jnp.ndarray:
         """Apply the TP.
 
         Args:
@@ -79,6 +79,14 @@ class WeightedTensorProduct:
           weight: (..., weight_numel) per-edge weights, or a tuple of per-key
             blocks matching ``weight_splits`` (avoids a slice pass over the
             big weight tensor on the hot path).
+          w_layout: flattening order of each per-block weight matrix --
+            "fo" = (fan, out_mul) row-major (the reference FasterTensorProduct
+            layout, tensor_layers.py:88-92), "of" = (out_mul, fan).  "of" lets
+            the fan-contraction read the per-edge weights in the layout the
+            producing matmul emits, which removes a full HBM layout-copy of
+            every weight block on TPU (profiled ~10 ms/forward at bench
+            shapes).  Same math either way -- only the parameter column order
+            differs, so a model must be trained and served with one layout.
         Returns:
           (..., out_dim).
         """
@@ -91,6 +99,7 @@ class WeightedTensorProduct:
         ]
         sh_blocks = [sh[..., sl] for sl in sh_slices]
 
+        basis_t = w_layout == "of_t"
         outs = []
         w_ofs = 0
         for k, out_mi in enumerate(self.out_irreps):
@@ -114,26 +123,46 @@ class WeightedTensorProduct:
                 T = jnp.sum(
                     sh_blocks[path.sh_block][..., None, :, None] * C[None, ...], axis=-2
                 )
-                # b: (..., mul, d3) = sum_i x[..., m, i] T[..., i, k]
-                b = jnp.sum(
-                    x_blocks[path.in_block][..., :, :, None] * T[..., None, :, :], axis=-2
-                )
+                if basis_t:
+                    # b_t: (..., d3, mul) = sum_i T[..., i, k] x[..., m, i]
+                    b = jnp.sum(
+                        jnp.swapaxes(T, -1, -2)[..., :, None, :]
+                        * x_blocks[path.in_block][..., None, :, :],
+                        axis=-1,
+                    )
+                else:
+                    # b: (..., mul, d3) = sum_i x[..., m, i] T[..., i, k]
+                    b = jnp.sum(
+                        x_blocks[path.in_block][..., :, :, None] * T[..., None, :, :], axis=-2
+                    )
                 basis.append(b)
-            basis = jnp.concatenate(basis, axis=-2)  # (..., fan, d3)
+            # (..., fan, d3), or (..., d3, fan) in the transposed variant
+            basis = jnp.concatenate(basis, axis=-1 if basis_t else -2)
             n = fan * out_mi.mul
             # divide by a python float: numpy f64 scalars would silently
             # promote bf16 weights to f32 (2x bandwidth on the hot path)
             wk = w_blocks[k] if w_blocks is not None else weight[..., w_ofs : w_ofs + n]
-            W = wk.reshape(wk.shape[:-1] + (fan, out_mi.mul)) / float(np.sqrt(fan))
             w_ofs += n
             # contraction over fan as explicit multiply+reduce: XLA lowers the
             # einsum form to a batched tiny convolution on TPU (~60 GB/s);
             # the broadcast product + sum fuses into a single bandwidth-bound
             # loop fusion instead (~700 GB/s).
-            d3 = out_mi.ir.dim
-            out = jnp.sum(
-                basis[..., :, None, :] * W[..., :, :, None], axis=-3
-            )  # (..., fan, 1, d3) * (..., fan, o, 1) -> (..., o, d3)
+            if w_layout == "of_t":
+                # both operands read f-minor in their produced layouts
+                W = wk.reshape(wk.shape[:-1] + (out_mi.mul, fan)) / float(np.sqrt(fan))
+                out = jnp.sum(
+                    basis[..., None, :, :] * W[..., :, None, :], axis=-1
+                )  # (..., 1, d3, fan) * (..., o, 1, fan) -> (..., o, d3)
+            elif w_layout == "of":
+                W = wk.reshape(wk.shape[:-1] + (out_mi.mul, fan)) / float(np.sqrt(fan))
+                out = jnp.sum(
+                    basis[..., None, :, :] * W[..., :, :, None], axis=-2
+                )  # (..., 1, fan, d3) * (..., o, fan, 1) -> (..., o, d3)
+            else:
+                W = wk.reshape(wk.shape[:-1] + (fan, out_mi.mul)) / float(np.sqrt(fan))
+                out = jnp.sum(
+                    basis[..., :, None, :] * W[..., :, :, None], axis=-3
+                )  # (..., fan, 1, d3) * (..., fan, o, 1) -> (..., o, d3)
             outs.append(out.reshape(out.shape[:-2] + (out_mi.dim,)))
         return jnp.concatenate(outs, axis=-1)
 
