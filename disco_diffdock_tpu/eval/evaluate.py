@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--ar_model_dir", default=None)
     p.add_argument("--ckpt", default="best_ema_inference")
     p.add_argument("--samples_per_complex", type=int, default=8)
+    p.add_argument("--eval_batch_size", type=int, default=40,
+                   help="total graphs per compiled program; complexes pack "
+                        "together when samples_per_complex is smaller")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--out_dir", default="results/eval")
     p.add_argument("--no_final_step_noise", action="store_true", default=True)
@@ -69,10 +72,16 @@ def evaluate_complexes(
     lig_meta=None,
     out_dir=None,
     save_visualisation=False,
+    batch_packs=None,
 ):
     """Run inference on a list of pose-replicated batches; return metrics.
 
-    ``complex_batches``: one ComplexBatch of N pose copies per complex.
+    ``complex_batches``: one ComplexBatch per program.  By default each batch
+    is N pose copies of ONE complex (the reference's per-complex host loop,
+    evaluate.py:221); with ``batch_packs`` several same-bucket complexes pack
+    into one program -- ``batch_packs[i]`` is a list of ``(offset, n_poses,
+    meta_index)`` rows describing batch i, which lifts small-complex
+    throughput (one compile + one launch amortized over the pack).
     ``lig_meta``: optional per-complex dicts {elements, bonds} for symmetry
     RMSD (plain RMSD without).
     """
@@ -105,7 +114,14 @@ def evaluate_complexes(
             confidence_variables=confidence_variables,
         )
 
-    for ci, batch in enumerate(complex_batches):
+    if batch_packs is None:
+        # default: one complex per batch, all rows are its poses
+        batch_packs = [
+            [(0, b.num_graphs, bi)] for bi, b in enumerate(complex_batches)
+        ]
+
+    for bi, batch in enumerate(complex_batches):
+        pack = batch_packs[bi]
         key, k = jax.random.split(key)
         t0 = time.time()
         try:
@@ -113,50 +129,54 @@ def evaluate_complexes(
             jax.block_until_ready(final.lig_pos)
         except Exception as e:
             # failure sentinel parity (evaluate.py:400-408)
-            print(f"| WARNING: complex {ci} failed ({type(e).__name__}: {e}); "
+            print(f"| WARNING: batch {bi} failed ({type(e).__name__}: {e}); "
                   "recording rmsd=10000, confidence=-10000")
-            n = batch.num_graphs
-            all_rmsds.append([10000.0] * n)
-            all_cent.append([10000.0] * n)
-            all_conf.append(np.full(n, -10000.0))
-            run_times.append(time.time() - t0)
+            for (ofs, n, ci) in pack:
+                all_rmsds.append([10000.0] * n)
+                all_cent.append([10000.0] * n)
+                all_conf.append(np.full(n, -10000.0))
+                run_times.append((time.time() - t0) / len(pack))
             continue
-        run_times.append(time.time() - t0)
+        per_complex_time = (time.time() - t0) / len(pack)
 
-        pos = np.asarray(final.lig_pos)
-        mask = np.asarray(batch.lig_mask[0])
-        true = np.asarray(batch.extras["orig_pos"][0])[mask]
-        meta = lig_meta[ci] if lig_meta is not None else None
-        rmsds, cents = [], []
-        for p in pos:
-            pv = p[mask]
-            if meta is not None:
-                r = symmetry_rmsd(pv, true, meta["elements"], meta["bonds"])
-            else:
-                r = float(np.sqrt(((pv - true) ** 2).sum(-1).mean()))
-            rmsds.append(r)
-            cents.append(float(np.linalg.norm(pv.mean(0) - true.mean(0))))
-        all_rmsds.append(rmsds)
-        all_cent.append(cents)
-        all_conf.append(
-            np.asarray(conf) if conf is not None else np.zeros(len(pos))
-        )
-        rec_atoms = np.asarray(batch.rec_pos[0])[np.asarray(batch.rec_mask[0])]
-        clash.append(
-            float(np.mean([min_cross_distance(p[mask], rec_atoms) < 0.4 for p in pos]))
-        )
-        if meta is not None:
-            self_int.append(
-                float(np.mean([min_self_distance(p[mask], meta["bonds"]) < 0.4 for p in pos]))
+        pos_all = np.asarray(final.lig_pos)
+        conf_all = np.asarray(conf) if conf is not None else None
+        for (ofs, n, ci) in pack:
+            run_times.append(per_complex_time)
+            pos = pos_all[ofs : ofs + n]
+            mask = np.asarray(batch.lig_mask[ofs])
+            true = np.asarray(batch.extras["orig_pos"][ofs])[mask]
+            meta = lig_meta[ci] if lig_meta is not None else None
+            rmsds, cents = [], []
+            for p in pos:
+                pv = p[mask]
+                if meta is not None:
+                    r = symmetry_rmsd(pv, true, meta["elements"], meta["bonds"])
+                else:
+                    r = float(np.sqrt(((pv - true) ** 2).sum(-1).mean()))
+                rmsds.append(r)
+                cents.append(float(np.linalg.norm(pv.mean(0) - true.mean(0))))
+            all_rmsds.append(rmsds)
+            all_cent.append(cents)
+            all_conf.append(
+                conf_all[ofs : ofs + n] if conf_all is not None else np.zeros(n)
             )
-        if save_visualisation and traj is not None and out_dir:
-            from .visualise import PDBTrajectory
+            rec_atoms = np.asarray(batch.rec_pos[ofs])[np.asarray(batch.rec_mask[ofs])]
+            clash.append(
+                float(np.mean([min_cross_distance(p[mask], rec_atoms) < 0.4 for p in pos]))
+            )
+            if meta is not None:
+                self_int.append(
+                    float(np.mean([min_self_distance(p[mask], meta["bonds"]) < 0.4 for p in pos]))
+                )
+            if save_visualisation and traj is not None and out_dir:
+                from .visualise import PDBTrajectory
 
-            els = meta["elements"] if meta else ["C"] * int(mask.sum())
-            viz = PDBTrajectory(els)
-            for frame in np.asarray(traj)[:, 0]:
-                viz.add(frame[mask])
-            viz.write(os.path.join(out_dir, f"complex{ci}_traj.pdb"))
+                els = meta["elements"] if meta else ["C"] * int(mask.sum())
+                viz = PDBTrajectory(els)
+                for frame in np.asarray(traj)[:, ofs]:
+                    viz.add(frame[mask])
+                viz.write(os.path.join(out_dir, f"complex{ci}_traj.pdb"))
 
     rmsds = np.asarray(all_rmsds)
     confs = np.asarray(all_conf)
@@ -224,15 +244,23 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     all_metrics = []
     for bi, idxs in sorted(per_bucket.items()):
         caps = buckets[bi]
-        batches, metas = [], []
-        for i in idxs:
-            rec = ds[i]
-            batches.append(collate(
-                replicate_record(rec, args.samples_per_complex), caps,
-                esm_dim=score_cfg.esm_embedding_dim,
-            ))
-            elements = rec["lig_x"][:, 0] + 1  # atomic-number code -> Z
-            metas.append({"elements": elements, "bonds": rec["bonds"][::2]})
+        # pack several same-bucket complexes x poses into one program
+        # (lifts small-complex throughput vs the reference's one-complex
+        # host loop, evaluate.py:221)
+        S = args.samples_per_complex
+        pack_n = max(1, args.eval_batch_size // S)
+        batches, packs, metas = [], [], []
+        for g0 in range(0, len(idxs), pack_n):
+            group = idxs[g0 : g0 + pack_n]
+            recs, pack = [], []
+            for j, i in enumerate(group):
+                rec = ds[i]
+                recs.extend(replicate_record(rec, S))
+                elements = rec["lig_x"][:, 0] + 1  # atomic-number code -> Z
+                metas.append({"elements": elements, "bonds": rec["bonds"][::2]})
+                pack.append((j * S, S, len(metas) - 1))
+            batches.append(collate(recs, caps, esm_dim=score_cfg.esm_embedding_dim))
+            packs.append(pack)
 
         score_model_view, variables, latent_fn, _, _ = build_score_runtime(
             args.model_dir, caps, tag=args.ckpt,
@@ -268,6 +296,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             confidence_model=conf_model, confidence_variables=conf_vars,
             lig_meta=metas, out_dir=os.path.join(args.out_dir, f"bucket{bi}"),
             save_visualisation=args.save_visualisation,
+            batch_packs=packs,
         )
         m["n_complexes"] = len(idxs)
         all_metrics.append(m)
