@@ -81,6 +81,49 @@ def combine_embeddings(embedding_dir: str, out_path: str) -> None:
     np.savez_compressed(out_path, **out)
 
 
+def generate_structure(
+    sequence: str,
+    out_path: str,
+    model=None,
+    chunk_size: int = 256,
+) -> bool:
+    """Fold a protein sequence to a PDB file with ESMFold.
+
+    Parity with ``generate_ESM_structure`` (utils/inference_utils.py:122-150):
+    retries with a halved axial-attention chunk size on out-of-memory errors
+    until chunk_size <= 2, then gives up.  Returns True iff a structure was
+    written.  ``model`` may be injected (anything with ``set_chunk_size`` and
+    ``infer_pdb``); by default the hook loads ``esmfold_v1`` and is gated on
+    fair-esm being installed.
+    """
+    if model is None:
+        try:
+            import esm as fair_esm
+        except ImportError as e:
+            raise RuntimeError(
+                "ESMFold structure generation needs fair-esm; provide a "
+                "protein PDB file instead, or install fair-esm"
+            ) from e
+        model = fair_esm.pretrained.esmfold_v1().eval()
+    model.set_chunk_size(chunk_size)
+    while True:
+        try:
+            pdb_text = model.infer_pdb(sequence)
+        except RuntimeError as e:
+            if "out of memory" not in str(e):
+                raise
+            chunk_size //= 2
+            if chunk_size <= 2:
+                print("| WARNING: not enough memory for ESMFold")
+                return False
+            print(f"| WARNING: ESMFold OOM, retrying with chunk_size={chunk_size}")
+            model.set_chunk_size(chunk_size)
+            continue
+        with open(out_path, "w") as f:
+            f.write(pdb_text)
+        return True
+
+
 def compute_esm_embeddings(pdb_paths: Iterable[str], out_path: str, device: str = "cpu") -> None:
     """Online path: esm2_t33_650M over receptor chains (needs fair-esm)."""
     try:

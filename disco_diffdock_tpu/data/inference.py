@@ -16,7 +16,7 @@ from . import featurize
 
 
 def record_from_paths(
-    protein_path: str,
+    protein_path: Optional[str],
     ligand_description: str,
     esm: Optional[np.ndarray] = None,
     name: str = "complex",
@@ -26,10 +26,28 @@ def record_from_paths(
     all_atoms: bool = False,
     remove_hs: bool = True,
     seed: int = 0,
+    protein_sequence: Optional[str] = None,
+    out_dir: Optional[str] = None,
+    esmfold_model=None,
 ) -> Optional[dict]:
     """Build an inference record.  ``ligand_description`` is a file path or a
-    SMILES string (RDKit only)."""
+    SMILES string (RDKit only).  When ``protein_path`` is None a structure is
+    folded from ``protein_sequence`` with ESMFold into
+    ``<out_dir>/<name>/<name>_esmfold.pdb`` (parity with
+    utils/inference_utils.py:199-210), reusing an existing file if present."""
     import os
+
+    if protein_path is None:
+        if protein_sequence is None:
+            raise ValueError("need protein_path or protein_sequence")
+        from .esm import generate_structure
+
+        out_dir = out_dir or "."
+        protein_path = os.path.join(out_dir, name, f"{name}_esmfold.pdb")
+        if not os.path.exists(protein_path):
+            os.makedirs(os.path.dirname(protein_path), exist_ok=True)
+            if not generate_structure(protein_sequence, protein_path, model=esmfold_model):
+                return None
 
     if os.path.exists(ligand_description):
         mol = featurize.read_molecule(ligand_description, remove_hs=remove_hs)

@@ -159,3 +159,133 @@ class TestNativeOps:
         d = np.linalg.norm(a[:, None] - b[None], axis=-1)
         expect = set(zip(*np.nonzero(d < 4.0)))
         assert set(zip(ia.tolist(), ib.tolist())) == expect
+
+
+class TestTorsionVariants:
+    """von-Mises / GeoMol / quad machinery (conformer_matching.py variants;
+    reference datasets_utils/conformer_matching.py:64-183)."""
+
+    def _chain(self, n=8):
+        pos = np.zeros((n, 3))
+        pos[:, 0] = np.arange(n) * 1.5
+        pos[:, 1] = 0.4 * np.sin(np.arange(n) * 1.7)
+        pos[:, 2] = 0.3 * np.cos(np.arange(n) * 0.9)
+        bonds = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+        return pos, bonds
+
+    def test_quads_align_with_edges(self):
+        from disco_diffdock_tpu.data.conformer_matching import get_torsion_quads
+
+        pos, bonds = self._chain()
+        quads, tor, masks = get_torsion_quads(8, bonds)
+        assert len(quads) == len(tor) == len(masks)
+        for (a, u, v, b), (eu, ev) in zip(quads, tor):
+            assert (u, v) == (eu, ev)
+            assert a != v and b != u  # outer atoms on the correct sides
+
+    def test_set_dihedrals_roundtrip(self):
+        from disco_diffdock_tpu.data.conformer_matching import (
+            dihedral_from_point_cloud, get_torsion_quads, set_dihedrals)
+
+        pos, bonds = self._chain()
+        quads, tor, masks = get_torsion_quads(8, bonds)
+        rng = np.random.RandomState(3)
+        targets = rng.uniform(-np.pi, np.pi, len(quads))
+        out = set_dihedrals(pos, tor, masks, quads, targets)
+        for q, t in zip(quads, targets):
+            got = dihedral_from_point_cloud(out, q)
+            assert abs((got - t + np.pi) % (2 * np.pi) - np.pi) < 1e-6
+        # bond lengths preserved
+        d0 = np.linalg.norm(pos[bonds[:, 0]] - pos[bonds[:, 1]], axis=-1)
+        d1 = np.linalg.norm(out[bonds[:, 0]] - out[bonds[:, 1]], axis=-1)
+        np.testing.assert_allclose(d0, d1, atol=1e-8)
+
+    def test_von_mises_recovers_chain(self):
+        from disco_diffdock_tpu.data.conformer_matching import von_mises_match
+
+        pos, bonds = self._chain()
+        tor, masks = get_transformation_mask(8, bonds)
+        rng = np.random.RandomState(4)
+        true_pos = apply_torsion_np(pos, tor, masks, rng.uniform(-2, 2, len(tor)))
+        matched, rmsd = von_mises_match(pos, true_pos, 8, bonds)
+        # single-vote chain: the transfer is exact up to rigid alignment
+        assert rmsd < 1e-5, rmsd
+
+    def test_geomol_finder(self):
+        from disco_diffdock_tpu.data.conformer_matching import get_torsions_geomol
+
+        # plain chain: interior single bonds matched in both directions
+        _, bonds = self._chain(5)
+        quads = get_torsions_geomol(5, bonds, np.ones(4, np.int32))
+        centers = sorted(tuple(sorted((q[1], q[2]))) for q in quads)
+        assert centers == [(1, 2), (1, 2), (2, 3), (2, 3)]
+
+        # triple bond at (1,2) disqualifies atoms 1 and 2 entirely
+        quads = get_torsions_geomol(5, bonds, np.array([1, 3, 1, 1], np.int32))
+        assert len(quads) == 0
+
+        # ring bonds excluded; ring-side far atom flips the quad orientation
+        bonds = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 4], [4, 5]])
+        quads = get_torsions_geomol(6, bonds, np.ones(6, np.int32))
+        assert all(tuple(sorted((q[1], q[2]))) in {(2, 3), (3, 4)} for q in quads)
+        # direction (3,2): far atom 1 is in the ring -> reference flips to
+        # (far, v, u, near) which equals the forward quad (1, 2, 3, 4)
+        assert [1, 2, 3, 4] in quads.tolist()
+
+
+class TestESMFold:
+    """generate_structure hook (data/esm.py; reference
+    utils/inference_utils.py:122-150)."""
+
+    class _MockFold:
+        def __init__(self, fail_n=0, pdb="MOCK PDB\n"):
+            self.fail_n, self.pdb, self.chunk_log = fail_n, pdb, []
+
+        def set_chunk_size(self, n):
+            self.chunk_log.append(n)
+
+        def infer_pdb(self, seq):
+            if self.fail_n > 0:
+                self.fail_n -= 1
+                raise RuntimeError("CUDA out of memory")
+            return self.pdb
+
+    def test_gate_error_without_fair_esm(self):
+        from disco_diffdock_tpu.data.esm import generate_structure
+
+        try:
+            import esm  # noqa: F401
+
+            pytest.skip("fair-esm unexpectedly installed")
+        except ImportError:
+            pass
+        with pytest.raises(RuntimeError, match="fair-esm"):
+            generate_structure("MKV", "/tmp/never.pdb")
+
+    def test_oom_halving_retry(self, tmp_path):
+        from disco_diffdock_tpu.data.esm import generate_structure
+
+        out = tmp_path / "fold.pdb"
+        model = self._MockFold(fail_n=2)
+        assert generate_structure("MKV", str(out), model=model)
+        assert out.read_text() == "MOCK PDB\n"
+        assert model.chunk_log == [256, 128, 64]
+
+    def test_oom_gives_up_below_chunk_2(self, tmp_path):
+        from disco_diffdock_tpu.data.esm import generate_structure
+
+        model = self._MockFold(fail_n=100)
+        assert not generate_structure("MKV", str(tmp_path / "f.pdb"), model=model)
+
+    def test_record_from_sequence(self, tmp_path):
+        from disco_diffdock_tpu.data.inference import record_from_paths
+
+        sdf = tmp_path / "lig.sdf"
+        sdf.write_text(SDF)
+        model = self._MockFold(pdb=make_pdb(n_res=8))
+        rec = record_from_paths(
+            None, str(sdf), name="seqonly", protein_sequence="G" * 8,
+            out_dir=str(tmp_path), esmfold_model=model,
+        )
+        assert rec is not None and rec["rec_pos"].shape[0] == 8
+        assert (tmp_path / "seqonly" / "seqonly_esmfold.pdb").exists()
