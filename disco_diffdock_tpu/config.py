@@ -67,7 +67,8 @@ class ScoreModelConfig:
     embedding_scale: float = 1000.0
     esm_embedding_dim: int = 1280  # 0 disables LM embeddings
     compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
-    use_pallas_conv: bool = False  # fused Pallas edge-message kernel
+    # Pallas conv fusion: False, "message" (MLP+TP in VMEM), or "block"
+    use_pallas_conv: "bool | str" = False
     confidence_mode: bool = False
     confidence_dropout: float = 0.0
     confidence_no_batchnorm: bool = False

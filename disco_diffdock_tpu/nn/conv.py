@@ -116,7 +116,10 @@ class TPConvLayer(nn.Module):
     tp_weights_layers: int = 2
     n_scalars: Optional[int] = None  # scalar feature width (default: ns from irreps)
     compute_dtype: Any = jnp.float32
-    use_pallas: bool = False  # fused edge-message kernel (inference path)
+    # fused Pallas modes (inference path): False = pure XLA; "block" (or
+    # True) = gather+MLP+TP+scatter mega-kernel; "message" = MLP+TP only,
+    # gathers/scatters stay in XLA (ops/pallas_conv.py edge_message)
+    use_pallas: Any = False
 
     @nn.compact
     def __call__(
@@ -190,13 +193,31 @@ class TPConvLayer(nn.Module):
                     blk.edges, counts[blk.src_type], node_attrs[blk.dst_type].shape[1],
                     dtype=cdt,
                 )
-            use_fused = (
+            fusable = (
                 self.use_pallas
                 and (deterministic or self.dropout == 0.0)
                 and blk.append_scalars
                 and blk.src_type in node_attrs
             )
-            if use_fused:
+            if fusable and self.use_pallas == "message":
+                # MLP+TP fused in VMEM; gathers/scatters remain XLA fusions.
+                # Saves the per-edge TP weight blocks' HBM round trips
+                # (~3.7 KB/edge) without the block kernel's fusion barrier
+                # around gather/scatter.
+                from ..ops.pallas_conv import edge_message
+
+                x = gather_mm(oh_dst, node_attrs[blk.dst_type].astype(cdt))
+                s_src = gather_mm(oh_src, node_attrs[blk.src_type][..., :ns].astype(cdt))
+                eattr = jnp.concatenate(
+                    [blk.edge_attr.astype(cdt), s_src, x[..., :ns]], -1
+                )
+                w1, b1, w2, b2 = mlps[blk.group]
+                msg = edge_message(tp, eattr, x, blk.edge_sh.astype(cdt), w1, b1, w2, b2)
+                sums[blk.src_type] = sums[blk.src_type] + scatter_mm(oh_src, msg)
+                ones = jnp.ones(msg.shape[:2] + (1,), cdt)
+                ns_count[blk.src_type] = ns_count[blk.src_type] + scatter_mm(oh_src, ones)
+                continue
+            if fusable:
                 # fully fused gather+MLP+TP+scatter kernel; node sums direct
                 from ..ops.pallas_conv import edge_block_message_sum, prepare_x_imajor
 

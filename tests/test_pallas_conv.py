@@ -78,3 +78,20 @@ def test_fused_block_matches_xla_model():
     np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(rot1), np.asarray(rot0), atol=1e-5)
     np.testing.assert_allclose(np.asarray(tor1), np.asarray(tor0), atol=1e-5)
+
+
+def test_message_mode_matches_xla_model():
+    """use_pallas_conv="message" (MLP+TP fused, gather/scatter in XLA)
+    reproduces the XLA path inside the score model (interpret mode)."""
+    from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
+    from tests.test_score_model import small_batch, small_caps, small_cfg
+
+    batch = small_batch()
+    m0 = TensorProductScoreModel(cfg=small_cfg(), caps=small_caps())
+    v = m0.init(jax.random.PRNGKey(0), batch)
+    (tr0, rot0, tor0), _ = m0.apply(v, batch, mutable=["batch_stats"])
+    m1 = TensorProductScoreModel(cfg=small_cfg(use_pallas_conv="message"), caps=small_caps())
+    (tr1, rot1, tor1), _ = m1.apply(v, batch, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot1), np.asarray(rot0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tor1), np.asarray(tor0), atol=1e-5)
