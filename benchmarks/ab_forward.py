@@ -24,7 +24,9 @@ def build(mode):
 
     cfg = ScoreModelConfig(
         latent_dim=0, latent_droprate=0.0, dropout=0.0,
-        compute_dtype="bfloat16", use_pallas_conv=mode,
+        compute_dtype="bfloat16",
+        use_pallas_conv=False if mode == "fusew2" else mode,
+        fuse_w2=mode == "fusew2",
     )
     caps = GraphCaps(
         max_lig=N_LIG, max_rec=N_RES, lig_bond_cap=72,

@@ -69,6 +69,7 @@ class ScoreModelConfig:
     compute_dtype: str = "float32"  # "bfloat16" for the fast inference path
     # Pallas conv fusion: False, "message" (MLP+TP in VMEM), or "block"
     use_pallas_conv: "bool | str" = False
+    fuse_w2: bool = False  # concatenate per-block TP-weight matmuls into one
     confidence_mode: bool = False
     confidence_dropout: float = 0.0
     confidence_no_batchnorm: bool = False

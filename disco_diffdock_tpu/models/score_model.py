@@ -149,6 +149,7 @@ class TensorProductScoreModel(nn.Module):
                 n_scalars=ns,
                 compute_dtype=self.compute_dtype,
                 use_pallas=cfg.use_pallas_conv,
+                fuse_w2=cfg.fuse_w2,
                 name=f"conv{i}",
             )
             for i in range(cfg.num_conv_layers)

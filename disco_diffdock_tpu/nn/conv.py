@@ -120,6 +120,7 @@ class TPConvLayer(nn.Module):
     # True) = gather+MLP+TP+scatter mega-kernel; "message" = MLP+TP only,
     # gathers/scatters stay in XLA (ops/pallas_conv.py edge_message)
     use_pallas: Any = False
+    fuse_w2: bool = False  # one wide w2 matmul instead of per-block matmuls
 
     @nn.compact
     def __call__(
@@ -166,6 +167,20 @@ class TPConvLayer(nn.Module):
             w1, b1, w2, b2 = mlps[g]
             h = nn.relu(e @ w1.astype(cdt) + b1.astype(cdt))
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            if self.fuse_w2:
+                # one wide matmul over the concatenated per-block weight
+                # matrices, then slice views per block
+                W2 = jnp.concatenate([w.astype(cdt) for w in w2 if w is not None], -1)
+                B2 = jnp.concatenate([b.astype(cdt) for b in b2 if b is not None], -1)
+                big = h @ W2 + B2
+                outs, ofs = [], 0
+                for wk in w2:
+                    if wk is None:
+                        outs.append(None)
+                    else:
+                        outs.append(big[..., ofs : ofs + wk.shape[-1]])
+                        ofs += wk.shape[-1]
+                return tuple(outs)
             return tuple(
                 (h @ wk.astype(cdt) + bk.astype(cdt)) if wk is not None else None
                 for wk, bk in zip(w2, b2)

@@ -129,3 +129,19 @@ class TestForward:
             params, batch, latent=(lat_l2, lat_r), unconditional=uncond, mutable=["batch_stats"]
         )
         assert np.abs(np.asarray(tr) - np.asarray(tr2)).max() > 1e-6
+
+
+def test_fuse_w2_equivalent():
+    """fuse_w2 (one concatenated TP-weight matmul per edge group) is a pure
+    lowering change: outputs match the per-block-matmul path exactly."""
+    import numpy as np
+
+    batch = small_batch()
+    m0 = TensorProductScoreModel(cfg=small_cfg(), caps=small_caps())
+    v = m0.init(jax.random.PRNGKey(0), batch)
+    (tr0, rot0, tor0), _ = m0.apply(v, batch, mutable=["batch_stats"])
+    m1 = TensorProductScoreModel(cfg=small_cfg(fuse_w2=True), caps=small_caps())
+    (tr1, rot1, tor1), _ = m1.apply(v, batch, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(tr1), np.asarray(tr0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot1), np.asarray(rot0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tor1), np.asarray(tor0), atol=1e-5)
