@@ -149,7 +149,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(reps):
         out = run(batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out)
+    # host fetch: block_until_ready does NOT wait over the tunneled TPU
+    # platform (see benchmarks/scatter_ab.py timing methodology); a transfer
+    # is the only reliable sync.  out is (40, 32, 3) -- negligible.
+    np.asarray(out)
     sec = (time.perf_counter() - t0) / reps
     if profile:
         jax.profiler.stop_trace()

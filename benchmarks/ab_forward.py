@@ -55,13 +55,16 @@ def main():
             return model.apply(
                 variables, b, deterministic=True, use_running_average=True)
 
+        import numpy as np
+
         out = fwd(batch)
-        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
         reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fwd(batch)
-        jax.block_until_ready(out)
+        # host fetch = the only reliable device sync on the tunneled platform
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
         ms = (time.perf_counter() - t0) / reps * 1e3
         results[m] = ms
         print(f"{m:>8}: {ms:8.2f} ms/forward", flush=True)

@@ -9,6 +9,22 @@ alternatives on the real chip so the all-atom path can pick per-shape:
   2. jnp.take_along_axis gather + jax.ops.segment_sum scatter (flattened)
   3. native XLA .at[].add scatter / take gather
 
+Timing methodology (IMPORTANT on the tunneled TPU platform):
+`jax.block_until_ready` does NOT wait for execution over the axon tunnel
+(an 8192^3 matmul "completes" in 35 us), and each dispatch has ~28 ms
+round-trip overhead.  True device time is measured by chaining ITERS
+data-dependent applications inside ONE jit program, fetching a scalar, and
+differencing two chain lengths: per-op = (t(ITERS) - t(1)) / (ITERS - 1).
+Calibration: chained 8192^3 bf16 matmuls measure 187 TFLOP/s (95% of v5e
+peak) under this scheme.
+
+Measured (v5e, B=8 E=30720 N=2560 D=84, scatter+gather round trip per op):
+      onehot: 1.378 ms
+ segment_sum: 3.593 ms
+      at_add: 3.600 ms
+One-hot matmuls stay the right choice even at all-atom widths (2.6x); the
+segment/at_add scatters are latency-bound HBM loops.
+
 Run: `python benchmarks/scatter_ab.py [B E N D]`.
 """
 from __future__ import annotations
@@ -21,15 +37,34 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+ITERS = 16
 
-def timeit(fn, *args, reps=30):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3
+
+def chain_time(make_step, msg, reps=3):
+    """Per-op ms via in-program chaining + scalar fetch, length-differenced."""
+
+    def timed(n):
+        @jax.jit
+        def f(msg):
+            m = msg
+
+            def body(m, _):
+                m = make_step(m)
+                return m * (1.0 / (1.0 + 1e-6)), None
+
+            m, _ = jax.lax.scan(body, m, None, length=n)
+            return m.sum().astype(jnp.float32)
+
+        v = float(f(msg))  # compile + run once
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            v = float(f(msg))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, tn = timed(1), timed(ITERS)
+    return (tn - t1) / (ITERS - 1) * 1e3
 
 
 def main():
@@ -37,35 +72,32 @@ def main():
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     nodes = jax.random.normal(k1, (B, N, D), jnp.bfloat16)
-    msg = jax.random.normal(k2, (B, E, D), jnp.bfloat16)
+    msg0 = jax.random.normal(k2, (B, E, D), jnp.bfloat16)
     idx = jax.random.randint(k3, (B, E), 0, N)
     mask = jnp.ones((B, E), bool)
 
-    @jax.jit
-    def onehot_pair(nodes, msg, idx, mask):
+    # each step: scatter messages to nodes, gather back to edges (the conv
+    # round trip), data-dependent so chained steps cannot be elided
+    def onehot_step(msg):
         oh = jax.nn.one_hot(idx, N, dtype=jnp.bfloat16) * mask[..., None]
-        x = jnp.einsum("ben,bnd->bed", oh, nodes)
         s = jnp.einsum("ben,bed->bnd", oh, msg, preferred_element_type=jnp.float32)
-        return x, s
+        return jnp.einsum("ben,bnd->bed", oh, s.astype(jnp.bfloat16))
 
-    @jax.jit
-    def segment_pair(nodes, msg, idx, mask):
-        x = jnp.take_along_axis(nodes, idx[..., None], axis=1)
-        flat_idx = (idx + N * jnp.arange(B)[:, None]).reshape(-1)
-        flat_msg = jnp.where(mask.reshape(-1, 1), msg.reshape(B * E, D), 0)
-        s = jax.ops.segment_sum(flat_msg.astype(jnp.float32), flat_idx, num_segments=B * N)
-        return x, s.reshape(B, N, D)
+    def segment_step(msg):
+        fi = (idx + N * jnp.arange(B)[:, None]).reshape(-1)
+        fm = jnp.where(mask.reshape(-1, 1), msg.reshape(B * E, D), 0)
+        s = jax.ops.segment_sum(fm.astype(jnp.float32), fi, num_segments=B * N)
+        s = s.reshape(B, N, D).astype(jnp.bfloat16)
+        return jnp.take_along_axis(s, idx[..., None], axis=1)
 
-    @jax.jit
-    def at_add_pair(nodes, msg, idx, mask):
-        x = jnp.take_along_axis(nodes, idx[..., None], axis=1)
+    def at_add_step(msg):
         z = jnp.zeros((B, N, D), jnp.float32)
         mm = jnp.where(mask[..., None], msg, 0).astype(jnp.float32)
-        s = z.at[jnp.arange(B)[:, None], idx].add(mm)
-        return x, s
+        s = z.at[jnp.arange(B)[:, None], idx].add(mm).astype(jnp.bfloat16)
+        return jnp.take_along_axis(s, idx[..., None], axis=1)
 
-    for name, fn in [("onehot", onehot_pair), ("segment_sum", segment_pair), ("at_add", at_add_pair)]:
-        ms = timeit(fn, nodes, msg, idx, mask)
+    for name, step in [("onehot", onehot_step), ("segment_sum", segment_step), ("at_add", at_add_step)]:
+        ms = chain_time(step, msg0)
         print(f"{name:>12}: {ms:8.3f} ms  (B={B} E={E} N={N} D={D})", flush=True)
 
 

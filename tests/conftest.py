@@ -15,3 +15,10 @@ import jax  # noqa: E402
 # (the JAX_PLATFORMS env var is ignored when the config is preset).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is dominated by XLA compiles of
+# the same programs run-over-run; warm runs skip them entirely.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".cache", "jax")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
