@@ -1,0 +1,214 @@
+"""User-facing docking CLI: protein + ligand in, ranked SDF poses out.
+
+The reference ships an ``InferenceDataset`` for arbitrary protein/ligand
+inputs (utils/inference_utils.py:153-275) but no driver consumes it; this CLI
+completes that path the TPU way: featurize -> bucketed padded batch -> the
+jitted reverse-diffusion sampler (+ optional AR latents and confidence
+reranking) -> poses written back in the input protein frame as SDF files.
+
+    python -m disco_diffdock_tpu.eval.dock \
+        --protein receptor.pdb --ligand ligand.sdf \
+        --model_dir workdir/score_run \
+        [--confidence_model_dir workdir/conf_run] \
+        [--samples_per_complex 10] [--inference_steps 20] \
+        [--out_dir results/dock]
+
+Sequence-only input: pass ``--protein_sequence`` instead of ``--protein``
+and the structure is folded with the ESMFold hook (data/esm.py; needs
+fair-esm).  SMILES ligands need RDKit; SDF files work dependency-free via
+minichem.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..data import featurize, minichem
+from ..data.collate import DEFAULT_BUCKETS, collate, fits, replicate_record
+from ..data.inference import record_from_paths
+from ..geom.diffusion import SigmaSchedule
+from ..sampling import SamplerConfig, randomize_position, sampling
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--protein", default=None, help="receptor PDB path")
+    p.add_argument("--protein_sequence", default=None,
+                   help="fold with ESMFold when no --protein is given")
+    p.add_argument("--ligand", required=True, help="SDF/MOL2 path or SMILES")
+    p.add_argument("--model_dir", required=True, help="trained score run dir")
+    p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--ar_model_dir", default=None)
+    p.add_argument("--ckpt", default="best_ema_inference")
+    p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--out_dir", default="results/dock")
+    p.add_argument("--name", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--esm_embeddings_path", default=None,
+                   help="npz of name -> (n_res, dim) LM embeddings")
+    p.add_argument("--keep_local_structures", action="store_true")
+    p.add_argument("--temp_sampling", type=float, nargs=3, default=[1.0, 1.0, 1.0])
+    p.add_argument("--temp_psi", type=float, nargs=3, default=[0.0, 0.0, 0.0])
+    p.add_argument("--temp_sigma_data", type=float, nargs=3, default=[0.5, 0.5, 0.5])
+    p.add_argument("--classifier_free_guidance_weight", type=float, default=0.0)
+    p.add_argument("--softmax_latent_temperature", type=float, default=1.0)
+    return p.parse_args(argv)
+
+
+def _ligand_write_meta(ligand_description: str, remove_hs: bool = True):
+    """(elements, bonds, bond_types) of the featurized ligand for SDF output,
+    in the same atom order the record uses."""
+    if os.path.exists(ligand_description):
+        mol = featurize.read_molecule(ligand_description, remove_hs=remove_hs)
+        if isinstance(mol, minichem.MiniMol):
+            return mol
+        # RDKit mol -> MiniMol shell for writing
+        elements = [a.GetSymbol() for a in mol.GetAtoms()]
+        bonds, types = [], []
+        tmap = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3, "AROMATIC": 4}
+        for b in mol.GetBonds():
+            bonds.append((b.GetBeginAtomIdx(), b.GetEndAtomIdx()))
+            types.append(tmap.get(str(b.GetBondType()), 1))
+        return minichem.MiniMol(
+            elements=elements,
+            pos=np.asarray(mol.GetConformer().GetPositions(), np.float32),
+            bonds=np.asarray(bonds, np.int32).reshape(-1, 2),
+            bond_types=np.asarray(types, np.int32),
+            charges=np.zeros(len(elements), np.int32),
+        )
+    # SMILES path: rebuild via RDKit exactly as record_from_paths does
+    from rdkit import Chem
+
+    mol = Chem.MolFromSmiles(ligand_description)
+    mol = Chem.RemoveHs(Chem.AddHs(mol)) if remove_hs else Chem.AddHs(mol)
+    elements = [a.GetSymbol() for a in mol.GetAtoms()]
+    bonds = np.asarray(
+        [(b.GetBeginAtomIdx(), b.GetEndAtomIdx()) for b in mol.GetBonds()],
+        np.int32,
+    ).reshape(-1, 2)
+    return minichem.MiniMol(
+        elements=elements, pos=np.zeros((len(elements), 3), np.float32),
+        bonds=bonds, bond_types=np.ones(len(bonds), np.int32),
+        charges=np.zeros(len(elements), np.int32),
+    )
+
+
+def dock(args):
+    from .evaluate import evaluate_complexes  # noqa: F401 (shared helpers)
+    from ..config import ScoreModelConfig
+    from ..models.all_atom_score_model import AllAtomScoreModel
+    from ..models.ar import PretrainedScoreEncoder, encode_ar
+    from ..models.score_model import TensorProductScoreModel
+    from ..train.checkpoints import load_config
+    from ..train.loading import (
+        build_score_runtime, cfg_from_dict, load_run_configs, restore_variables,
+    )
+
+    name = args.name or (
+        os.path.splitext(os.path.basename(args.protein))[0] if args.protein
+        else "seq_complex"
+    )
+    esm = None
+    if args.esm_embeddings_path:
+        with np.load(args.esm_embeddings_path) as z:
+            key = os.path.splitext(os.path.basename(args.protein))[0]
+            esm = z[key] if key in z else None
+
+    score_cfg, enc_cfg, run_caps = load_run_configs(args.model_dir)
+    rec = record_from_paths(
+        args.protein, args.ligand, esm=esm, name=name,
+        keep_local_structures=args.keep_local_structures,
+        all_atoms=args.confidence_model_dir is not None,
+        protein_sequence=args.protein_sequence, out_dir=args.out_dir,
+        seed=args.seed,
+    )
+    if rec is None:
+        raise SystemExit("featurization failed")
+
+    buckets = ((run_caps,) if run_caps is not None else ()) + tuple(DEFAULT_BUCKETS)
+    caps = next(c for c in buckets if fits(rec, c))
+    S = args.samples_per_complex
+    batch = collate(replicate_record(rec, S), caps, esm_dim=score_cfg.esm_embedding_dim)
+
+    model, variables, latent_fn, _, enc_cfg = build_score_runtime(
+        args.model_dir, caps, tag=args.ckpt,
+    )
+
+    conf_model = conf_vars = None
+    if args.confidence_model_dir:
+        conf_run = load_config(args.confidence_model_dir)
+        conf_cfg = cfg_from_dict(conf_run["confidence_model"], ScoreModelConfig)
+        conf_model = AllAtomScoreModel(cfg=conf_cfg, caps=caps) if conf_cfg.all_atoms \
+            else TensorProductScoreModel(cfg=conf_cfg, caps=caps)
+        conf_vars = restore_variables(args.confidence_model_dir, "best", use_ema=False)
+
+    if enc_cfg is not None and args.ar_model_dir:
+        ar_model = PretrainedScoreEncoder(
+            score_cfg=score_cfg, caps=caps, latent_dim=1,
+            input_latent_dim=score_cfg.latent_dim,
+        )
+        ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
+
+        def latent_fn(b, key):
+            def apply_fn(bb, lat, dec):
+                return ar_model.apply(ar_vars, bb, lat, dec,
+                                      deterministic=True, use_running_average=True)
+            return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
+                             args.softmax_latent_temperature)
+
+    sigma = SigmaSchedule()
+    scfg = SamplerConfig(
+        inference_steps=args.inference_steps,
+        no_final_step_noise=True,
+        temp_sampling=tuple(args.temp_sampling),
+        temp_psi=tuple(args.temp_psi),
+        temp_sigma_data=tuple(args.temp_sigma_data),
+        cfg_weight=args.classifier_free_guidance_weight,
+    )
+
+    @jax.jit
+    def _run(b, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        latent = latent_fn(b, k3) if latent_fn is not None else None
+        rb = randomize_position(k1, b, scfg.no_torsion, False, sigma.tr_sigma_max)
+        return sampling(
+            model, variables, rb, k2, scfg, sigma, latent=latent,
+            confidence_model=conf_model, confidence_variables=conf_vars,
+        )
+
+    final, conf, _ = _run(batch, jax.random.PRNGKey(args.seed))
+    pos = np.asarray(final.lig_pos)  # host fetch = device sync
+    confs = np.asarray(conf) if conf is not None else np.zeros(S)
+    mask = np.asarray(batch.lig_mask[0])
+    center = np.asarray(rec.get("original_center", np.zeros(3)))
+
+    order = np.argsort(-confs)  # best confidence first
+    wmol = _ligand_write_meta(args.ligand)
+    os.makedirs(args.out_dir, exist_ok=True)
+    results = []
+    for rank, i in enumerate(order, 1):
+        p = pos[i][mask] + center  # back to the input protein frame
+        path = os.path.join(args.out_dir, f"{name}_rank{rank}.sdf")
+        with open(path, "w") as f:
+            f.write(minichem.write_sdf(wmol, p, name=f"{name}_rank{rank}"))
+        results.append({"rank": rank, "file": os.path.basename(path),
+                        "confidence": float(confs[i])})
+    with open(os.path.join(args.out_dir, f"{name}_results.json"), "w") as f:
+        json.dump({"name": name, "poses": results}, f, indent=2)
+    print(json.dumps({"name": name, "n_poses": S,
+                      "best_confidence": float(confs[order[0]]),
+                      "out_dir": args.out_dir}))
+    return results
+
+
+def main(argv=None):
+    return dock(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

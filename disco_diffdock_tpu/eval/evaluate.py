@@ -126,7 +126,11 @@ def evaluate_complexes(
         t0 = time.time()
         try:
             final, conf, traj = _run(batch, k)
-            jax.block_until_ready(final.lig_pos)
+            # host fetch: the only reliable device sync on the tunneled TPU
+            # platform (block_until_ready returns early there), and the
+            # positions are needed on host anyway
+            pos_all = np.asarray(final.lig_pos)
+            conf_all = np.asarray(conf) if conf is not None else None
         except Exception as e:
             # failure sentinel parity (evaluate.py:400-408)
             print(f"| WARNING: batch {bi} failed ({type(e).__name__}: {e}); "
@@ -139,8 +143,6 @@ def evaluate_complexes(
             continue
         per_complex_time = (time.time() - t0) / len(pack)
 
-        pos_all = np.asarray(final.lig_pos)
-        conf_all = np.asarray(conf) if conf is not None else None
         for (ofs, n, ci) in pack:
             run_times.append(per_complex_time)
             pos = pos_all[ofs : ofs + n]

@@ -135,3 +135,34 @@ class TestEvaluateReal:
             assert os.path.exists(os.path.join(bucket, artifact)), artifact
         with open(os.path.join(bucket, "metrics.json")) as f:
             assert "filtered_rmsds_below_2" in json.load(f)
+
+
+class TestDockCLI:
+    def test_dock_protein_ligand(self, dirs, score_run, tmp_path):
+        """User-facing docking: PDB + SDF in, ranked SDF poses out
+        (eval/dock.py; completes the reference's unused InferenceDataset
+        path, utils/inference_utils.py:153-275)."""
+        from disco_diffdock_tpu.data import minichem
+        from disco_diffdock_tpu.eval.dock import main
+
+        out = str(tmp_path / "dock")
+        results = main([
+            "--protein", os.path.join(DATA, "fix1", "fix1_protein_processed.pdb"),
+            "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
+            "--model_dir", score_run,
+            "--samples_per_complex", "2", "--inference_steps", "2",
+            "--out_dir", out,
+        ])
+        assert len(results) == 2 and results[0]["rank"] == 1
+        sdf = os.path.join(out, results[0]["file"])
+        assert os.path.exists(sdf)
+        mol = minichem.parse_sdf(open(sdf).read())
+        ref = minichem.parse_sdf(
+            open(os.path.join(DATA, "fix1", "fix1_ligand.sdf")).read()
+        ).remove_hs()
+        # pose has the ligand's atoms/bonds and lives near the receptor frame
+        assert mol.elements == ref.elements
+        assert len(mol.bonds) == len(ref.bonds)
+        assert np.isfinite(mol.pos).all()
+        with open(os.path.join(out, "fix1_protein_processed_results.json")) as f:
+            assert len(json.load(f)["poses"]) == 2
