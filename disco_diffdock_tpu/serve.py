@@ -1,0 +1,220 @@
+"""Thin production serving surface: HTTP docking service over the jitted
+sampler.
+
+No reference counterpart (the reference is research CLIs only); this
+completes the production story the TPU way: one process owns the chip,
+programs compile once per (bucket, samples) and are reused across requests,
+and requests are plain JSON over stdlib HTTP (no server dependencies).
+
+    python -m disco_diffdock_tpu.serve --model_dir workdir/score_run \
+        [--confidence_model_dir ...] [--port 8000]
+
+    POST /dock
+      {"protein_pdb": "<PDB text>",            # or "protein_path": "..."
+       "ligand_sdf": "<SDF text>",             # or "ligand": "path-or-SMILES"
+       "samples": 10, "steps": 20}
+    -> {"poses": [{"rank": 1, "confidence": ..., "sdf": "<SDF text>"}, ...]}
+
+    GET /healthz -> {"ok": true, "programs": <compiled program count>}
+
+Concurrency: requests are handled on one thread (the chip is a serial
+resource); the HTTP layer queues.  Shape bucketing bounds compile count.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import jax
+import numpy as np
+
+
+class DockingService:
+    """Owns the models and the per-bucket compiled programs."""
+
+    def __init__(self, model_dir: str, confidence_model_dir: str | None = None,
+                 ckpt: str = "best_ema_inference"):
+        from .config import ScoreModelConfig
+        from .data.collate import DEFAULT_BUCKETS
+        from .geom.diffusion import SigmaSchedule
+        from .models.all_atom_score_model import AllAtomScoreModel
+        from .models.score_model import TensorProductScoreModel
+        from .train.checkpoints import load_config
+        from .train.loading import (
+            build_score_runtime, cfg_from_dict, load_run_configs, restore_variables,
+        )
+
+        self.model_dir = model_dir
+        self.score_cfg, self.enc_cfg, run_caps = load_run_configs(model_dir)
+        self.buckets = ((run_caps,) if run_caps is not None else ()) + tuple(DEFAULT_BUCKETS)
+        self.sigma = SigmaSchedule()
+        self.ckpt = ckpt
+        self.confidence_model_dir = confidence_model_dir
+        self._conf_cfg = None
+        if confidence_model_dir:
+            conf_run = load_config(confidence_model_dir)
+            self._conf_cfg = cfg_from_dict(conf_run["confidence_model"], ScoreModelConfig)
+        # (caps, samples, steps) -> compiled runner
+        self._programs: dict = {}
+        self._runtimes: dict = {}  # caps -> (model, variables, latent_fn, conf...)
+        self._lock = threading.Lock()
+        self._build_score_runtime = build_score_runtime
+        self._restore_variables = restore_variables
+        self._AllAtom = AllAtomScoreModel
+        self._TPScore = TensorProductScoreModel
+
+    def _runtime(self, caps):
+        if caps not in self._runtimes:
+            model, variables, latent_fn, _, _ = self._build_score_runtime(
+                self.model_dir, caps, tag=self.ckpt,
+            )
+            conf_model = conf_vars = None
+            if self.confidence_model_dir:
+                cc = self._conf_cfg
+                conf_model = self._AllAtom(cfg=cc, caps=caps) if cc.all_atoms \
+                    else self._TPScore(cfg=cc, caps=caps)
+                conf_vars = self._restore_variables(
+                    self.confidence_model_dir, "best", use_ema=False)
+            self._runtimes[caps] = (model, variables, latent_fn, conf_model, conf_vars)
+        return self._runtimes[caps]
+
+    def _program(self, caps, steps):
+        from .sampling import SamplerConfig, randomize_position, sampling
+
+        key = (caps, steps)
+        if key not in self._programs:
+            model, variables, latent_fn, conf_model, conf_vars = self._runtime(caps)
+            scfg = SamplerConfig(inference_steps=steps, no_final_step_noise=True)
+
+            @jax.jit
+            def _run(batch, rng):
+                k1, k2, k3 = jax.random.split(rng, 3)
+                latent = latent_fn(batch, k3) if latent_fn is not None else None
+                rb = randomize_position(k1, batch, scfg.no_torsion, False,
+                                        self.sigma.tr_sigma_max)
+                return sampling(
+                    model, variables, rb, k2, scfg, self.sigma, latent=latent,
+                    confidence_model=conf_model, confidence_variables=conf_vars,
+                )
+
+            self._programs[key] = _run
+        return self._programs[key]
+
+    def dock(self, protein_path: str, ligand: str, samples: int = 10,
+             steps: int = 20, seed: int = 0, name: str = "complex") -> dict:
+        from .data import minichem
+        from .data.collate import collate, fits, replicate_record
+        from .data.inference import record_from_paths
+        from .eval.dock import _ligand_write_meta
+
+        with self._lock:  # the chip is a serial resource
+            t0 = time.time()
+            rec = record_from_paths(
+                protein_path, ligand, name=name,
+                all_atoms=self._conf_cfg is not None and self._conf_cfg.all_atoms,
+            )
+            if rec is None:
+                raise ValueError("featurization failed")
+            caps = next(c for c in self.buckets if fits(rec, c))
+            batch = collate(replicate_record(rec, samples), caps,
+                            esm_dim=self.score_cfg.esm_embedding_dim)
+            run = self._program(caps, steps)
+            final, conf, _ = run(batch, jax.random.PRNGKey(seed))
+            pos = np.asarray(final.lig_pos)  # host fetch = device sync
+            confs = np.asarray(conf) if conf is not None else np.zeros(samples)
+            mask = np.asarray(batch.lig_mask[0])
+            center = np.asarray(rec.get("original_center", np.zeros(3)))
+            wmol = _ligand_write_meta(ligand)
+            order = np.argsort(-confs)
+            poses = [
+                {
+                    "rank": r + 1,
+                    "confidence": float(confs[i]),
+                    "sdf": minichem.write_sdf(wmol, pos[i][mask] + center,
+                                              name=f"{name}_rank{r + 1}"),
+                }
+                for r, i in enumerate(order)
+            ]
+            return {"name": name, "poses": poses,
+                    "seconds": round(time.time() - t0, 3)}
+
+    @property
+    def program_count(self):
+        return len(self._programs)
+
+
+def make_handler(service: DockingService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "programs": service.program_count})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/dock":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                tmpdir = tempfile.mkdtemp(prefix="dock_")
+                if "protein_pdb" in req:
+                    protein_path = os.path.join(tmpdir, "rec.pdb")
+                    with open(protein_path, "w") as f:
+                        f.write(req["protein_pdb"])
+                else:
+                    protein_path = req["protein_path"]
+                if "ligand_sdf" in req:
+                    ligand = os.path.join(tmpdir, "lig.sdf")
+                    with open(ligand, "w") as f:
+                        f.write(req["ligand_sdf"])
+                else:
+                    ligand = req["ligand"]
+                out = service.dock(
+                    protein_path, ligand,
+                    samples=int(req.get("samples", 10)),
+                    steps=int(req.get("steps", 20)),
+                    seed=int(req.get("seed", 0)),
+                    name=req.get("name", "complex"),
+                )
+                self._json(200, out)
+            except Exception as e:  # failure -> structured error, keep serving
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--ckpt", default="best_ema_inference")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    args = p.parse_args(argv)
+    service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt)
+    server = HTTPServer((args.host, args.port), make_handler(service))
+    print(f"HAPPENING | serving on http://{args.host}:{args.port} "
+          f"(POST /dock, GET /healthz)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -166,3 +166,50 @@ class TestDockCLI:
         assert np.isfinite(mol.pos).all()
         with open(os.path.join(out, "fix1_protein_processed_results.json")) as f:
             assert len(json.load(f)["poses"]) == 2
+
+
+class TestServe:
+    def test_http_dock_roundtrip(self, dirs, score_run):
+        """serve.py: one process owns the chip; programs compile per bucket
+        and are reused across requests (second request is compile-free)."""
+        import http.client
+        import threading
+        from http.server import HTTPServer
+
+        from disco_diffdock_tpu.serve import DockingService, make_handler
+
+        service = DockingService(score_run)
+        server = HTTPServer(("127.0.0.1", 0), make_handler(service))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+            conn.request("GET", "/healthz")
+            health = json.loads(conn.getresponse().read())
+            assert health["ok"] and health["programs"] == 0
+
+            pdb_text = open(os.path.join(DATA, "fix1", "fix1_protein_processed.pdb")).read()
+            sdf_text = open(os.path.join(DATA, "fix1", "fix1_ligand.sdf")).read()
+            body = json.dumps({
+                "protein_pdb": pdb_text, "ligand_sdf": sdf_text,
+                "samples": 2, "steps": 2, "name": "fix1",
+            })
+            for i in range(2):  # second request reuses the compiled program
+                conn.request("POST", "/dock", body,
+                             {"Content-Type": "application/json"})
+                resp = json.loads(conn.getresponse().read())
+                assert len(resp["poses"]) == 2, resp
+                assert resp["poses"][0]["rank"] == 1
+                assert "V2000" in resp["poses"][0]["sdf"]
+
+            conn.request("GET", "/healthz")
+            assert json.loads(conn.getresponse().read())["programs"] == 1
+
+            # malformed request -> structured 500, server keeps serving
+            conn.request("POST", "/dock", "{}",
+                         {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 500 and "error" in json.loads(r.read())
+        finally:
+            server.shutdown()
