@@ -19,13 +19,16 @@ only -- training uses the XLA formulation (dropout + autodiff).
 
 Measured on one v5e-class chip at the receptor-block size (40x7680 edges,
 ns=24/nv=6 irreps): 11.9 ms vs 21.1 ms for the XLA path on pre-materialized
-inputs -- 1.8x.  HOWEVER, inside the full model the pallas_call acts as a
-fusion barrier: XLA otherwise fuses the edge-attr assembly and the scatter
-into the message chain, and forcing those intermediates through HBM costs
-more than the kernel saves (bench 0.69 vs 0.87 complexes/sec).  It therefore
-ships default-OFF (``ScoreModelConfig.use_pallas_conv``); making it win
-end-to-end requires subsuming the one-hot gather/scatter and attribute
-assembly into the kernel (future work: the full edge-block mega-kernel).
+inputs -- 1.8x.  HOWEVER, inside the full model both kernels LOSE
+end-to-end (round-2 sweep, benchmarks/profile_notes.md): the message-only
+mode runs 132 ms vs 47 ms/forward at the flagship capacities
+(use_pallas_conv="message", benchmarks/ab_forward.py), and the full
+edge-block mega-kernel below measured 0.46 vs 1.25 complexes/sec -- the
+pallas_call boundary materializes inputs XLA would otherwise fuse through,
+and the unrolled VPU tensor product cannot match XLA's pipelined
+multiply-reduce fusions at these widths.  Both ship default-OFF
+(``ScoreModelConfig.use_pallas_conv``) as measured design-space probes;
+the XLA formulation is the production path on both training and inference.
 """
 from __future__ import annotations
 
