@@ -5,11 +5,9 @@ the run-dir `model_parameters.yml` contract of train.py:153-155).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import yaml
 
-from .geom.diffusion import SigmaSchedule
 
 
 @dataclasses.dataclass(frozen=True)

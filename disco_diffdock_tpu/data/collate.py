@@ -8,7 +8,6 @@ profile that fits, bounding padding waste (the TPU answer to dynamic shapes).
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Sequence
 
 import numpy as np

@@ -11,7 +11,6 @@ chemical perception -- see minichem.py docstring).
 """
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np

@@ -19,7 +19,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from ..config import GraphCaps
-from .collate import DEFAULT_BUCKETS, collate, fits, pick_bucket
+from .collate import DEFAULT_BUCKETS, collate, fits
 from . import featurize
 
 

@@ -19,12 +19,11 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import GraphCaps, ScoreModelConfig
 from ..data.synthetic import make_complex_batch
-from ..geom.diffusion import SigmaSchedule, get_t_schedule
+from ..geom.diffusion import SigmaSchedule
 from ..models.score_model import TensorProductScoreModel
 from ..sampling import SamplerConfig, randomize_position, sampling
 from .metrics import aggregate, min_cross_distance, min_self_distance, symmetry_rmsd
@@ -54,6 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--classifier_free_guidance_weight", type=float, default=0.0)
     p.add_argument("--softmax_latent_temperature", type=float, default=1.0)
     p.add_argument("--esm_embeddings_path", default=None)
+    p.add_argument("--no_overlap_names_path", default=None,
+                   help="text file of test complex names with no receptor "
+                        "overlap with train (evaluate.py:43,217); adds the "
+                        "no_overlap_ metric family")
     p.add_argument("--save_visualisation", action="store_true")
     p.add_argument("--limit_failures", type=int, default=3)
     return p.parse_args(argv)
@@ -73,6 +76,8 @@ def evaluate_complexes(
     out_dir=None,
     save_visualisation=False,
     batch_packs=None,
+    names=None,
+    no_overlap_names=None,
 ):
     """Run inference on a list of pose-replicated batches; return metrics.
 
@@ -83,10 +88,12 @@ def evaluate_complexes(
     meta_index)`` rows describing batch i, which lifts small-complex
     throughput (one compile + one launch amortized over the pack).
     ``lig_meta``: optional per-complex dicts {elements, bonds} for symmetry
-    RMSD (plain RMSD without).
+    RMSD (plain RMSD without).  ``names``: per-complex names (same indexing
+    as lig_meta); with ``no_overlap_names`` (a set) the receptor-unseen
+    subset gets its own no_overlap_ metric family (evaluate.py:391-421).
     """
     all_rmsds, all_conf, all_cent, run_times = [], [], [], []
-    clash, self_int = [], []
+    clash, self_int, row_names = [], [], []
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
 
@@ -140,11 +147,13 @@ def evaluate_complexes(
                 all_cent.append([10000.0] * n)
                 all_conf.append(np.full(n, -10000.0))
                 run_times.append((time.time() - t0) / len(pack))
+                row_names.append(names[ci] if names is not None else str(ci))
             continue
         per_complex_time = (time.time() - t0) / len(pack)
 
         for (ofs, n, ci) in pack:
             run_times.append(per_complex_time)
+            row_names.append(names[ci] if names is not None else str(ci))
             pos = pos_all[ofs : ofs + n]
             mask = np.asarray(batch.lig_mask[ofs])
             true = np.asarray(batch.extras["orig_pos"][ofs])[mask]
@@ -183,7 +192,12 @@ def evaluate_complexes(
     rmsds = np.asarray(all_rmsds)
     confs = np.asarray(all_conf)
     cents = np.asarray(all_cent)
-    metrics = aggregate(rmsds, confs if confs.any() else None, cents)
+    overlap_mask = (
+        np.asarray([n in no_overlap_names for n in row_names])
+        if no_overlap_names else None
+    )
+    metrics = aggregate(rmsds, confs if confs.any() else None, cents,
+                        no_overlap_mask=overlap_mask)
     metrics["run_times_mean"] = float(np.mean(run_times))
     metrics["run_times_std"] = float(np.std(run_times))
     metrics["steric_clash_fraction"] = float(np.mean(clash)) if clash else None
@@ -251,7 +265,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
         # host loop, evaluate.py:221)
         S = args.samples_per_complex
         pack_n = max(1, args.eval_batch_size // S)
-        batches, packs, metas = [], [], []
+        batches, packs, metas, cnames = [], [], [], []
         for g0 in range(0, len(idxs), pack_n):
             group = idxs[g0 : g0 + pack_n]
             recs, pack = [], []
@@ -260,6 +274,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 recs.extend(replicate_record(rec, S))
                 elements = rec["lig_x"][:, 0] + 1  # atomic-number code -> Z
                 metas.append({"elements": elements, "bonds": rec["bonds"][::2]})
+                cnames.append(str(rec.get("name", i)))
                 pack.append((j * S, S, len(metas) - 1))
             batches.append(collate(recs, caps, esm_dim=score_cfg.esm_embedding_dim))
             packs.append(pack)
@@ -292,13 +307,17 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
                                  getattr(args, "softmax_latent_temperature", 1.0))
 
+        no_overlap = None
+        if getattr(args, "no_overlap_names_path", None):
+            with open(args.no_overlap_names_path) as f:
+                no_overlap = {line.strip() for line in f if line.strip()}
         m = evaluate_complexes(
             score_model_view, variables, batches, scfg, sigma,
             jax.random.PRNGKey(bi), latent_fn=latent_fn,
             confidence_model=conf_model, confidence_variables=conf_vars,
             lig_meta=metas, out_dir=os.path.join(args.out_dir, f"bucket{bi}"),
             save_visualisation=args.save_visualisation,
-            batch_packs=packs,
+            batch_packs=packs, names=cnames, no_overlap_names=no_overlap,
         )
         m["n_complexes"] = len(idxs)
         all_metrics.append(m)

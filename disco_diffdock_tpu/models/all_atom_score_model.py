@@ -15,7 +15,6 @@ atom-graph distance embedding reuses the ligand 0-5A expansion (:380).
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -34,7 +34,7 @@ from ..graphs.segment import masked_mean_pool
 from ..nn.basic import AtomEncoder, FCBlock
 from ..nn.batchnorm import MaskedIrrepsBatchNorm
 from ..nn.conv import ConvBlock, TPConvLayer, build_onehots, gather_nodes, gather_pos
-from ..nn.irreps import Irreps, spherical_harmonics_irreps
+from ..nn.irreps import spherical_harmonics_irreps
 from ..nn.sh import irrep_to_vec, spherical_harmonics
 from ..nn.tensor_product import FullTensorProduct, get_irrep_seq
 

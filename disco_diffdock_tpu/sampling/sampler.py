@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geom import so3, torus
 from ..geom.conformer import modify_conformer, masked_mean
 from ..geom.diffusion import SigmaSchedule, get_t_schedule
 from ..geom.rotations import random_rotation_matrix

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Any
 
 import orbax.checkpoint as ocp
 import yaml

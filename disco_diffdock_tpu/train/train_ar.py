@@ -132,7 +132,10 @@ def main(argv=None):
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--latent_dim", type=int, default=2)
-    args = p.parse_args(argv)
+    from .config_overlay import add_config_arg, apply_config_overlay
+
+    add_config_arg(p)
+    args = apply_config_overlay(p.parse_args(argv))
 
     if args.synthetic:
         caps = GraphCaps(

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
 
 import jax
 import jax.numpy as jnp
@@ -147,7 +146,10 @@ def main(argv=None):
     p.add_argument("--ns", type=int, default=24)
     p.add_argument("--nv", type=int, default=6)
     p.add_argument("--num_conv_layers", type=int, default=5)
-    args = p.parse_args(argv)
+    from .config_overlay import add_config_arg, apply_config_overlay
+
+    add_config_arg(p)
+    args = apply_config_overlay(p.parse_args(argv))
 
     sigma = SigmaSchedule()
     esm_dim = 16

@@ -16,7 +16,6 @@ import argparse
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -167,7 +166,10 @@ def main(argv=None):
     p.add_argument("--no_latents", dest="use_latents", action="store_false")
     p.add_argument("--sampling_alpha", type=float, default=1.0)
     p.add_argument("--sampling_beta", type=float, default=1.0)
-    args = p.parse_args(argv)
+    from .config_overlay import add_config_arg, apply_config_overlay
+
+    add_config_arg(p)
+    args = apply_config_overlay(p.parse_args(argv))
 
     sigma = SigmaSchedule()
     if args.synthetic:

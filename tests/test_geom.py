@@ -2,7 +2,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from disco_diffdock_tpu.geom import (
     conformer,

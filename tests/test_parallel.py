@@ -6,7 +6,6 @@ verify that sharding is semantics-preserving: a deterministic forward over an
 step runs with synchronized gradients.
 """
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest

@@ -24,13 +24,11 @@ from __future__ import annotations
 
 import importlib.util
 import os
-import sys
 
 import numpy as np
 import pytest
 import torch
 
-import jax
 import jax.numpy as jnp
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -114,9 +114,11 @@ class TestARTraining:
 
 
 class TestEvaluateReal:
-    def test_full_eval_with_confidence_and_ar(self, dirs, score_run):
+    def test_full_eval_with_confidence_and_ar(self, dirs, score_run, tmp_path):
         from disco_diffdock_tpu.eval.evaluate import main
 
+        no_overlap = tmp_path / "no_overlap"
+        no_overlap.write_text("fix3\n")  # receptor-unseen subset = the test complex
         metrics = main([
             "--data_dir", DATA,
             "--split_path", os.path.join(SPLITS, "fixture_test"),
@@ -125,6 +127,7 @@ class TestEvaluateReal:
             "--confidence_model_dir", os.path.join(dirs["runs"], "conf"),
             "--ar_model_dir", os.path.join(dirs["runs"], "ar"),
             "--samples_per_complex", "2", "--inference_steps", "2",
+            "--no_overlap_names_path", str(no_overlap),
             "--out_dir", dirs["eval"],
         ])
         assert metrics["n_complexes"] == 1
@@ -134,7 +137,10 @@ class TestEvaluateReal:
                          "centroid_distances.npy", "run_times.npy"):
             assert os.path.exists(os.path.join(bucket, artifact)), artifact
         with open(os.path.join(bucket, "metrics.json")) as f:
-            assert "filtered_rmsds_below_2" in json.load(f)
+            m = json.load(f)
+            assert "filtered_rmsds_below_2" in m
+            # receptor-unseen subset metrics (evaluate.py:420-421 parity)
+            assert "no_overlap_rmsds_below_2" in m
 
 
 class TestDockCLI:

@@ -3,8 +3,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from disco_diffdock_tpu.config import GraphCaps, ScoreModelConfig
-from disco_diffdock_tpu.data.synthetic import make_complex_batch
 from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
 from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
 from disco_diffdock_tpu.sampling import SamplerConfig, randomize_position, sampling

@@ -97,3 +97,67 @@ class TestEMAScope:
         ema = ema.update({"dense": {"w": jnp.full((2,), 2.0)}})
         s = np.asarray(ema.shadow["dense"]["w"])
         assert np.all(s > 1.0) and np.all(s < 2.0)
+
+
+class TestConfigOverlay:
+    """--config yml overlay (reference confidence_train.py:99-108 semantics:
+    yml entries override parsed flags; list values append)."""
+
+    def test_override_and_append(self, tmp_path):
+        import argparse
+
+        from disco_diffdock_tpu.train.config_overlay import (
+            add_config_arg, apply_config_overlay)
+
+        p = argparse.ArgumentParser()
+        p.add_argument("--lr", type=float, default=1e-3)
+        p.add_argument("--cutoffs", type=float, nargs="*", default=[2.0])
+        add_config_arg(p)
+        cfg = tmp_path / "c.yml"
+        cfg.write_text("lr: 0.5\ncutoffs: [5.0]\n")
+        args = apply_config_overlay(p.parse_args(["--lr", "9", "--config", str(cfg)]))
+        assert args.lr == 0.5  # yml overrides CLI
+        assert args.cutoffs == [2.0, 5.0]  # list appends
+
+    def test_unknown_key_fails_loudly(self, tmp_path):
+        import argparse
+
+        import pytest
+
+        from disco_diffdock_tpu.train.config_overlay import (
+            add_config_arg, apply_config_overlay)
+
+        p = argparse.ArgumentParser()
+        add_config_arg(p)
+        cfg = tmp_path / "c.yml"
+        cfg.write_text("nonsense_flag: 1\n")
+        with pytest.raises(SystemExit, match="nonsense_flag"):
+            apply_config_overlay(p.parse_args(["--config", str(cfg)]))
+
+    def test_shipped_presets_parse(self):
+        """Every configs/*.yml preset names only real train-driver flags."""
+        import os
+        import re
+
+        import yaml
+
+        def flags_of(module_path):
+            src = open(module_path).read()
+            return set(re.findall(r'add_argument\("--([a-z_0-9]+)"', src)) | {
+                "config"
+            }
+
+        pkg = os.path.join(os.path.dirname(__file__), "..", "disco_diffdock_tpu", "train")
+        drivers = {
+            "disco_diffdockS_score.yml": "train_score.py",
+            "diffdockS_score.yml": "train_score.py",
+            "paper_confidence.yml": "train_confidence.py",
+            "disco_diffdockS_ar.yml": "train_ar.py",
+        }
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        for fn, driver in drivers.items():
+            opts = flags_of(os.path.join(pkg, driver))
+            with open(os.path.join(root, fn)) as f:
+                preset = yaml.safe_load(f)
+            unknown = set(preset) - opts
+            assert not unknown, (fn, unknown)
