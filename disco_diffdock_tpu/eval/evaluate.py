@@ -59,6 +59,8 @@ def parse_args(argv=None):
                         "no_overlap_ metric family")
     p.add_argument("--save_visualisation", action="store_true")
     p.add_argument("--limit_failures", type=int, default=3)
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--project", default="disco_diffdock_tpu")
     return p.parse_args(argv)
 
 
@@ -372,6 +374,12 @@ def main(argv=None):
         metrics = evaluate_real(args, scfg, sigma)
 
     print(json.dumps(metrics, indent=2))
+    from ..utils.wandb_log import maybe_wandb
+
+    wandb_run = maybe_wandb(args.wandb, args.project, "evaluate", vars(args))
+    if wandb_run:
+        wandb_run.log({k: v for k, v in metrics.items()
+                       if isinstance(v, (int, float)) and v is not None})
     return metrics
 
 

@@ -132,6 +132,8 @@ def main(argv=None):
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--latent_dim", type=int, default=2)
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--project", default="disco_diffdock_tpu")
     from .config_overlay import add_config_arg, apply_config_overlay
 
     add_config_arg(p)
@@ -232,6 +234,9 @@ def main(argv=None):
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(3)
+    from ..utils.wandb_log import maybe_wandb
+
+    wandb_run = maybe_wandb(args.wandb, args.project, args.run_name, vars(args))
     for epoch in range(args.epochs):
         if epoch == args.warmup_epochs:
             # unfreeze with a fresh optimizer (train_ar.py:309-313)
@@ -246,6 +251,10 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={np.mean([m['loss'] for m in ms]):.4f} "
               f"acc={np.mean([m['accuracy'] for m in ms]):.3f} "
               f"({'frozen' if epoch < args.warmup_epochs else 'unfrozen'} trunk)")
+        if wandb_run:
+            wandb_run.log({"loss": float(np.mean([m['loss'] for m in ms])),
+                           "accuracy": float(np.mean([m['accuracy'] for m in ms]))},
+                          step=epoch)
         ckpt.save("last", state)
 
     # sequential decode accuracy (train_ar.py:152-216)
@@ -262,6 +271,8 @@ def main(argv=None):
     true_nodes = np.asarray(soft).argmax(-1)
     seq_acc = float((pred_nodes == true_nodes).mean())
     print(f"sequential encode_ar accuracy: {seq_acc:.3f}")
+    if wandb_run:
+        wandb_run.log({"sequential_accuracy": float(seq_acc)})
     ckpt.save("best", state)
     print("AR training done")
     return state

@@ -143,6 +143,8 @@ def main(argv=None):
     p.add_argument("--cache_dir", default=None)
     p.add_argument("--cache_creation_id", type=int, default=0)
     # confidence-model scale (defaults = shipped all-atom confidence model)
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--project", default="disco_diffdock_tpu")
     p.add_argument("--ns", type=int, default=24)
     p.add_argument("--nv", type=int, default=6)
     p.add_argument("--num_conv_layers", type=int, default=5)
@@ -247,6 +249,9 @@ def main(argv=None):
 
     rng = np.random.RandomState(0)
     key = jax.random.PRNGKey(3)
+    from ..utils.wandb_log import maybe_wandb
+
+    wandb_run = maybe_wandb(args.wandb, args.project, args.run_name, vars(args))
     for epoch in range(args.epochs):
         metrics, scores, labels_all = [], [], []
         for batch, (pos, rmsd) in zip(batches, data):
@@ -275,6 +280,8 @@ def main(argv=None):
         acc = np.mean([m["accuracy"] for m in metrics])
         auc = roc_auc(np.concatenate(labels_all), np.concatenate(scores)) if scores else float("nan")
         print(f"epoch {epoch}: loss={loss:.4f} acc={acc:.3f} auc={auc:.3f}")
+        if wandb_run:
+            wandb_run.log({"loss": loss, "accuracy": acc, "auc": auc}, step=epoch)
         ckpt.save("last", state)
     ckpt.save("best", state)
     print("confidence training done")
