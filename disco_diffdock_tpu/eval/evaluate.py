@@ -59,6 +59,9 @@ def parse_args(argv=None):
                         "no_overlap_ metric family")
     p.add_argument("--save_visualisation", action="store_true")
     p.add_argument("--limit_failures", type=int, default=3)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help=">1 shards each program's batch axis over a data "
+                        "mesh (batch size must divide it)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
     return p.parse_args(argv)
@@ -80,6 +83,7 @@ def evaluate_complexes(
     batch_packs=None,
     names=None,
     no_overlap_names=None,
+    mesh=None,
 ):
     """Run inference on a list of pose-replicated batches; return metrics.
 
@@ -93,7 +97,20 @@ def evaluate_complexes(
     RMSD (plain RMSD without).  ``names``: per-complex names (same indexing
     as lig_meta); with ``no_overlap_names`` (a set) the receptor-unseen
     subset gets its own no_overlap_ metric family (evaluate.py:391-421).
+    With ``mesh`` (a jax.sharding.Mesh with a "data" axis) each program's
+    batch axis shards across devices -- poses/complexes are independent, so
+    inference is embarrassingly data-parallel; variables replicate and XLA
+    partitions the program (the multi-chip serving path; the reference's
+    closest analogue is DataParallel inference, utils/model_utils.py:98-99).
+    The batch size must divide the mesh size.
     """
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch
+
+        variables = replicate(variables, mesh)
+        complex_batches = [shard_batch(b, mesh) for b in complex_batches]
+        if confidence_variables is not None:
+            confidence_variables = replicate(confidence_variables, mesh)
     all_rmsds, all_conf, all_cent, run_times = [], [], [], []
     clash, self_int, row_names = [], [], []
     if out_dir:
@@ -238,6 +255,12 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
 
     score_cfg, enc_cfg, run_caps = load_run_configs(args.model_dir)
 
+    mesh = None
+    if getattr(args, "n_devices", 1) > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(args.n_devices)
+
     ds = PDBBind(PDBBindConfig(
         data_dir=args.data_dir, split_path=args.split_path,
         cache_path=args.cache_path,
@@ -320,6 +343,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             lig_meta=metas, out_dir=os.path.join(args.out_dir, f"bucket{bi}"),
             save_visualisation=args.save_visualisation,
             batch_packs=packs, names=cnames, no_overlap_names=no_overlap,
+            mesh=mesh,
         )
         m["n_complexes"] = len(idxs)
         all_metrics.append(m)
@@ -366,9 +390,15 @@ def main(argv=None):
             for s in range(args.n_complexes)
         ]
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+        mesh = None
+        if args.n_devices > 1:
+            from ..parallel import make_mesh
+
+            mesh = make_mesh(args.n_devices)
         metrics = evaluate_complexes(
             model, variables, batches, scfg, sigma, jax.random.PRNGKey(1),
             out_dir=args.out_dir, save_visualisation=args.save_visualisation,
+            mesh=mesh,
         )
     else:
         metrics = evaluate_real(args, scfg, sigma)

@@ -58,3 +58,26 @@ def test_shard_map_train_step_runs_and_syncs(setup):
     # replicated output means a single consistent value
     leaf = jax.tree.leaves(new_state.params)[0]
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+class TestShardedEval:
+    def test_sharded_eval_matches_unsharded(self, tmp_path):
+        """Mesh-sharded evaluation (batch axis over 8 virtual devices)
+        reproduces the single-device metrics -- inference is batch-parallel,
+        so sharding must be a pure partitioning."""
+        import json
+        import os
+
+        from disco_diffdock_tpu.eval.evaluate import main
+
+        common = ["--synthetic", "--n_complexes", "2",
+                  "--samples_per_complex", "8", "--inference_steps", "2"]
+        m1 = main(common + ["--out_dir", str(tmp_path / "single")])
+        m8 = main(common + ["--n_devices", "8", "--out_dir", str(tmp_path / "mesh")])
+        assert np.isfinite(m8["rmsds_below_5"])
+        for key in ("rmsds_below_2", "rmsds_below_5", "best_rmsds_mean"):
+            if key in m1:
+                assert abs(m1[key] - m8[key]) < 1e-3, (key, m1[key], m8[key])
+        r1 = np.load(os.path.join(tmp_path, "single", "rmsds.npy"))
+        r8 = np.load(os.path.join(tmp_path, "mesh", "rmsds.npy"))
+        np.testing.assert_allclose(r1, r8, atol=1e-3)
