@@ -135,7 +135,15 @@ def audit_trajectory(run_traj, batch, key) -> dict:
     }
 
 
+def _enable_compile_cache():
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache", "jax")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 def main():
+    _enable_compile_cache()
     run, run_traj, batch = build()
     profile = "--profile" in sys.argv
     # warmup / compile

@@ -39,7 +39,12 @@ def parse_args(argv=None):
     p.add_argument("--protein", default=None, help="receptor PDB path")
     p.add_argument("--protein_sequence", default=None,
                    help="fold with ESMFold when no --protein is given")
-    p.add_argument("--ligand", required=True, help="SDF/MOL2 path or SMILES")
+    p.add_argument("--ligand", default=None, help="SDF/MOL2 path or SMILES")
+    p.add_argument("--protein_ligand_csv", default=None,
+                   help="batch mode: CSV with header complex_name,"
+                        "protein_path,ligand_description[,protein_sequence]; "
+                        "programs compile once per shape bucket and are "
+                        "reused across rows")
     p.add_argument("--model_dir", required=True, help="trained score run dir")
     p.add_argument("--confidence_model_dir", default=None)
     p.add_argument("--ar_model_dir", default=None)
@@ -206,8 +211,54 @@ def dock(args):
     return results
 
 
+def dock_csv(args):
+    """Batch docking over a protein/ligand CSV (reference InferenceDataset's
+    list inputs, utils/inference_utils.py:153-210), through the serving
+    layer so same-bucket rows reuse one compiled program."""
+    import csv
+
+    from ..serve import DockingService
+
+    service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt)
+    os.makedirs(args.out_dir, exist_ok=True)
+    results = []
+    with open(args.protein_ligand_csv) as f:
+        for i, row in enumerate(csv.DictReader(f)):
+            name = row.get("complex_name") or f"complex{i}"
+            try:
+                out = service.dock(
+                    row.get("protein_path") or None,
+                    row["ligand_description"],
+                    samples=args.samples_per_complex,
+                    steps=args.inference_steps,
+                    seed=args.seed + i, name=name,
+                    protein_sequence=row.get("protein_sequence") or None,
+                    out_dir=args.out_dir,
+                )
+            except Exception as e:
+                print(f"| WARNING: {name} failed ({type(e).__name__}: {e})")
+                results.append({"name": name, "error": str(e)})
+                continue
+            row_dir = os.path.join(args.out_dir, name)
+            os.makedirs(row_dir, exist_ok=True)
+            for pose in out["poses"]:
+                with open(os.path.join(row_dir, f"rank{pose['rank']}.sdf"), "w") as g:
+                    g.write(pose.pop("sdf"))
+            results.append(out)
+            print(f"{name}: best confidence {out['poses'][0]['confidence']:.3f} "
+                  f"({out['seconds']}s)")
+    with open(os.path.join(args.out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
 def main(argv=None):
-    return dock(parse_args(argv))
+    args = parse_args(argv)
+    if args.protein_ligand_csv:
+        return dock_csv(args)
+    if not args.ligand:
+        raise SystemExit("need --ligand (or --protein_ligand_csv)")
+    return dock(args)
 
 
 if __name__ == "__main__":

@@ -105,8 +105,10 @@ class DockingService:
             self._programs[key] = _run
         return self._programs[key]
 
-    def dock(self, protein_path: str, ligand: str, samples: int = 10,
-             steps: int = 20, seed: int = 0, name: str = "complex") -> dict:
+    def dock(self, protein_path: str | None, ligand: str, samples: int = 10,
+             steps: int = 20, seed: int = 0, name: str = "complex",
+             protein_sequence: str | None = None, out_dir: str | None = None,
+             esm: "np.ndarray | None" = None, esmfold_model=None) -> dict:
         from .data import minichem
         from .data.collate import collate, fits, replicate_record
         from .data.inference import record_from_paths
@@ -115,8 +117,10 @@ class DockingService:
         with self._lock:  # the chip is a serial resource
             t0 = time.time()
             rec = record_from_paths(
-                protein_path, ligand, name=name,
+                protein_path, ligand, name=name, esm=esm,
                 all_atoms=self._conf_cfg is not None and self._conf_cfg.all_atoms,
+                protein_sequence=protein_sequence, out_dir=out_dir,
+                esmfold_model=esmfold_model,
             )
             if rec is None:
                 raise ValueError("featurization failed")

@@ -219,3 +219,31 @@ class TestServe:
             assert r.status == 500 and "error" in json.loads(r.read())
         finally:
             server.shutdown()
+
+
+class TestDockCSV:
+    def test_batch_csv(self, dirs, score_run, tmp_path):
+        """Batch docking over a CSV; same-bucket rows reuse one compiled
+        program through the serving layer."""
+        from disco_diffdock_tpu.eval.dock import main
+
+        csv_path = tmp_path / "jobs.csv"
+        rows = ["complex_name,protein_path,ligand_description"]
+        for name in ("fix1", "fix2"):
+            rows.append(
+                f"{name},{os.path.join(DATA, name, name + '_protein_processed.pdb')},"
+                f"{os.path.join(DATA, name, name + '_ligand.sdf')}"
+            )
+        csv_path.write_text("\n".join(rows) + "\n")
+        out = str(tmp_path / "batch")
+        results = main([
+            "--protein_ligand_csv", str(csv_path),
+            "--model_dir", score_run,
+            "--samples_per_complex", "2", "--inference_steps", "2",
+            "--out_dir", out,
+        ])
+        assert len(results) == 2
+        for name in ("fix1", "fix2"):
+            assert os.path.exists(os.path.join(out, name, "rank1.sdf"))
+        with open(os.path.join(out, "results.json")) as f:
+            assert len(json.load(f)) == 2
