@@ -34,6 +34,23 @@ def load_run_configs(run_dir: str):
     return score_cfg, enc_cfg, caps
 
 
+def merge_matching(template, restored):
+    """Non-strict parameter merge (reference ``non_strict_loading``,
+    train.py:131-138): take restored leaves whose path and shape match the
+    template; keep freshly-initialized values for everything else.  Lets a
+    tweaked architecture warm-start from an older run's checkpoint."""
+    if isinstance(template, dict):
+        if not isinstance(restored, dict):
+            return template
+        return {
+            k: merge_matching(v, restored[k]) if k in restored else v
+            for k, v in template.items()
+        }
+    t_shape = getattr(template, "shape", None)
+    r_shape = getattr(restored, "shape", None)
+    return restored if t_shape == r_shape else template
+
+
 def restore_variables(run_dir: str, tag: str, use_ema: bool = True):
     """Restore ``{"params", "batch_stats"}`` from a run dir (EMA params by
     default).  Template-free: reads the raw checkpoint pytree, so it works

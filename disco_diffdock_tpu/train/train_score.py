@@ -160,6 +160,10 @@ def main(argv=None):
     p.add_argument("--restart", action="store_true")
     p.add_argument("--restart_lr", type=float, default=None,
                    help="override the learning rate when restarting")
+    p.add_argument("--non_strict_loading", action="store_true",
+                   help="on restart, merge only the checkpoint leaves whose "
+                        "path+shape match the current model (escape hatch "
+                        "for architecture tweaks; reference train.py:131-138)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
     p.add_argument("--use_latents", action="store_true", default=True)
@@ -264,8 +268,21 @@ def main(argv=None):
         ema_scope="score_model" if enc_cfg is not None else None,
     )
     if args.restart and ckpt.exists("last"):
-        state = ckpt.restore("last", state)
-        print(f"restarted from step {int(state.step)}")
+        if args.non_strict_loading:
+            from .loading import merge_matching
+
+            raw = ckpt.restore_raw("last")
+            state = state.replace(
+                params=merge_matching(state.params, raw.get("params", {})),
+                batch_stats=merge_matching(state.batch_stats, raw.get("batch_stats") or {}),
+                ema=state.ema.replace(
+                    shadow=merge_matching(state.ema.shadow,
+                                          (raw.get("ema") or {}).get("shadow", {}))),
+            )
+            print("restarted (non-strict merge; optimizer state fresh)")
+        else:
+            state = ckpt.restore("last", state)
+            print(f"restarted from step {int(state.step)}")
         if args.restart_lr is not None:
             # fresh optimizer at the overridden LR (train.py:121-124)
             tx = optax.adam(args.restart_lr)
