@@ -135,4 +135,120 @@ float min_cross_distance(const float* a, int na, const float* b, int nb_) {
   return std::sqrt(best);
 }
 
+// Bond-graph automorphism enumeration (element-labelled nodes, unlabelled
+// edges) for symmetry-corrected RMSD -- the native replacement for the
+// networkx VF2 fallback (reference uses compiled spyrmsd, utils/utils.py:84).
+// Backtracking over vertices in BFS order from the rarest (element, degree,
+// neighbor-element-multiset) class, pruning by exact adjacency consistency
+// against all previously mapped vertices (bitset rows).  Writes up to
+// max_count permutations (each n int32s) into out; returns the count.
+int graph_automorphisms(const int32_t* elements, int n, const int32_t* bonds,
+                        int n_bonds, int32_t* out, int max_count) {
+  if (n <= 0 || max_count <= 0) return 0;
+  const int words = (n + 63) / 64;
+  std::vector<uint64_t> adj(static_cast<size_t>(n) * words, 0);
+  std::vector<std::vector<int>> nbrs(n);
+  for (int e = 0; e < n_bonds; ++e) {
+    int a = bonds[2 * e], b = bonds[2 * e + 1];
+    if (a < 0 || b < 0 || a >= n || b >= n) continue;
+    adj[static_cast<size_t>(a) * words + b / 64] |= 1ull << (b % 64);
+    adj[static_cast<size_t>(b) * words + a / 64] |= 1ull << (a % 64);
+    nbrs[a].push_back(b);
+    nbrs[b].push_back(a);
+  }
+  auto adjacent = [&](int a, int b) {
+    return (adj[static_cast<size_t>(a) * words + b / 64] >> (b % 64)) & 1ull;
+  };
+
+  // initial class: (element, degree, sorted multiset of neighbor elements)
+  std::vector<std::vector<int>> sig(n);
+  for (int i = 0; i < n; ++i) {
+    sig[i].push_back(elements[i]);
+    sig[i].push_back(static_cast<int>(nbrs[i].size()));
+    std::vector<int> ne;
+    for (int j : nbrs[i]) ne.push_back(elements[j]);
+    std::sort(ne.begin(), ne.end());
+    sig[i].insert(sig[i].end(), ne.begin(), ne.end());
+  }
+  std::vector<int> cls(n);          // class id per vertex
+  std::vector<int> cls_size;
+  {
+    std::vector<int> order(n);
+    for (int i = 0; i < n; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(),
+              [&](int a, int b) { return sig[a] < sig[b]; });
+    int cid = -1;
+    for (size_t k = 0; k < order.size(); ++k) {
+      if (k == 0 || sig[order[k]] != sig[order[k - 1]]) {
+        ++cid;
+        cls_size.push_back(0);
+      }
+      cls[order[k]] = cid;
+      ++cls_size[cid];
+    }
+  }
+
+  // vertex order: BFS from the vertex of the rarest class (ties: lowest id),
+  // unvisited components appended the same way
+  std::vector<int> order;
+  order.reserve(n);
+  std::vector<char> seen(n, 0);
+  while (static_cast<int>(order.size()) < n) {
+    int start = -1;
+    for (int i = 0; i < n; ++i)
+      if (!seen[i] && (start < 0 || cls_size[cls[i]] < cls_size[cls[start]]))
+        start = i;
+    std::vector<int> queue{start};
+    seen[start] = 1;
+    for (size_t q = 0; q < queue.size(); ++q) {
+      int v = queue[q];
+      order.push_back(v);
+      for (int j : nbrs[v])
+        if (!seen[j]) { seen[j] = 1; queue.push_back(j); }
+    }
+  }
+
+  std::vector<int> map(n, -1), used(n, 0);
+  int count = 0;
+  // iterative backtracking over `order`
+  std::vector<int> cand_pos(n, 0);
+  int depth = 0;
+  while (depth >= 0) {
+    if (depth == n) {
+      for (int i = 0; i < n; ++i) out[static_cast<size_t>(count) * n + i] = map[i];
+      if (++count >= max_count) return count;
+      --depth;
+      if (depth >= 0) {
+        used[map[order[depth]]] = 0;
+        map[order[depth]] = -1;
+      }
+      continue;
+    }
+    int v = order[depth];
+    int w = -1;
+    for (int c = cand_pos[depth]; c < n; ++c) {
+      if (used[c] || cls[c] != cls[v]) continue;
+      bool ok = true;
+      for (int d = 0; d < depth && ok; ++d) {
+        int u = order[d];
+        if (adjacent(v, u) != adjacent(c, map[u])) ok = false;
+      }
+      if (ok) { w = c; cand_pos[depth] = c + 1; break; }
+    }
+    if (w < 0) {
+      cand_pos[depth] = 0;
+      --depth;
+      if (depth >= 0) {
+        used[map[order[depth]]] = 0;
+        map[order[depth]] = -1;
+      }
+      continue;
+    }
+    map[v] = w;
+    used[w] = 1;
+    ++depth;
+  }
+  return count;
+}
+
 }  // extern "C"

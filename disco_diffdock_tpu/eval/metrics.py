@@ -40,23 +40,47 @@ def rmsd(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.sqrt(((a - b) ** 2).sum(-1).mean()))
 
 
+_AUTOMORPHISM_CACHE: dict = {}
+
+
 def ligand_automorphisms(
     elements: np.ndarray, bonds: np.ndarray, max_count: int = 1000
 ) -> list[np.ndarray]:
-    """Permutations of atom indices preserving elements and bonds."""
-    G = nx.Graph()
-    for i, e in enumerate(elements):
-        G.add_node(i, el=int(e))
-    for a, b in bonds:
-        G.add_edge(int(a), int(b))
-    matcher = nx.algorithms.isomorphism.GraphMatcher(
-        G, G, node_match=lambda x, y: x["el"] == y["el"]
+    """Permutations of atom indices preserving elements and bonds.
+
+    Native C++ backtracking search when available (csrc/graph_ops.cpp
+    ``graph_automorphisms``), networkx VF2 otherwise.  Results are cached per
+    ligand graph: the evaluator calls this once per pose of the same complex
+    (40x in the standard protocol), and the graph never changes within one.
+    """
+    elements = np.asarray(elements)
+    bonds = np.asarray(bonds).reshape(-1, 2)
+    key = (elements.tobytes(), bonds.tobytes(), max_count)
+    if key in _AUTOMORPHISM_CACHE:
+        return _AUTOMORPHISM_CACHE[key]
+
+    from ..ops import native
+
+    perms = native.graph_automorphisms(
+        elements.astype(np.int32), bonds, max_count
     )
-    perms = []
-    for mapping in matcher.isomorphisms_iter():
-        perms.append(np.asarray([mapping[i] for i in range(len(elements))]))
-        if len(perms) >= max_count:
-            break
+    if perms is None:  # no compiler: networkx VF2 fallback
+        G = nx.Graph()
+        for i, e in enumerate(elements):
+            G.add_node(i, el=int(e))
+        for a, b in bonds:
+            G.add_edge(int(a), int(b))
+        matcher = nx.algorithms.isomorphism.GraphMatcher(
+            G, G, node_match=lambda x, y: x["el"] == y["el"]
+        )
+        perms = []
+        for mapping in matcher.isomorphisms_iter():
+            perms.append(np.asarray([mapping[i] for i in range(len(elements))]))
+            if len(perms) >= max_count:
+                break
+    if len(_AUTOMORPHISM_CACHE) > 512:
+        _AUTOMORPHISM_CACHE.clear()
+    _AUTOMORPHISM_CACHE[key] = perms
     return perms
 
 

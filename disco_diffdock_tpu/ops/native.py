@@ -42,6 +42,8 @@ def _load():
         lib.radius_pairs.argtypes = [f32p, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_float, i32p, i32p, ctypes.c_int]
         lib.min_cross_distance.restype = ctypes.c_float
         lib.min_cross_distance.argtypes = [f32p, ctypes.c_int, f32p, ctypes.c_int]
+        lib.graph_automorphisms.restype = ctypes.c_int
+        lib.graph_automorphisms.argtypes = [i32p, ctypes.c_int, i32p, ctypes.c_int, i32p, ctypes.c_int]
         _lib = lib
     except Exception as e:  # pragma: no cover - depends on toolchain
         print(f"| WARNING: native graph_ops unavailable ({e}); using numpy fallback")
@@ -82,6 +84,22 @@ def radius_pairs(pos_a: np.ndarray, pos_b: np.ndarray, cutoff: float, capacity: 
     b = np.empty(cap, np.int32)
     m = lib.radius_pairs(pos_a, len(pos_a), pos_b, len(pos_b), float(cutoff), a, b, cap)
     return a[:m].copy(), b[:m].copy()
+
+
+def graph_automorphisms(elements: np.ndarray, bonds: np.ndarray, max_count: int = 1000):
+    """Element-labelled bond-graph automorphisms (native backtracking search;
+    the symmetry-RMSD hot path).  Returns a list of permutation arrays, or
+    None when the native library is unavailable (caller falls back to
+    networkx VF2)."""
+    lib = _load()
+    if lib is None:
+        return None
+    elements = np.ascontiguousarray(elements, np.int32)
+    bonds = np.ascontiguousarray(np.asarray(bonds).reshape(-1, 2), np.int32)
+    n = len(elements)
+    out = np.empty((max_count, max(n, 1)), np.int32)
+    m = lib.graph_automorphisms(elements, n, bonds, len(bonds), out, max_count)
+    return [out[i, :n].copy() for i in range(m)]
 
 
 def min_cross_distance(a: np.ndarray, b: np.ndarray) -> float:

@@ -98,3 +98,61 @@ class TestPDBWriter:
         assert text.count("MODEL") == 3
         assert text.count("HETATM") == 12  # (3 atoms + 1 latent) x 3 frames
         assert "LAT" in text
+
+
+class TestNativeAutomorphisms:
+    """Native C++ automorphism enumeration vs the networkx VF2 reference
+    (csrc/graph_ops.cpp graph_automorphisms)."""
+
+    def _nx_perms(self, elements, bonds, max_count=1000):
+        import networkx as nx
+
+        G = nx.Graph()
+        for i, e in enumerate(elements):
+            G.add_node(i, el=int(e))
+        for a, b in bonds:
+            G.add_edge(int(a), int(b))
+        matcher = nx.algorithms.isomorphism.GraphMatcher(
+            G, G, node_match=lambda x, y: x["el"] == y["el"])
+        out = []
+        for m in matcher.isomorphisms_iter():
+            out.append(tuple(m[i] for i in range(len(elements))))
+            if len(out) >= max_count:
+                break
+        return set(out)
+
+    def test_matches_networkx_on_random_graphs(self):
+        from disco_diffdock_tpu.ops import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no native toolchain")
+        rng = np.random.RandomState(0)
+        for trial in range(8):
+            n = rng.randint(4, 12)
+            els = rng.choice([1, 6, 7, 8], n)
+            # random spanning tree + a few extra edges
+            bonds = [(i, rng.randint(0, i)) for i in range(1, n)]
+            for _ in range(rng.randint(0, 3)):
+                a, b = rng.randint(0, n, 2)
+                if a != b and (a, b) not in bonds and (b, a) not in bonds:
+                    bonds.append((a, b))
+            bonds = np.asarray(bonds, np.int32)
+            got = {tuple(p.tolist())
+                   for p in native.graph_automorphisms(els.astype(np.int32), bonds)}
+            assert got == self._nx_perms(els, bonds), (trial, n)
+
+    def test_symmetry_rmsd_uses_cache(self):
+        from disco_diffdock_tpu.eval import metrics
+
+        els = np.array([6, 6, 6, 6])
+        bonds = np.array([[0, 1], [1, 2], [2, 3]])
+        pos = np.random.RandomState(1).randn(4, 3)
+        metrics._AUTOMORPHISM_CACHE.clear()
+        r1 = metrics.symmetry_rmsd(pos, pos[::-1], els, bonds)
+        assert len(metrics._AUTOMORPHISM_CACHE) == 1
+        r2 = metrics.symmetry_rmsd(pos, pos[::-1], els, bonds)
+        assert len(metrics._AUTOMORPHISM_CACHE) == 1 and r1 == r2
+        # reversal is an automorphism of the uniform chain -> rmsd 0
+        assert r1 < 1e-6
