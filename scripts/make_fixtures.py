@@ -95,16 +95,29 @@ AA_CYCLE = ["ALA", "SER", "LEU", "VAL", "THR", "GLY", "PHE", "ASP", "LYS",
             "GLU", "ARG", "TYR", "MET", "ILE", "PRO", "ASN"]
 
 
-def make_helix(n_res: int, origin=np.zeros(3)):
-    """Ideal-ish alpha helix: per-residue N/CA/C/O/CB coordinates."""
+def make_helix(n_res: int, origin=np.zeros(3), seed: int = 0):
+    """Alpha-helix-like backbone with broken screw symmetry.
+
+    An IDEAL helix is a perfect screw: the receptor point cloud is invariant
+    (to 0.00 A) under per-residue shifts, which makes the docking pose
+    geometrically underdetermined -- a trained model finds z-translated
+    near-copies of the binding site (caught by
+    scripts/validate_fixture_training.py).  Deterministic per-residue jitter
+    plus a progressive bend make every site geometrically unique.
+    """
+    rng = np.random.RandomState(seed)
     rise, turn, r_ca = 1.5, np.deg2rad(100.0), 2.3
     residues = []
     for i in range(n_res):
         th = i * turn
         z = i * rise
-        ca = origin + np.array([r_ca * np.cos(th), r_ca * np.sin(th), z])
-        n = origin + np.array([1.8 * np.cos(th - 0.7), 1.8 * np.sin(th - 0.7), z - 0.9])
-        c = origin + np.array([1.8 * np.cos(th + 0.7), 1.8 * np.sin(th + 0.7), z + 0.9])
+        # symmetry breakers: radius modulation, axis bend, positional jitter
+        r_i = r_ca * (1.0 + 0.25 * np.sin(i * 0.9))
+        bend = np.array([0.06 * i ** 1.5, 0.04 * i ** 1.4, 0.0])
+        jit = rng.randn(3) * 0.5
+        ca = origin + bend + jit + np.array([r_i * np.cos(th), r_i * np.sin(th), z])
+        n = ca + np.array([1.2 * np.cos(th - 2.0), 1.2 * np.sin(th - 2.0), -0.9])
+        c = ca + np.array([1.2 * np.cos(th + 2.0), 1.2 * np.sin(th + 2.0), 0.9])
         out_dir = np.array([np.cos(th), np.sin(th), 0.0])
         o = c + out_dir * 0.6 + np.array([0, 0, 0.9])
         cb = ca + out_dir * 1.5 + np.array([0, 0, 0.3])
@@ -144,13 +157,25 @@ def main():
         d = os.path.join(FIXTURE_DIR, "pdbbind", name)
         os.makedirs(d, exist_ok=True)
         elements, lig_pos, bonds = make_ligand(kind)
-        residues = make_helix(n_res)
+        residues = make_helix(n_res, seed=sum(map(ord, name)))
         # place the ligand centroid near the helix surface at mid-height
         ca = np.stack([a[2] for r in residues for a in r[1] if a[0] == "CA"])
         target = ca.mean(0) + np.array([6.0, 0.0, 0.0])
         lig_pos = lig_pos - lig_pos.mean(0) + target
         write_sdf(os.path.join(d, f"{name}_ligand.sdf"), name, elements, lig_pos, bonds)
         write_pdb(os.path.join(d, f"{name}_protein_processed.pdb"), residues)
+
+    # deterministic per-residue "language-model" embeddings (stand-in for the
+    # ESM2 pipeline the shipped models train with): a receptor with NO node
+    # embeddings is nearly featureless and the overfit validation stalls at
+    # ~7 A; with per-residue embeddings it converges to ~1.4 A
+    # (scripts/validate_fixture_training.py).  Same npz format as
+    # data/esm.py combine_embeddings.
+    esm = {}
+    for name, kind, n_res in COMPLEXES:
+        rng = np.random.RandomState(1000 + sum(map(ord, name)))
+        esm[name] = rng.randn(n_res, 16).astype(np.float32)
+    np.savez_compressed(os.path.join(FIXTURE_DIR, "esm_fixture.npz"), **esm)
 
     os.makedirs(os.path.join(FIXTURE_DIR, "splits"), exist_ok=True)
     with open(os.path.join(FIXTURE_DIR, "splits", "fixture_train"), "w") as f:
