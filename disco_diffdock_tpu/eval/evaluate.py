@@ -67,6 +67,23 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def run_with_retries(run_fn, batch, key, limit_failures: int, tag=""):
+    """Call ``run_fn(batch, key)`` with fresh keys up to ``limit_failures``
+    times; returns (pos, conf, traj) arrays or (None, None, None) after the
+    last failure (reference retry-then-sentinel, evaluate.py:230,394-408).
+    The host fetch doubles as the device sync."""
+    for attempt in range(max(1, limit_failures)):
+        key, k = jax.random.split(key)
+        try:
+            final, conf, traj = run_fn(batch, k)
+            pos = np.asarray(final.lig_pos)
+            return pos, (np.asarray(conf) if conf is not None else None), traj
+        except Exception as e:
+            print(f"| WARNING: batch{tag} attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {e})")
+    return None, None, None
+
+
 def evaluate_complexes(
     model,
     variables,
@@ -84,6 +101,7 @@ def evaluate_complexes(
     names=None,
     no_overlap_names=None,
     mesh=None,
+    limit_failures: int = 3,
 ):
     """Run inference on a list of pose-replicated batches; return metrics.
 
@@ -148,19 +166,16 @@ def evaluate_complexes(
 
     for bi, batch in enumerate(complex_batches):
         pack = batch_packs[bi]
-        key, k = jax.random.split(key)
         t0 = time.time()
-        try:
-            final, conf, traj = _run(batch, k)
-            # host fetch: the only reliable device sync on the tunneled TPU
-            # platform (block_until_ready returns early there), and the
-            # positions are needed on host anyway
-            pos_all = np.asarray(final.lig_pos)
-            conf_all = np.asarray(conf) if conf is not None else None
-        except Exception as e:
+        # retry with fresh keys before the sentinel (shapes are static, so
+        # the retry targets transient runtime/SVD failures, not OOM)
+        key, k = jax.random.split(key)
+        pos_all, conf_all, traj = run_with_retries(
+            _run, batch, k, limit_failures, tag=f" {bi}")
+        if pos_all is None:
             # failure sentinel parity (evaluate.py:400-408)
-            print(f"| WARNING: batch {bi} failed ({type(e).__name__}: {e}); "
-                  "recording rmsd=10000, confidence=-10000")
+            print(f"| WARNING: batch {bi} failed {max(1, limit_failures)} "
+                  "attempts; recording rmsd=10000, confidence=-10000")
             for (ofs, n, ci) in pack:
                 all_rmsds.append([10000.0] * n)
                 all_cent.append([10000.0] * n)
@@ -343,7 +358,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             lig_meta=metas, out_dir=os.path.join(args.out_dir, f"bucket{bi}"),
             save_visualisation=args.save_visualisation,
             batch_packs=packs, names=cnames, no_overlap_names=no_overlap,
-            mesh=mesh,
+            mesh=mesh, limit_failures=args.limit_failures,
         )
         m["n_complexes"] = len(idxs)
         all_metrics.append(m)
@@ -398,7 +413,7 @@ def main(argv=None):
         metrics = evaluate_complexes(
             model, variables, batches, scfg, sigma, jax.random.PRNGKey(1),
             out_dir=args.out_dir, save_visualisation=args.save_visualisation,
-            mesh=mesh,
+            mesh=mesh, limit_failures=args.limit_failures,
         )
     else:
         metrics = evaluate_real(args, scfg, sigma)

@@ -156,3 +156,41 @@ class TestNativeAutomorphisms:
         assert len(metrics._AUTOMORPHISM_CACHE) == 1 and r1 == r2
         # reversal is an automorphism of the uniform chain -> rmsd 0
         assert r1 < 1e-6
+
+
+class TestRetryHelper:
+    """run_with_retries: reseeded attempts, then the sentinel path
+    (reference evaluate.py:230,394-408)."""
+
+    class _Final:
+        def __init__(self):
+            import numpy as np
+
+            self.lig_pos = np.zeros((2, 3, 3))
+
+    def test_retries_then_succeeds(self):
+        import jax
+
+        from disco_diffdock_tpu.eval.evaluate import run_with_retries
+
+        calls = {"n": 0}
+
+        def flaky(batch, key):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                raise RuntimeError("transient")
+            return self._Final(), None, None
+
+        pos, conf, traj = run_with_retries(flaky, None, jax.random.PRNGKey(0), 3)
+        assert pos is not None and calls["n"] == 3
+
+    def test_exhausts_to_sentinel(self):
+        import jax
+
+        from disco_diffdock_tpu.eval.evaluate import run_with_retries
+
+        def broken(batch, key):
+            raise RuntimeError("always")
+
+        pos, conf, traj = run_with_retries(broken, None, jax.random.PRNGKey(0), 2)
+        assert pos is None and conf is None and traj is None
