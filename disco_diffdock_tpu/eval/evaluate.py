@@ -64,7 +64,10 @@ def parse_args(argv=None):
                         "mesh (batch size must divide it)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
-    return p.parse_args(argv)
+    from ..train.config_overlay import add_config_arg, apply_config_overlay
+
+    add_config_arg(p)
+    return apply_config_overlay(p.parse_args(argv))
 
 
 def run_with_retries(run_fn, batch, key, limit_failures: int, tag=""):

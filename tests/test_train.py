@@ -153,6 +153,8 @@ class TestConfigOverlay:
             "diffdockS_score.yml": "train_score.py",
             "paper_confidence.yml": "train_confidence.py",
             "disco_diffdockS_ar.yml": "train_ar.py",
+            "inference_diffdockS.yml": "../eval/evaluate.py",
+            "inference_disco_diffdockS.yml": "../eval/evaluate.py",
         }
         root = os.path.join(os.path.dirname(__file__), "..", "configs")
         for fn, driver in drivers.items():
