@@ -8,11 +8,10 @@ the two train complexes and docks them with the 20-step sampler.  Catches
 sign/convention bugs the synthetic path cannot (real torsion masks, real
 bond graphs, PDB parsing, centering).
 
-Measured on one TPU v5e-class chip (~10 min, 800 steps, joint 2-complex
-overfit):
-    fix1: initial 27.1 A -> final mean 3.12 (min 0.87); 88% < 5 A
-    fix2: initial 27.6 A -> final mean 3.49 (min 1.69); 75% < 5 A
-    (single-complex variant: 1.40 A mean, 100% < 5 A, 62% < 2 A)
+Measured on one TPU v5e-class chip (~10 min, 2000 steps, joint 2-complex
+overfit; loss 0.136):
+    fix1: initial 27.1 A -> final mean 1.37 (min 0.50); 100% < 2 A
+    fix2: initial 27.6 A -> final mean 1.51 (min 0.53); 75% < 2 A, 100% < 5 A
 Two findings this validation caught, both now baked into the fixtures:
 an IDEAL helix is a perfect screw (pose geometrically underdetermined;
 the generator now breaks the symmetry), and a receptor without LM node
@@ -83,9 +82,9 @@ def train100(state, key):
 
 
 t0 = time.time()
-for i in range(8):
+for i in range(20):
     state, losses = train100(state, jax.random.PRNGKey(100 + i))
-    if (i + 1) % 2 == 0:
+    if (i + 1) % 4 == 0:
         print(f"steps {(i + 1) * 100}: loss {float(losses[-10:].mean()):.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
 
