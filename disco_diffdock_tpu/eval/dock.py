@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--esm_embeddings_path", default=None,
                    help="npz of name -> (n_res, dim) LM embeddings")
     p.add_argument("--keep_local_structures", action="store_true")
+    p.add_argument("--save_visualisation", action="store_true",
+                   help="write per-pose reverse-diffusion trajectories as "
+                        "multi-MODEL PDB files")
     p.add_argument("--temp_sampling", type=float, nargs=3, default=[1.0, 1.0, 1.0])
     p.add_argument("--temp_psi", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--temp_sigma_data", type=float, nargs=3, default=[0.5, 0.5, 0.5])
@@ -174,6 +177,7 @@ def dock(args):
         temp_psi=tuple(args.temp_psi),
         temp_sigma_data=tuple(args.temp_sigma_data),
         cfg_weight=args.classifier_free_guidance_weight,
+        return_trajectory=args.save_visualisation,
     )
 
     @jax.jit
@@ -186,7 +190,7 @@ def dock(args):
             confidence_model=conf_model, confidence_variables=conf_vars,
         )
 
-    final, conf, _ = _run(batch, jax.random.PRNGKey(args.seed))
+    final, conf, traj = _run(batch, jax.random.PRNGKey(args.seed))
     pos = np.asarray(final.lig_pos)  # host fetch = device sync
     confs = np.asarray(conf) if conf is not None else np.zeros(S)
     mask = np.asarray(batch.lig_mask[0])
@@ -203,6 +207,13 @@ def dock(args):
             f.write(minichem.write_sdf(wmol, p, name=f"{name}_rank{rank}"))
         results.append({"rank": rank, "file": os.path.basename(path),
                         "confidence": float(confs[i])})
+        if args.save_visualisation and traj is not None:
+            from .visualise import PDBTrajectory
+
+            viz = PDBTrajectory(wmol.elements)
+            for frame in np.asarray(traj)[:, i]:
+                viz.add(frame[mask] + center)
+            viz.write(os.path.join(args.out_dir, f"{name}_rank{rank}_traj.pdb"))
     with open(os.path.join(args.out_dir, f"{name}_results.json"), "w") as f:
         json.dump({"name": name, "poses": results}, f, indent=2)
     print(json.dumps({"name": name, "n_poses": S,

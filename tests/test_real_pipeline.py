@@ -157,6 +157,7 @@ class TestDockCLI:
             "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
             "--model_dir", score_run,
             "--samples_per_complex", "2", "--inference_steps", "2",
+            "--save_visualisation",
             "--out_dir", out,
         ])
         assert len(results) == 2 and results[0]["rank"] == 1
@@ -172,6 +173,9 @@ class TestDockCLI:
         assert np.isfinite(mol.pos).all()
         with open(os.path.join(out, "fix1_protein_processed_results.json")) as f:
             assert len(json.load(f)["poses"]) == 2
+        traj = os.path.join(out, "fix1_protein_processed_rank1_traj.pdb")
+        assert os.path.exists(traj)
+        assert open(traj).read().count("MODEL") >= 2  # one frame per step
 
 
 class TestServe:
