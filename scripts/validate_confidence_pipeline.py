@@ -30,7 +30,7 @@ from disco_diffdock_tpu.data.synthetic import make_complex_batch
 from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
 from disco_diffdock_tpu.models.all_atom_score_model import AllAtomScoreModel
 from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
-from disco_diffdock_tpu.sampling import SamplerConfig, randomize_position, sampling
+from disco_diffdock_tpu.sampling import SamplerConfig
 from disco_diffdock_tpu.train.steps import TrainState, make_train_step
 from disco_diffdock_tpu.train.train_confidence import (
     generate_confidence_dataset, make_confidence_train_step, roc_auc)
