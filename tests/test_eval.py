@@ -143,6 +143,20 @@ class TestNativeAutomorphisms:
                    for p in native.graph_automorphisms(els.astype(np.int32), bonds)}
             assert got == self._nx_perms(els, bonds), (trial, n)
 
+    def test_disconnected_fragments(self):
+        """Multi-fragment ligands occur in PDBBind; fragment swaps and
+        per-fragment flips must all enumerate (2 x 2 x 2 = 8 here)."""
+        from disco_diffdock_tpu.ops import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no native toolchain")
+        els = np.array([6, 6, 6, 6], np.int32)
+        bonds = np.array([[0, 1], [2, 3]], np.int32)
+        got = {tuple(p.tolist()) for p in native.graph_automorphisms(els, bonds)}
+        assert got == self._nx_perms(els, bonds) and len(got) == 8
+
     def test_symmetry_rmsd_uses_cache(self):
         from disco_diffdock_tpu.eval import metrics
 
