@@ -116,3 +116,30 @@ def make_eval_step(model, sigma: SigmaSchedule, no_torsion: bool = False) -> Cal
         return aux
 
     return eval_step
+
+
+def make_val_step(model, sigma: SigmaSchedule, wrapper: bool = False,
+                  no_torsion: bool = False) -> Callable:
+    """Per-graph validation losses (test_epoch with apply_mean=False,
+    reference utils/training.py:138-146): returns (per-graph aux, t,
+    graph_mask) so the caller can aggregate and optionally bin by sigma
+    interval.  ``wrapper`` adds the gumbel rng stream the DisCo encoder
+    samples with even in eval mode (torch gumbel_softmax samples in eval)."""
+
+    def val_step(variables, batch, key, ema_params=None):
+        k_noise, k_gum = jax.random.split(key)
+        v = variables if ema_params is None else {**variables, "params": ema_params}
+        noised, targets = apply_noise(k_noise, batch, sigma, 1.0, 1.0, no_torsion)
+        t = noised.complex_t["tr"]
+        tr_s, rot_s, _ = sigma.t_to_sigma(t, t, t)
+        preds = model.apply(
+            v, noised, deterministic=True, use_running_average=True,
+            rngs={"gumbel": k_gum} if wrapper else {},
+        )
+        _, aux = score_matching_loss(
+            preds, targets, noised, tr_s, rot_s, apply_mean=False,
+            no_torsion=no_torsion,
+        )
+        return aux, t, batch.graph_mask
+
+    return val_step

@@ -28,7 +28,7 @@ from ..models.wrapper import ModelWrapper
 from ..sampling import SamplerConfig, randomize_position, sampling
 from .checkpoints import CheckpointManager, save_config
 from .losses import score_matching_loss
-from .steps import TrainState, make_train_step
+from .steps import TrainState, make_train_step, make_val_step
 
 
 def build_model(score_cfg, enc_cfg, caps):
@@ -155,6 +155,9 @@ def main(argv=None):
     p.add_argument("--ema_rate", type=float, default=0.999)
     p.add_argument("--scheduler_patience", type=int, default=30)
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--test_sigma_intervals", action="store_true",
+                   help="bin validation losses into 10 sigma intervals "
+                        "(reference utils/training.py:143-146)")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--num_inference_complexes", type=int, default=500)
     p.add_argument("--restart", action="store_true")
@@ -302,6 +305,7 @@ def main(argv=None):
         step_fn = jax.jit(make_wrapper_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
     else:
         step_fn = jax.jit(make_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
+    val_fn = jax.jit(make_val_step(model, sigma, wrapper=enc_cfg is not None))
 
     key = jax.random.PRNGKey(42)
     best_loss, best_inf = np.inf, -np.inf
@@ -331,9 +335,37 @@ def main(argv=None):
         if wandb_run:
             wandb_run.log({"train_loss": mean_loss}, step=epoch)
 
+        # validation loss epoch (reference test_epoch every epoch); best
+        # checkpoints key off VAL loss (train.py:66-77), not train loss
+        from ..utils.meters import AverageMeter, sigma_interval_index
+
+        intervals = 10 if args.test_sigma_intervals else 1
+        meter = AverageMeter(
+            ["loss", "tr_loss", "rot_loss", "tor_loss"], intervals=intervals)
+        vloss_sum = vloss_n = 0.0
+        for vb in val_batches:
+            key, k = jax.random.split(key)
+            aux, tvals, gmask = val_fn(
+                state.variables(), vb, k, ema_params=state.ema.shadow)
+            gm = np.asarray(gmask)
+            tvals = np.asarray(tvals)[gm]
+            per = {k2: np.asarray(v)[gm] for k2, v in aux.items()}
+            vloss_sum += float(per["loss"].sum())
+            vloss_n += len(per["loss"])
+            if intervals > 1:
+                idx = sigma_interval_index(tvals, intervals)
+                meter.add([per["loss"], per["tr_loss"], per["rot_loss"],
+                           per["tor_loss"]], interval_idx=[idx] * 4)
+        val_loss = vloss_sum / max(vloss_n, 1)
+        print(f"epoch {epoch}: val_loss={val_loss:.4f}")
+        if intervals > 1:
+            print(f"epoch {epoch}: {meter.summary()}")
+        if wandb_run:
+            wandb_run.log({"val_loss": val_loss}, step=epoch)
+
         ckpt.save("last", state)
-        if mean_loss < best_loss:
-            best_loss = mean_loss
+        if val_loss < best_loss:
+            best_loss = val_loss
             ckpt.save("best", state)
             ckpt.save("best_ema", state.replace(params=state.ema.shadow))
 
