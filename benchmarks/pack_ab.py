@@ -11,6 +11,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 
 sys.path.insert(0, ".")
 
@@ -62,13 +63,14 @@ def build(k):
 def main():
     for k in (1, 2, 4):
         run, batch = build(k)
-        out = run(batch, jax.random.PRNGKey(0))
-        jax.block_until_ready(out)
+        # Sync via host fetch: block_until_ready does not wait for execution
+        # on the tunneled TPU platform (see bench.py / scatter_ab.py).
+        np.asarray(run(batch, jax.random.PRNGKey(0)))
         reps = 3
         t0 = time.perf_counter()
         for i in range(reps):
             out = run(batch, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(out)
+        np.asarray(out)
         sec = (time.perf_counter() - t0) / reps
         print(f"pack k={k}: {sec:7.3f} s/program = {sec / k:6.3f} s/complex "
               f"({k / sec:5.3f} complexes/sec)", flush=True)

@@ -123,8 +123,11 @@ def dock(args):
     )
     esm = None
     if args.esm_embeddings_path:
+        # Key on the resolved name: args.protein is None in
+        # --protein_sequence mode, so basename(args.protein) would raise.
         with np.load(args.esm_embeddings_path) as z:
-            key = os.path.splitext(os.path.basename(args.protein))[0]
+            key = (os.path.splitext(os.path.basename(args.protein))[0]
+                   if args.protein else name)
             esm = z[key] if key in z else None
 
     score_cfg, enc_cfg, run_caps = load_run_configs(args.model_dir)

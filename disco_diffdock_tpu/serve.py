@@ -38,7 +38,7 @@ class DockingService:
     """Owns the models and the per-bucket compiled programs."""
 
     def __init__(self, model_dir: str, confidence_model_dir: str | None = None,
-                 ckpt: str = "best_ema_inference"):
+                 ckpt: str = "best_ema_inference", allow_paths: bool = False):
         from .config import ScoreModelConfig
         from .data.collate import DEFAULT_BUCKETS
         from .geom.diffusion import SigmaSchedule
@@ -50,6 +50,7 @@ class DockingService:
         )
 
         self.model_dir = model_dir
+        self.allow_paths = allow_paths
         self.score_cfg, self.enc_cfg, run_caps = load_run_configs(model_dir)
         self.buckets = ((run_caps,) if run_caps is not None else ()) + tuple(DEFAULT_BUCKETS)
         self.sigma = SigmaSchedule()
@@ -178,26 +179,38 @@ def make_handler(service: DockingService):
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                tmpdir = tempfile.mkdtemp(prefix="dock_")
-                if "protein_pdb" in req:
-                    protein_path = os.path.join(tmpdir, "rec.pdb")
-                    with open(protein_path, "w") as f:
-                        f.write(req["protein_pdb"])
-                else:
-                    protein_path = req["protein_path"]
-                if "ligand_sdf" in req:
-                    ligand = os.path.join(tmpdir, "lig.sdf")
-                    with open(ligand, "w") as f:
-                        f.write(req["ligand_sdf"])
-                else:
-                    ligand = req["ligand"]
-                out = service.dock(
-                    protein_path, ligand,
-                    samples=int(req.get("samples", 10)),
-                    steps=int(req.get("steps", 20)),
-                    seed=int(req.get("seed", 0)),
-                    name=req.get("name", "complex"),
-                )
+                # TemporaryDirectory so request payloads never accumulate on
+                # disk; host filesystem paths (protein_path / non-inline
+                # ligand) are an arbitrary-file-read surface and require
+                # --allow-paths (safe default for anything beyond localhost).
+                with tempfile.TemporaryDirectory(prefix="dock_") as tmpdir:
+                    if "protein_pdb" in req:
+                        protein_path = os.path.join(tmpdir, "rec.pdb")
+                        with open(protein_path, "w") as f:
+                            f.write(req["protein_pdb"])
+                    else:
+                        protein_path = req.get("protein_path")
+                        if protein_path is not None and not service.allow_paths:
+                            raise PermissionError(
+                                "protein_path requires --allow-paths; send "
+                                "protein_pdb inline instead")
+                    if "ligand_sdf" in req:
+                        ligand = os.path.join(tmpdir, "lig.sdf")
+                        with open(ligand, "w") as f:
+                            f.write(req["ligand_sdf"])
+                    else:
+                        ligand = req["ligand"]
+                        if os.path.exists(ligand) and not service.allow_paths:
+                            raise PermissionError(
+                                "ligand file paths require --allow-paths; "
+                                "send ligand_sdf inline or a SMILES string")
+                    out = service.dock(
+                        protein_path, ligand,
+                        samples=int(req.get("samples", 10)),
+                        steps=int(req.get("steps", 20)),
+                        seed=int(req.get("seed", 0)),
+                        name=req.get("name", "complex"),
+                    )
                 self._json(200, out)
             except Exception as e:  # failure -> structured error, keep serving
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -212,8 +225,13 @@ def main(argv=None):
     p.add_argument("--ckpt", default="best_ema_inference")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--allow-paths", action="store_true",
+                   help="let requests reference host filesystem paths "
+                        "(protein_path / ligand files); off by default since "
+                        "it is an arbitrary-file-read surface")
     args = p.parse_args(argv)
-    service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt)
+    service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt,
+                             allow_paths=args.allow_paths)
     server = HTTPServer((args.host, args.port), make_handler(service))
     print(f"HAPPENING | serving on http://{args.host}:{args.port} "
           f"(POST /dock, GET /healthz)")

@@ -2,8 +2,14 @@
 
 Parity with the reference's config mechanism
 (confidence/confidence_train.py:99-108): entries in the yml OVERRIDE the
-parsed argparse values; list-valued entries append to the existing list.
-Presets for the shipped model families live under ``configs/``.
+parsed argparse values.  The reference appends list-valued entries to the
+existing list — safe there because its list flags default to empty.  Here
+several list flags have fixed arity and non-empty defaults (the nargs=3
+temperature triples in eval/evaluate.py), so appending would silently grow
+them to 6 elements and disable the tuned low-temperature sampling; we
+therefore only append when the existing value is an *empty* list and
+replace otherwise.  Presets for the shipped model families live under
+``configs/``.
 """
 from __future__ import annotations
 
@@ -27,7 +33,8 @@ def apply_config_overlay(args: argparse.Namespace) -> argparse.Namespace:
     for key, value in config_dict.items():
         if key not in arg_dict:
             raise SystemExit(f"--config: unknown option {key!r} for this driver")
-        if isinstance(value, list) and isinstance(arg_dict[key], list):
+        if (isinstance(value, list) and isinstance(arg_dict[key], list)
+                and not arg_dict[key]):
             arg_dict[key].extend(value)
         else:
             arg_dict[key] = value

@@ -221,6 +221,16 @@ class TestServe:
                          {"Content-Type": "application/json"})
             r = conn.getresponse()
             assert r.status == 500 and "error" in json.loads(r.read())
+
+            # host filesystem paths are rejected without --allow-paths
+            conn.request("POST", "/dock", json.dumps({
+                "protein_path": os.path.join(
+                    DATA, "fix1", "fix1_protein_processed.pdb"),
+                "ligand_sdf": sdf_text, "samples": 2, "steps": 2,
+            }), {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            assert r.status == 500
+            assert "allow-paths" in json.loads(r.read())["error"]
         finally:
             server.shutdown()
 

@@ -101,7 +101,9 @@ class TestEMAScope:
 
 class TestConfigOverlay:
     """--config yml overlay (reference confidence_train.py:99-108 semantics:
-    yml entries override parsed flags; list values append)."""
+    yml entries override parsed flags; list values append only onto EMPTY
+    lists — fixed-arity flags like the nargs=3 temperature triples are
+    replaced, never grown)."""
 
     def test_override_and_append(self, tmp_path):
         import argparse
@@ -112,12 +114,29 @@ class TestConfigOverlay:
         p = argparse.ArgumentParser()
         p.add_argument("--lr", type=float, default=1e-3)
         p.add_argument("--cutoffs", type=float, nargs="*", default=[2.0])
+        p.add_argument("--extras", type=float, nargs="*", default=[])
         add_config_arg(p)
         cfg = tmp_path / "c.yml"
-        cfg.write_text("lr: 0.5\ncutoffs: [5.0]\n")
+        cfg.write_text("lr: 0.5\ncutoffs: [5.0]\nextras: [1.0]\n")
         args = apply_config_overlay(p.parse_args(["--lr", "9", "--config", str(cfg)]))
         assert args.lr == 0.5  # yml overrides CLI
-        assert args.cutoffs == [2.0, 5.0]  # list appends
+        assert args.cutoffs == [5.0]  # non-empty list is replaced
+        assert args.extras == [1.0]  # empty list appends (reference semantics)
+
+    def test_inference_presets_keep_temperature_arity(self):
+        """Loading the shipped inference presets must leave the nargs=3
+        temperature triples at exactly 3 elements (an append would read
+        ts[0]=1.0 and silently disable low-temperature sampling)."""
+        import os
+
+        from disco_diffdock_tpu.eval.evaluate import parse_args
+
+        root = os.path.join(os.path.dirname(__file__), "..", "configs")
+        for preset in ("inference_diffdockS.yml", "inference_disco_diffdockS.yml"):
+            args = parse_args(["--config", os.path.join(root, preset)])
+            for flag in ("temp_sampling", "temp_psi", "temp_sigma_data"):
+                assert len(getattr(args, flag)) == 3, (preset, flag)
+            assert args.temp_sampling[0] != 1.0, preset
 
     def test_unknown_key_fails_loudly(self, tmp_path):
         import argparse
