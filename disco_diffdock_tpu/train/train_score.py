@@ -153,6 +153,10 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--w_decay", type=float, default=0.0)
     p.add_argument("--ema_rate", type=float, default=0.999)
+    # plateau scheduler (reference utils/utils.py:71-81; shipped score run
+    # uses scheduler=plateau, patience=30): steps on the val-inference
+    # metric when periodic inference runs, else on val loss (train.py:79-83)
+    p.add_argument("--scheduler", default="plateau", choices=["plateau", "none"])
     p.add_argument("--scheduler_patience", type=int, default=30)
     p.add_argument("--val_inference_freq", type=int, default=5)
     p.add_argument("--test_sigma_intervals", action="store_true",
@@ -200,6 +204,7 @@ def main(argv=None):
             for s in range(2)
         ]
         val_batches = train_batches[:1]
+        inf_batches = val_batches
     else:
         from ..data.collate import caps_from_datasets
         from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
@@ -237,8 +242,11 @@ def main(argv=None):
             esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
             drop_remainder=False,
         ))
+        # the val-LOSS epoch sees the full val split (reference train.py:43-46
+        # keys best-by-loss on all of it); only the real-inference epoch is
+        # capped at num_inference_complexes (train.py:48-53)
         n_keep = max(1, args.num_inference_complexes // args.batch_size)
-        val_batches = val_batches[:n_keep]
+        inf_batches = val_batches[:n_keep]
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, score_model=score_cfg,
@@ -260,10 +268,9 @@ def main(argv=None):
         )))
     variables = jax.jit(lambda b: model.init(init_rngs, b, deterministic=False))(example)
 
-    tx = optax.chain(
-        optax.add_decayed_weights(args.w_decay) if args.w_decay else optax.identity(),
-        optax.adam(args.lr),
-    )
+    from .plateau import ReduceLROnPlateau, get_learning_rate, make_adam
+
+    tx = make_adam(args.lr, args.w_decay)
     # EMA over the score-model params only (reference train.py:110); for the
     # DisCo wrapper the encoder rides along un-averaged in the shadow
     state = TrainState.create(
@@ -288,7 +295,7 @@ def main(argv=None):
             print(f"restarted from step {int(state.step)}")
         if args.restart_lr is not None:
             # fresh optimizer at the overridden LR (train.py:121-124)
-            tx = optax.adam(args.restart_lr)
+            tx = make_adam(args.restart_lr, args.w_decay)
             state = state.replace(opt_state=tx.init(state.params))
 
     wandb_run = None
@@ -309,6 +316,14 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(42)
     best_loss, best_inf = np.inf, -np.inf
+    scheduler = None
+    if args.scheduler == "plateau":
+        # mode follows the stepped metric: the running-best inference metric
+        # (goal max) when periodic inference runs, else val loss (goal min)
+        scheduler = ReduceLROnPlateau(
+            mode="max" if args.val_inference_freq else "min",
+            patience=args.scheduler_patience, min_lr=args.lr / 100,
+        )
     n_epochs = 1 if args.synthetic else args.n_epochs
     for epoch in range(n_epochs):
         t0 = time.time()
@@ -374,7 +389,7 @@ def main(argv=None):
             metrics = inference_epoch(
                 model,
                 {"params": state.ema.shadow, "batch_stats": state.batch_stats},
-                val_batches,
+                inf_batches,
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
             )
@@ -385,6 +400,17 @@ def main(argv=None):
                 best_inf = metrics["valinf_rmsds_lt2"]
                 ckpt.save("best_inference", state)
                 ckpt.save("best_ema_inference", state.replace(params=state.ema.shadow))
+
+        if scheduler is not None:
+            # reference train.py:79-83: step on the running-best inference
+            # value when periodic inference is configured, else on val loss
+            metric = best_inf if args.val_inference_freq else val_loss
+            new_opt = scheduler.step(metric, state.opt_state)
+            if new_opt is not state.opt_state:
+                state = state.replace(opt_state=new_opt)
+            if wandb_run:
+                wandb_run.log(
+                    {"current_lr": get_learning_rate(state.opt_state)}, step=epoch)
     print("training done")
     return state
 

@@ -99,6 +99,58 @@ class TestEMAScope:
         assert np.all(s > 1.0) and np.all(s < 2.0)
 
 
+class TestPlateauScheduler:
+    """ReduceLROnPlateau twin (reference utils/utils.py:71-81): factor 0.7,
+    patience in epochs, min_lr floor, LR held in optimizer state so jitted
+    steps never recompile."""
+
+    def test_lr_drop_floor_and_update_path(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+        import pytest
+
+        from disco_diffdock_tpu.train.plateau import (
+            ReduceLROnPlateau, get_learning_rate, make_adam)
+
+        params = {"w": jnp.ones((3,))}
+        tx = make_adam(1e-3)
+        opt_state = tx.init(params)
+        sched = ReduceLROnPlateau(mode="min", patience=2, min_lr=2e-4)
+        for metric in (1.0, 0.9):  # improving -> untouched
+            opt_state = sched.step(metric, opt_state)
+        assert get_learning_rate(opt_state) == pytest.approx(1e-3)
+        for metric in (0.95, 0.95, 0.95):  # patience+1 bad epochs -> 0.7x
+            opt_state = sched.step(metric, opt_state)
+        assert get_learning_rate(opt_state) == pytest.approx(7e-4)
+        for _ in range(20):  # repeated plateaus floor at min_lr
+            for metric in (0.95, 0.95, 0.95):
+                opt_state = sched.step(metric, opt_state)
+        assert get_learning_rate(opt_state) == pytest.approx(2e-4)
+
+        # the injected LR actually drives the update magnitude under jit
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        upd_fn = jax.jit(lambda g, s, p: tx.update(g, s, p))
+        updates_lo, _ = upd_fn(grads, opt_state, params)
+        updates_hi, _ = upd_fn(grads, tx.init(params), params)
+        assert (abs(float(updates_lo["w"][0]))
+                < abs(float(updates_hi["w"][0])))
+
+    def test_max_mode(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from disco_diffdock_tpu.train.plateau import (
+            ReduceLROnPlateau, get_learning_rate, make_adam)
+
+        tx = make_adam(1e-3)
+        opt_state = tx.init({"w": jnp.ones((2,))})
+        sched = ReduceLROnPlateau(mode="max", patience=1, min_lr=0.0)
+        for metric in (10.0, 10.0, 10.0):
+            opt_state = sched.step(metric, opt_state)
+        assert get_learning_rate(opt_state) == pytest.approx(7e-4)
+
+
 class TestConfigOverlay:
     """--config yml overlay (reference confidence_train.py:99-108 semantics:
     yml entries override parsed flags; list values append only onto EMPTY
