@@ -38,15 +38,21 @@ except ImportError:
 
 # --------------------------------------------------------------------- ligand
 def read_molecule(path: str, remove_hs: bool = True):
-    """Read .sdf/.mol2/.pdbqt/.pdb via RDKit, or .sdf via minichem fallback."""
+    """Read .sdf/.mol2/.pdbqt/.pdb (process_mols.py:490-505 formats) via
+    RDKit, or via the minichem parsers without it."""
     if HAS_RDKIT:
         return _read_molecule_rdkit(path, remove_hs)
     if path.endswith(".sdf") or path.endswith(".mol"):
         mol = minichem.parse_sdf(path)
-        return mol.remove_hs() if remove_hs else mol
-    raise RuntimeError(
-        f"cannot read {path}: RDKit unavailable and minichem only parses SDF"
-    )
+    elif path.endswith(".mol2"):
+        mol = minichem.parse_mol2(path)
+    elif path.endswith(".pdbqt"):
+        mol = minichem.parse_pdb_ligand(path, pdbqt=True)
+    elif path.endswith(".pdb"):
+        mol = minichem.parse_pdb_ligand(path)
+    else:
+        raise ValueError(f"unsupported extension: {path}")
+    return mol.remove_hs() if remove_hs else mol
 
 
 def _read_molecule_rdkit(path: str, remove_hs: bool):
@@ -118,6 +124,7 @@ def ligand_graph(mol) -> dict:
     """
     if HAS_RDKIT and not isinstance(mol, minichem.MiniMol):
         lig_x = lig_atom_featurizer_rdkit(mol)
+        lig_z = np.asarray([a.GetAtomicNum() for a in mol.GetAtoms()], np.int32)
         conf = mol.GetConformer()
         pos = np.asarray(conf.GetPositions(), np.float32)
         rows, attr = [], []
@@ -134,6 +141,8 @@ def ligand_graph(mol) -> dict:
         ).reshape(-1, 2)
     else:
         lig_x = minichem.featurize_minimol(mol)
+        lig_z = np.asarray([minichem.atomic_number(e) for e in mol.elements],
+                           np.int32)
         pos = mol.pos.astype(np.float32)
         rows, attr = [], []
         for (a, b), t in zip(mol.bonds, mol.bond_types):
@@ -146,6 +155,7 @@ def ligand_graph(mol) -> dict:
         bonds_undirected = mol.bonds
     return dict(
         lig_x=lig_x,
+        lig_z=lig_z,
         lig_pos=pos,
         bonds=np.asarray(rows, np.int32).reshape(-1, 2),
         bond_attr=np.asarray(attr, np.float32).reshape(-1, 4),
@@ -338,6 +348,10 @@ def build_complex_record(
     rec = dict(
         name=name,
         lig_x=lig["lig_x"],
+        # true atomic numbers for automorphism/visualisation use — the lig_x
+        # feature code is a vocabulary index, not Z, and inverting it breaks
+        # for exotic elements mapped to 'misc'
+        lig_z=lig["lig_z"],
         lig_pos=(start_pos - center).astype(np.float32),
         orig_pos=(orig_pos - center).astype(np.float32),
         bonds=lig["bonds"],

@@ -105,6 +105,7 @@ def evaluate_complexes(
     no_overlap_names=None,
     mesh=None,
     limit_failures: int = 3,
+    return_arrays: bool = False,
 ):
     """Run inference on a list of pose-replicated batches; return metrics.
 
@@ -149,6 +150,11 @@ def evaluate_complexes(
         print(f"| WARNING: edge capacity overflow {edge_overflow} -- "
               "caps are truncating real edges")
 
+    # pose-shared receptor fast path applies when every program holds ONE
+    # complex's pose copies (the reference per-complex protocol); packed
+    # multi-complex programs keep the general path
+    shared_rec = batch_packs is None or all(len(p) == 1 for p in batch_packs)
+
     # one compiled program reused across complexes (shapes are bucketed)
     @jax.jit
     def _run(batch, key):
@@ -159,6 +165,7 @@ def evaluate_complexes(
             model, variables, rb, k2, scfg, sigma, latent=latent,
             confidence_model=confidence_model,
             confidence_variables=confidence_variables,
+            shared_rec=shared_rec,
         )
 
     if batch_packs is None:
@@ -248,6 +255,18 @@ def evaluate_complexes(
         np.save(os.path.join(out_dir, "run_times.npy"), np.asarray(run_times))
         with open(os.path.join(out_dir, "metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
+    if return_arrays:
+        # raw per-complex arrays so callers can POOL across buckets before
+        # computing medians/percentiles (reference evaluate.py:420-585
+        # aggregates over the pooled arrays, not per-bucket summaries)
+        arrays = dict(
+            rmsds=rmsds, confidences=confs, centroid_dists=cents,
+            run_times=np.asarray(run_times), names=row_names,
+            clash=np.asarray(clash),
+            self_int=np.asarray(self_int) if self_int else None,
+            has_confidence=bool(confs.any()),
+        )
+        return metrics, arrays
     return metrics
 
 
@@ -272,6 +291,13 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     )
 
     score_cfg, enc_cfg, run_caps = load_run_configs(args.model_dir)
+    if args.ar_model_dir and enc_cfg is None:
+        # fail fast: silently falling back to no latents would misreport the
+        # requested DisCo (AR-latent) protocol as having run
+        raise SystemExit(
+            "--ar_model_dir requires a score run trained WITH a latent "
+            f"encoder, but {args.model_dir} has no encoder config — AR "
+            "latents would be silently ignored")
 
     mesh = None
     if getattr(args, "n_devices", 1) > 1:
@@ -315,7 +341,11 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             for j, i in enumerate(group):
                 rec = ds[i]
                 recs.extend(replicate_record(rec, S))
-                elements = rec["lig_x"][:, 0] + 1  # atomic-number code -> Z
+                # true atomic numbers stored at featurization time; the
+                # vocabulary-index fallback only covers pre-lig_z caches
+                elements = rec.get("lig_z")
+                if elements is None:
+                    elements = rec["lig_x"][:, 0] + 1
                 metas.append({"elements": elements, "bonds": rec["bonds"][::2]})
                 cnames.append(str(rec.get("name", i)))
                 pack.append((j * S, S, len(metas) - 1))
@@ -354,7 +384,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
         if getattr(args, "no_overlap_names_path", None):
             with open(args.no_overlap_names_path) as f:
                 no_overlap = {line.strip() for line in f if line.strip()}
-        m = evaluate_complexes(
+        m, arrays = evaluate_complexes(
             score_model_view, variables, batches, scfg, sigma,
             jax.random.PRNGKey(bi), latent_fn=latent_fn,
             confidence_model=conf_model, confidence_variables=conf_vars,
@@ -362,18 +392,51 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             save_visualisation=args.save_visualisation,
             batch_packs=packs, names=cnames, no_overlap_names=no_overlap,
             mesh=mesh, limit_failures=args.limit_failures,
+            return_arrays=True,
         )
         m["n_complexes"] = len(idxs)
-        all_metrics.append(m)
+        all_metrics.append((m, arrays))
 
-    # weighted merge across buckets for the headline numbers
-    total = sum(m["n_complexes"] for m in all_metrics)
-    merged = {}
-    for key in all_metrics[0]:
-        vals = [m.get(key) for m in all_metrics]
-        if all(isinstance(v, (int, float)) and v is not None for v in vals):
-            merged[key] = sum(v * m["n_complexes"] for v, m in zip(vals, all_metrics)) / total
+    # POOL the raw per-complex arrays across buckets, then aggregate once:
+    # medians/percentiles over a pooled sample, not a weighted mean of
+    # per-bucket medians (reference evaluate.py:420-585 semantics).  Pose
+    # counts match across buckets (same samples_per_complex), so rows stack.
+    total = sum(m["n_complexes"] for m, _ in all_metrics)
+    rmsds = np.vstack([a["rmsds"] for _, a in all_metrics])
+    confs = np.vstack([a["confidences"] for _, a in all_metrics])
+    cents = np.vstack([a["centroid_dists"] for _, a in all_metrics])
+    names_all = [n for _, a in all_metrics for n in a["names"]]
+    run_times = np.concatenate([a["run_times"] for _, a in all_metrics])
+    clash = np.concatenate([a["clash"] for _, a in all_metrics])
+    self_ints = [a["self_int"] for _, a in all_metrics if a["self_int"] is not None]
+    has_conf = any(a["has_confidence"] for _, a in all_metrics)
+    no_overlap = None
+    if getattr(args, "no_overlap_names_path", None):
+        with open(args.no_overlap_names_path) as f:
+            no_overlap = {line.strip() for line in f if line.strip()}
+    overlap_mask = (np.asarray([n in no_overlap for n in names_all])
+                    if no_overlap else None)
+    merged = aggregate(rmsds, confs if has_conf else None, cents,
+                       no_overlap_mask=overlap_mask)
+    merged["run_times_mean"] = float(run_times.mean())
+    merged["run_times_std"] = float(run_times.std())
+    merged["steric_clash_fraction"] = float(clash.mean()) if len(clash) else None
+    merged["self_intersect_fraction"] = (
+        float(np.concatenate(self_ints).mean()) if self_ints else None)
+    overflow: dict[str, float] = {}
+    for m, _ in all_metrics:
+        for k, v in (m.get("edge_overflow") or {}).items():
+            overflow[k] = overflow.get(k, 0) + v
+    merged["edge_overflow"] = overflow
     merged["n_complexes"] = total
+    os.makedirs(args.out_dir, exist_ok=True)
+    np.save(os.path.join(args.out_dir, "rmsds.npy"), rmsds)
+    np.save(os.path.join(args.out_dir, "confidences.npy"), confs)
+    np.save(os.path.join(args.out_dir, "centroid_distances.npy"), cents)
+    np.save(os.path.join(args.out_dir, "run_times.npy"), run_times)
+    np.save(os.path.join(args.out_dir, "complex_names.npy"), np.asarray(names_all))
+    with open(os.path.join(args.out_dir, "metrics.json"), "w") as f:
+        json.dump(merged, f, indent=2)
     return merged
 
 

@@ -124,35 +124,70 @@ def aggregate(
     no_overlap_mask: np.ndarray | None = None,
     prefix: str = "",
 ) -> dict:
-    """Aggregate (n_complex, n_poses) arrays into the reference's metric dict.
+    """Aggregate (n_complex, n_poses) arrays into the reference's metric dict
+    (evaluate.py:414-585), BOTH families:
 
-    top-k: best over the k highest-confidence poses (or first k when no
-    confidence).  ``filtered_*``: the single top-confidence pose.
+    - raw: pose-pooled mean/below-2/below-5/percentiles over every sampled
+      pose, plus ``top1_``/``top5_``/``top10_`` = best over the first k poses
+      in sampling order (the reference's ``rmsds[:, :k]``; ``top1_`` is our
+      addition for symmetry with the filtered family).
+    - confidence-filtered (when ``confidences`` given): ``filtered_`` = the
+      single top-confidence pose, ``top5_filtered_``/``top10_filtered_`` =
+      best over the k highest-confidence poses; centroid twins throughout.
     """
     out = {}
 
-    def block(r, c, cd, pre):
+    def family(r, cd, order, tag, pre, ks=(1, 5, 10)):
+        """best-of-first-k families over an ordering of the pose axis."""
         res = {}
-        order = (
-            np.argsort(-c, axis=1) if c is not None
-            else np.tile(np.arange(r.shape[1]), (r.shape[0], 1))
-        )
-        r_sorted = np.take_along_axis(r, order, axis=1)
-        for k, tag in ((1, "filtered_" if c is not None else "top1_"), (5, "top5_"), (10, "top10_")):
+        r_o = np.take_along_axis(r, order, axis=1)
+        cd_o = np.take_along_axis(cd, order, axis=1) if cd is not None else None
+        for k in ks:
             if r.shape[1] < k:
                 continue
-            best = r_sorted[:, :k].min(axis=1)
-            res[f"{pre}{tag}rmsds_below_2"] = 100.0 * float((best < 2).mean())
-            res[f"{pre}{tag}rmsds_below_5"] = 100.0 * float((best < 5).mean())
-            res[f"{pre}{tag}rmsds_median"] = float(np.median(best))
-            res[f"{pre}{tag}rmsds_p25"] = float(np.percentile(best, 25))
-            res[f"{pre}{tag}rmsds_p75"] = float(np.percentile(best, 75))
-        res[f"{pre}rmsds_below_2"] = 100.0 * float((r.min(axis=1) < 2).mean())
-        res[f"{pre}rmsds_below_5"] = 100.0 * float((r.min(axis=1) < 5).mean())
+            kt = {1: "", 5: "top5_", 10: "top10_"}[k]
+            name = (f"{kt}{tag}" if tag else (f"top{k}_" if k > 1 else "top1_"))
+            best = r_o[:, :k].min(axis=1)
+            res[f"{pre}{name}rmsds_below_2"] = 100.0 * float((best < 2).mean())
+            res[f"{pre}{name}rmsds_below_5"] = 100.0 * float((best < 5).mean())
+            res[f"{pre}{name}rmsds_percentile_25"] = float(np.percentile(best, 25))
+            res[f"{pre}{name}rmsds_percentile_50"] = float(np.percentile(best, 50))
+            res[f"{pre}{name}rmsds_percentile_75"] = float(np.percentile(best, 75))
+            if cd_o is not None:
+                # centroid of the best-RMSD pose among the first k
+                pick = np.argmin(r_o[:, :k], axis=1)
+                best_cd = cd_o[np.arange(len(r)), pick]
+                res[f"{pre}{name}centroid_below_2"] = 100.0 * float((best_cd < 2).mean())
+                res[f"{pre}{name}centroid_below_5"] = 100.0 * float((best_cd < 5).mean())
+        return res
+
+    def block(r, c, cd, pre):
+        res = {
+            # pose-pooled stats (reference's rmsds_below_2/5 divide by N)
+            f"{pre}mean_rmsd": float(r.mean()),
+            f"{pre}rmsds_below_2": 100.0 * float((r < 2).mean()),
+            f"{pre}rmsds_below_5": 100.0 * float((r < 5).mean()),
+            f"{pre}rmsds_percentile_25": float(np.percentile(r, 25)),
+            f"{pre}rmsds_percentile_50": float(np.percentile(r, 50)),
+            f"{pre}rmsds_percentile_75": float(np.percentile(r, 75)),
+        }
         if cd is not None:
-            top_cd = np.take_along_axis(cd, order, axis=1)[:, 0]
-            res[f"{pre}centroid_below_2"] = 100.0 * float((top_cd < 2).mean())
-            res[f"{pre}centroid_median"] = float(np.median(top_cd))
+            res.update({
+                f"{pre}mean_centroid": float(cd.mean()),
+                f"{pre}centroid_below_2": 100.0 * float((cd < 2).mean()),
+                f"{pre}centroid_below_5": 100.0 * float((cd < 5).mean()),
+                f"{pre}centroid_percentile_25": float(np.percentile(cd, 25)),
+                f"{pre}centroid_percentile_50": float(np.percentile(cd, 50)),
+                f"{pre}centroid_percentile_75": float(np.percentile(cd, 75)),
+            })
+        raw_order = np.tile(np.arange(r.shape[1]), (r.shape[0], 1))
+        res.update(family(r, cd, raw_order, "", pre))
+        if c is not None:
+            conf_order = np.argsort(-c, axis=1)
+            res.update(family(r, cd, conf_order, "filtered_", pre))
+        # best achievable over all poses (oracle selection ceiling)
+        res[f"{pre}best_rmsds_below_2"] = 100.0 * float((r.min(axis=1) < 2).mean())
+        res[f"{pre}best_rmsds_below_5"] = 100.0 * float((r.min(axis=1) < 5).mean())
         return res
 
     out.update(block(rmsds, confidences, centroid_dists, prefix))

@@ -62,6 +62,39 @@ class TestAggregate:
         m2 = aggregate(rmsds, None)
         assert m2["top1_rmsds_below_2"] == 50.0
 
+    def test_both_families_reference_parity(self):
+        """Raw top-k uses sampling order; filtered top-k uses confidence
+        order; pooled stats cover every pose (evaluate.py:414-585)."""
+        # one complex, 10 poses; best rmsd is pose 7, highest conf is pose 0
+        r = np.array([[3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 1.0, 2.5, 10.0]])
+        c = np.array([[9.0, 8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0, 0.0]])
+        m = aggregate(r, c)
+        # raw family: first-k in sampling order
+        assert m["top1_rmsds_below_5"] == 100.0  # pose 0 = 3.0
+        assert m["top5_rmsds_below_2"] == 0.0  # min(first 5) = 3.0
+        assert m["top10_rmsds_below_2"] == 100.0  # pose 7 = 1.0
+        # filtered family: confidence picks pose 0 (rmsd 3.0)
+        assert m["filtered_rmsds_below_2"] == 0.0
+        assert m["filtered_rmsds_below_5"] == 100.0
+        assert m["top5_filtered_rmsds_below_2"] == 0.0  # conf top5 = poses 0-4
+        assert m["top10_filtered_rmsds_below_2"] == 100.0
+        # pose-pooled stats over ALL poses
+        assert m["rmsds_below_2"] == 10.0  # 1 of 10 poses
+        assert m["rmsds_below_5"] == 40.0  # 3.0, 4.0, 1.0, 2.5
+        np.testing.assert_allclose(m["rmsds_percentile_50"], np.median(r))
+        # oracle ceiling
+        assert m["best_rmsds_below_2"] == 100.0
+
+    def test_pooled_percentiles_differ_from_weighted_mean(self):
+        """Percentiles must come from the pooled sample: a weighted mean of
+        per-bucket medians gives a different (wrong) answer."""
+        b1 = np.array([[1.0], [2.0], [3.0]])
+        b2 = np.array([[10.0]])
+        pooled = aggregate(np.vstack([b1, b2]))
+        assert pooled["rmsds_percentile_50"] == 2.5
+        weighted = (np.median(b1) * 3 + np.median(b2) * 1) / 4
+        assert abs(weighted - pooled["rmsds_percentile_50"]) > 1
+
     def test_no_overlap_subset(self):
         rmsds = np.asarray([[1.0], [10.0], [1.0]])
         mask = np.asarray([True, True, False])
