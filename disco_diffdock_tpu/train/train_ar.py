@@ -9,8 +9,12 @@ cross-entropy over nodes: per sample pick a random ``decoding_idx``, feed the
 hard one-hots of slots < idx as input latent, predict slot idx; ligand
 positions come from a randomly-rotated generated conformer (``no_randomness``,
 dataset_ar.py:91-95).  The score trunk is frozen for ``warmup_epochs`` then
-unfrozen with a fresh optimizer (:242-246,309-313).  Eval: per-idx teacher
--forced accuracy + full sequential ``encode_ar`` accuracy.
+unfrozen with a fresh optimizer (:242-246,309-313).  Every epoch a held-out
+val split is scored: per-idx teacher-forced accuracy plus full sequential
+``encode_ar`` accuracy (train_ar.py:152-216); ``ckpt_best`` keeps the best
+val accuracy, ``ckpt_best_seq`` the best sequential-decode accuracy (the
+quantity that matters at inference), ``ckpt_best_loss`` the best val loss,
+and a plateau scheduler steps on val accuracy (:240).
 """
 from __future__ import annotations
 
@@ -45,9 +49,11 @@ def generate_ar_labels(encoder, enc_vars, batches, key):
     return out
 
 
-def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool):
+def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool,
+                       axis_name=None):
     """CE over nodes for a random decoding slot; optionally freeze the trunk
-    (zero updates for pretrained_score_model params)."""
+    (zero updates for pretrained_score_model params).  With ``axis_name`` the
+    step is shard_map-ready (grads/aux pmean over the data axis)."""
 
     def loss_fn(params, batch_stats, batch, input_latent, dec_idx, labels, node_mask, drop_key):
         (logits, _), mut = model.apply(
@@ -64,10 +70,17 @@ def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool):
         return loss, (acc, mut["batch_stats"])
 
     def step(state: TrainState, batch, input_latent, dec_idx, labels, node_mask, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         (loss, (acc, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, input_latent, dec_idx,
             labels, node_mask, key,
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            acc = jax.lax.pmean(acc, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
         if trunk_frozen:
             grads = jax.tree_util.tree_map_with_path(
                 lambda path, g: jnp.zeros_like(g)
@@ -85,6 +98,55 @@ def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool):
     return step
 
 
+def make_ar_eval_step(model):
+    """Teacher-forced loss/accuracy, deterministic (test_epoch analogue,
+    reference train_ar.py:150-216)."""
+
+    def step(variables, batch, input_latent, dec_idx, labels, node_mask):
+        logits, _ = model.apply(
+            variables, batch, input_latent, dec_idx,
+            deterministic=True, use_running_average=True,
+        )
+        lg = jnp.where(node_mask[:, None, :], logits, -1e9)[:, 0, :]
+        per = optax.softmax_cross_entropy_with_integer_labels(lg, labels)
+        gm = batch.graph_mask.astype(jnp.float32)
+        loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
+        acc = jnp.sum((jnp.argmax(lg, -1) == labels) * gm) / (jnp.sum(gm) + 1e-12)
+        return loss, acc
+
+    return step
+
+
+def teacher_forced_inputs(batch, labels_soft, node_mask, input_latent_dim,
+                          dec_value: int):
+    """Deterministic teacher-forced inputs for a FIXED decoding slot — used
+    by the val pass to report per-idx accuracy (reference meter_all with
+    intervals=num_latents, train_ar.py:153)."""
+    B, NL = batch.lig_x.shape[:2]
+    NR = batch.rec_x.shape[1]
+    soft = np.where(np.asarray(node_mask)[:, None, :], np.asarray(labels_soft), -np.inf)
+    hard = soft.argmax(-1)  # (B, Ld)
+    lat = np.zeros((B, NL + NR, input_latent_dim), np.float32)
+    for b in range(B):
+        for j in range(dec_value):
+            lat[b, hard[b, j], j] = 1.0
+    labels = hard[:, dec_value]
+    return (
+        (jnp.asarray(lat[:, :NL]), jnp.asarray(lat[:, NL:])),
+        jnp.full((B,), dec_value, jnp.int32),
+        jnp.asarray(labels, jnp.int32),
+    )
+
+
+def rotate_ligand(batch, key):
+    """Random rigid rotation about the ligand centroid (no_randomness
+    repositioning, dataset_ar.py:91-95)."""
+    pos = batch.lig_pos
+    center = jnp.mean(pos, axis=1, keepdims=True)
+    R = random_rotation_matrix(key, (pos.shape[0],))
+    return batch.replace(lig_pos=jnp.einsum("bni,bji->bnj", pos - center, R))
+
+
 def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key):
     """Random decoding slot, teacher-forced input one-hots, hard labels."""
     B, NL = batch.lig_x.shape[:2]
@@ -99,14 +161,10 @@ def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key)
         for j in range(dec_idx[b]):
             lat[b, hard[b, j], j] = 1.0
     labels = hard[np.arange(B), dec_idx]
-    # ligand at a randomly rotated generated conformer (no_randomness mode,
-    # dataset_ar.py:91-95): lig_pos holds the matched/generated conformer,
-    # NOT the oracle pose the encoder labels were produced from
-    pos = batch.lig_pos
-    center = jnp.mean(pos, axis=1, keepdims=True)
-    R = random_rotation_matrix(key, (B,))
-    pos = jnp.einsum("bni,bji->bnj", pos - center, R)
-    b2 = batch.replace(lig_pos=pos)
+    # ligand at a randomly rotated generated conformer: lig_pos holds the
+    # matched/generated conformer, NOT the oracle pose the encoder labels
+    # were produced from
+    b2 = rotate_ligand(batch, key)
     return (
         b2,
         (jnp.asarray(lat[:, :NL]), jnp.asarray(lat[:, NL:])),
@@ -125,6 +183,7 @@ def main(argv=None):
     p.add_argument("--ckpt", default="best_ema_inference")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split_train", default="data/splits/timesplit_no_lig_overlap_train")
+    p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)
@@ -132,6 +191,15 @@ def main(argv=None):
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--latent_dim", type=int, default=2)
+    # val tracking + best selection (reference train_ar.py:46-53,219-260)
+    p.add_argument("--main_metric", default="accuracy",
+                   choices=["loss", "accuracy", "sequential_accuracy"])
+    p.add_argument("--main_metric_goal", default="max", choices=["min", "max"])
+    p.add_argument("--scheduler", default="plateau", choices=["plateau", "none"])
+    p.add_argument("--scheduler_patience", type=int, default=20)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help=">1 shards each train batch over a data mesh "
+                        "(batch_size must divide it)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
     from .config_overlay import add_config_arg, apply_config_overlay
@@ -157,6 +225,11 @@ def main(argv=None):
                                esm_dim=16, c_alpha_max_neighbors=8)
             for s in range(2)
         ]
+        val_batches = [
+            make_complex_batch(seed=100 + s, batch=4, n_lig=10, n_res=16,
+                               caps=caps, esm_dim=16, c_alpha_max_neighbors=8)
+            for s in range(1)
+        ]
         # phase 1 with a freshly init'd encoder (no trained run dir exists)
         encoder = TPEncoder(cfg=enc_cfg, caps=caps)
         enc_vars = jax.jit(encoder.init)(jax.random.PRNGKey(0), batches[0])
@@ -173,7 +246,11 @@ def main(argv=None):
             data_dir=args.data_dir, split_path=args.split_train,
             cache_path=args.cache_path, limit_complexes=args.limit_complexes,
         ))
-        caps = caps_from_datasets([ds])
+        ds_val = PDBBind(PDBBindConfig(
+            data_dir=args.data_dir, split_path=args.split_val,
+            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
+        ))
+        caps = caps_from_datasets([ds, ds_val])
         score_cfg, enc_cfg, _ = load_run_configs(args.original_model_dir)
         assert enc_cfg is not None, (
             "--original_model_dir must be a DisCo run (encoder in its yml)"
@@ -187,7 +264,13 @@ def main(argv=None):
             esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
             drop_remainder=False,
         ))
-        print(f"HAPPENING | {len(ds)} complexes in {len(batches)} batches, caps: {caps}")
+        val_batches = list(bucketed_batches(
+            ds_val, args.batch_size, np.random.RandomState(0), buckets=(caps,),
+            esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
+            drop_remainder=False,
+        ))
+        print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes in "
+              f"{len(batches)}+{len(val_batches)} batches, caps: {caps}")
         # phase 1 uses the TRAINED encoder from the wrapper checkpoint
         wrapper_vars = restore_variables(args.original_model_dir, args.ckpt)
         encoder = TPEncoder(cfg=enc_cfg, caps=caps)
@@ -200,9 +283,12 @@ def main(argv=None):
         warm_score_params = wrapper_vars["params"]["score_model"]
         warm_score_stats = (wrapper_vars["batch_stats"] or {}).get("score_model")
 
-    # ---- phase 1: oracle-encoder soft latent labels
+    # ---- phase 1: oracle-encoder soft latent labels (train + val splits,
+    # reference dataset_ar.py instantiated for both loaders)
     labels = generate_ar_labels(encoder, enc_vars, batches, jax.random.PRNGKey(1))
-    print(f"phase 1 done: {len(labels)} label batches, logits {labels[0][0].shape}")
+    val_labels = generate_ar_labels(encoder, enc_vars, val_batches, jax.random.PRNGKey(1))
+    print(f"phase 1 done: {len(labels)} train + {len(val_labels)} val label "
+          f"batches, logits {labels[0][0].shape}")
 
     # ---- phase 2
     model = PretrainedScoreEncoder(
@@ -223,10 +309,33 @@ def main(argv=None):
             stats = dict(variables["batch_stats"])
             stats["pretrained_score_model"] = warm_score_stats
             variables = {**variables, "batch_stats": stats}
-    tx = optax.adam(args.lr)
+    from .plateau import ReduceLROnPlateau, make_adam
+
+    tx = make_adam(args.lr)
     state = TrainState.create(variables, tx)
-    frozen_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True))
-    free_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False))
+    mesh = None
+    if args.n_devices > 1:
+        from ..parallel import make_mesh, replicate, shard_batch, shard_step
+
+        mesh = make_mesh(args.n_devices)
+        frozen_step = shard_step(
+            make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True,
+                               axis_name="data"), mesh, n_sharded_args=5)
+        free_step = shard_step(
+            make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False,
+                               axis_name="data"), mesh, n_sharded_args=5)
+        state = replicate(state, mesh)
+    else:
+        frozen_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True))
+        free_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False))
+    eval_fn = jax.jit(make_ar_eval_step(model))
+
+    @jax.jit
+    def seq_decode(variables, batch, key):
+        def apply_fn(b, lat, dec):
+            return model.apply(variables, b, lat, dec,
+                               deterministic=True, use_running_average=True)
+        return encode_ar(apply_fn, batch, key, args.latent_dim, 1000.0)
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, ar_model=score_cfg, caps=caps)
@@ -237,44 +346,93 @@ def main(argv=None):
     from ..utils.wandb_log import maybe_wandb
 
     wandb_run = maybe_wandb(args.wandb, args.project, args.run_name, vars(args))
+    best = {"accuracy": -np.inf, "loss": np.inf, "sequential_accuracy": -np.inf}
+    scheduler = (ReduceLROnPlateau(mode=args.main_metric_goal,
+                                   patience=args.scheduler_patience,
+                                   min_lr=args.lr / 100)
+                 if args.scheduler == "plateau" else None)
     for epoch in range(args.epochs):
         if epoch == args.warmup_epochs:
-            # unfreeze with a fresh optimizer (train_ar.py:309-313)
+            # unfreeze with a fresh optimizer + scheduler (train_ar.py:309-313)
             state = state.replace(opt_state=tx.init(state.params))
+            if scheduler is not None:
+                scheduler = ReduceLROnPlateau(
+                    mode=args.main_metric_goal,
+                    patience=args.scheduler_patience, min_lr=args.lr / 100)
         step_fn = frozen_step if epoch < args.warmup_epochs else free_step
         ms = []
         for batch, (soft, node_mask) in zip(batches, labels):
             key, k1, k2 = jax.random.split(key, 3)
             b2, lat, dec, lab = prepare_ar_sample(rng, batch, soft, node_mask, args.latent_dim, k1)
-            state, m = step_fn(state, b2, lat, dec, lab, jnp.asarray(node_mask), k2)
+            nm = jnp.asarray(node_mask)
+            if mesh is not None:
+                b2, lat, dec, lab, nm = (
+                    shard_batch(x, mesh) for x in (b2, lat, dec, lab, nm))
+            state, m = step_fn(state, b2, lat, dec, lab, nm, k2)
             ms.append({k3: float(v) for k3, v in m.items()})
         print(f"epoch {epoch}: loss={np.mean([m['loss'] for m in ms]):.4f} "
               f"acc={np.mean([m['accuracy'] for m in ms]):.3f} "
               f"({'frozen' if epoch < args.warmup_epochs else 'unfrozen'} trunk)")
+
+        # held-out val: per-idx teacher-forced accuracy + full sequential
+        # encode_ar accuracy every epoch (train_ar.py:150-216)
+        variables_now = {"params": state.params, "batch_stats": state.batch_stats}
+        vloss, vacc = [], []
+        per_idx = {d: [] for d in range(args.latent_dim)}
+        seq_hits, seq_n = 0, 0
+        for vi, (batch, (soft, node_mask)) in enumerate(zip(val_batches, val_labels)):
+            # fixed rotation per batch so the metric is epoch-comparable
+            vb = rotate_ligand(batch, jax.random.fold_in(jax.random.PRNGKey(11), vi))
+            for d in range(args.latent_dim):
+                lat, dec, lab = teacher_forced_inputs(
+                    batch, soft, node_mask, args.latent_dim, d)
+                lo, ac = eval_fn(variables_now, vb, lat, dec, lab,
+                                 jnp.asarray(node_mask))
+                vloss.append(float(lo))
+                vacc.append(float(ac))
+                per_idx[d].append(float(ac))
+            lat_l, lat_r = seq_decode(
+                variables_now, vb, jax.random.fold_in(jax.random.PRNGKey(9), vi))
+            pred_nodes = np.concatenate(
+                [np.asarray(lat_l), np.asarray(lat_r)], 1).argmax(1)  # (B, Ld)
+            soft_m = np.where(np.asarray(node_mask)[:, None, :],
+                              np.asarray(soft), -np.inf)
+            true_nodes = soft_m.argmax(-1)
+            gm = np.asarray(batch.graph_mask, bool)
+            seq_hits += int((pred_nodes[gm] == true_nodes[gm]).all(-1).sum())
+            seq_n += int(gm.sum())
+        val = {
+            "loss": float(np.mean(vloss)),
+            "accuracy": float(np.mean(vacc)),
+            "sequential_accuracy": seq_hits / max(seq_n, 1),
+        }
+        idx_str = " ".join(
+            f"acc{d}={np.mean(per_idx[d]):.3f}" for d in range(args.latent_dim))
+        print(f"epoch {epoch}: val loss={val['loss']:.4f} "
+              f"acc={val['accuracy']:.3f} seq_acc={val['sequential_accuracy']:.3f} "
+              f"[{idx_str}]")
         if wandb_run:
             wandb_run.log({"loss": float(np.mean([m['loss'] for m in ms])),
-                           "accuracy": float(np.mean([m['accuracy'] for m in ms]))},
+                           "accuracy": float(np.mean([m['accuracy'] for m in ms])),
+                           **{f"val_{k3}": v for k3, v in val.items()}},
                           step=epoch)
         ckpt.save("last", state)
-
-    # sequential decode accuracy (train_ar.py:152-216)
-    def apply_fn(b, lat, dec):
-        out, _ = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            b, lat, dec, mutable=["batch_stats"],
-        )
-        return out
-
-    batch, (soft, node_mask) = batches[0], labels[0]
-    lat_l, lat_r = encode_ar(apply_fn, batch, jax.random.PRNGKey(9), args.latent_dim, 1000.0)
-    pred_nodes = np.concatenate([np.asarray(lat_l), np.asarray(lat_r)], 1).argmax(1)  # (B, Ld)
-    true_nodes = np.asarray(soft).argmax(-1)
-    seq_acc = float((pred_nodes == true_nodes).mean())
-    print(f"sequential encode_ar accuracy: {seq_acc:.3f}")
-    if wandb_run:
-        wandb_run.log({"sequential_accuracy": float(seq_acc)})
-    ckpt.save("best", state)
-    print("AR training done")
+        if val["accuracy"] >= best["accuracy"]:
+            best["accuracy"] = val["accuracy"]
+            ckpt.save("best", state)
+        if val["loss"] <= best["loss"]:
+            best["loss"] = val["loss"]
+            ckpt.save("best_loss", state)
+        if val["sequential_accuracy"] >= best["sequential_accuracy"]:
+            best["sequential_accuracy"] = val["sequential_accuracy"]
+            ckpt.save("best_seq", state)
+        if scheduler is not None:
+            tracked = val[args.main_metric]
+            new_opt = scheduler.step(tracked, state.opt_state)
+            if new_opt is not state.opt_state:
+                state = state.replace(opt_state=new_opt)
+    print(f"AR training done (best val acc={best['accuracy']:.3f}, "
+          f"seq_acc={best['sequential_accuracy']:.3f})")
     return state
 
 

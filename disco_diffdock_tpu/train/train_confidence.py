@@ -8,7 +8,10 @@ multiple cache ids).
 Phase 2 (confidence/confidence_train.py): train the all-atom model in
 confidence mode.  Label modes: BCE on rmsd < 2A (default), multi-cutoff CE
 (``rmsd_classification_cutoff`` list), or direct RMSD regression; optional
-balanced positive/negative sampling; accuracy + ROC-AUC tracking.
+balanced positive/negative sampling.  A held-out val split is scored every
+epoch (loss/accuracy/held-out ROC-AUC); ``ckpt_best`` tracks the best
+``--main_metric`` and a plateau scheduler steps on it
+(confidence_train.py:149-200,226-227).
 """
 from __future__ import annotations
 
@@ -77,7 +80,22 @@ def confidence_labels(rmsds: np.ndarray, cutoffs) -> np.ndarray:
     return np.sum(rmsds[..., None] > np.asarray(cutoffs)[None], axis=-1).astype(np.int32)
 
 
-def make_confidence_train_step(model, tx, mode="bce"):
+def _confidence_loss_acc(out, labels, gm, mode):
+    if mode == "bce":
+        per = optax.sigmoid_binary_cross_entropy(out, labels)
+        acc = ((out > 0) == (labels > 0.5)).astype(jnp.float32)
+    elif mode == "classification":
+        per = optax.softmax_cross_entropy_with_integer_labels(out, labels)
+        acc = (jnp.argmax(out, -1) == labels).astype(jnp.float32)
+    else:  # rmsd regression
+        per = (out - labels) ** 2
+        acc = (jnp.abs(out - labels) < 1.0).astype(jnp.float32)
+    loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
+    accuracy = jnp.sum(acc * gm) / (jnp.sum(gm) + 1e-12)
+    return loss, accuracy
+
+
+def make_confidence_train_step(model, tx, mode="bce", axis_name=None):
     def loss_fn(params, batch_stats, batch, labels, drop_key):
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, batch,
@@ -85,29 +103,39 @@ def make_confidence_train_step(model, tx, mode="bce"):
             mutable=["batch_stats"], rngs={"dropout": drop_key},
         )
         gm = batch.graph_mask.astype(jnp.float32)
-        if mode == "bce":
-            per = optax.sigmoid_binary_cross_entropy(out, labels)
-            acc = ((out > 0) == (labels > 0.5)).astype(jnp.float32)
-        elif mode == "classification":
-            per = optax.softmax_cross_entropy_with_integer_labels(out, labels)
-            acc = (jnp.argmax(out, -1) == labels).astype(jnp.float32)
-        else:  # rmsd regression
-            per = (out - labels) ** 2
-            acc = (jnp.abs(out - labels) < 1.0).astype(jnp.float32)
-        loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
-        accuracy = jnp.sum(acc * gm) / (jnp.sum(gm) + 1e-12)
+        loss, accuracy = _confidence_loss_acc(out, labels, gm, mode)
         return loss, (accuracy, mut["batch_stats"])
 
     def step(state: TrainState, batch, labels, key):
+        if axis_name is not None:
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         (loss, (acc, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, batch, labels, key
         )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            acc = jax.lax.pmean(acc, axis_name)
+            new_stats = jax.lax.pmean(new_stats, axis_name)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
             ema=state.ema.update(new_params), step=state.step + 1,
         ), {"loss": loss, "accuracy": acc}
+
+    return step
+
+
+def make_confidence_eval_step(model, mode="bce"):
+    """Held-out loss/accuracy + raw scores (no dropout, running stats)."""
+
+    def step(variables, batch, labels):
+        out = model.apply(variables, batch,
+                          deterministic=True, use_running_average=True)
+        gm = batch.graph_mask.astype(jnp.float32)
+        loss, acc = _confidence_loss_acc(out, labels, gm, mode)
+        return {"loss": loss, "accuracy": acc}, out
 
     return step
 
@@ -131,12 +159,22 @@ def main(argv=None):
     p.add_argument("--ckpt", default="best_ema_inference")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split_train", default="data/splits/timesplit_no_lig_overlap_train")
+    p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--samples_per_complex", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=4)
     p.add_argument("--epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=3e-4)
+    # val tracking + best-model selection (confidence_train.py:52-53,149-200)
+    p.add_argument("--main_metric", default="accuracy",
+                   choices=["loss", "accuracy", "auc"])
+    p.add_argument("--main_metric_goal", default="max", choices=["min", "max"])
+    p.add_argument("--scheduler", default="plateau", choices=["plateau", "none"])
+    p.add_argument("--scheduler_patience", type=int, default=20)
+    p.add_argument("--n_devices", type=int, default=1,
+                   help=">1 shards each train batch over a data mesh "
+                        "(samples_per_complex must divide it)")
     p.add_argument("--rmsd_classification_cutoff", type=float, nargs="*", default=None)
     p.add_argument("--rmsd_prediction", action="store_true")
     p.add_argument("--balanced", action="store_true")
@@ -175,8 +213,17 @@ def main(argv=None):
             for s in range(2)
         ]
         score_vars = jax.jit(score_model.init)(jax.random.PRNGKey(0), batches[0])
+        # held-out complexes (different seeds) for val tracking
+        val_batches = [
+            make_complex_batch(
+                seed=100 + s, batch=args.samples_per_complex, n_lig=10, n_res=16,
+                caps=caps, esm_dim=16, c_alpha_max_neighbors=8, same_complex=True,
+                all_atoms=True, atoms_per_res=4,
+            )
+            for s in range(2)
+        ]
         latent_fn = None
-        names = None
+        names = val_names = None
         conf_ns, conf_nv, conf_layers = 8, 2, 2
     else:
         assert args.original_model_dir and args.data_dir, (
@@ -191,8 +238,14 @@ def main(argv=None):
             cache_path=args.cache_path, limit_complexes=args.limit_complexes,
             all_atoms=True,
         ))
-        caps = caps_from_datasets([ds], all_atoms=True)
-        print(f"HAPPENING | {len(ds)} complexes, fitted caps: {caps}")
+        ds_val = PDBBind(PDBBindConfig(
+            data_dir=args.data_dir, split_path=args.split_val,
+            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
+            all_atoms=True,
+        ))
+        caps = caps_from_datasets([ds, ds_val], all_atoms=True)
+        print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes, "
+              f"fitted caps: {caps}")
         # pull the score run's feature dims so rec_x widths line up
         from .loading import load_run_configs
 
@@ -203,6 +256,12 @@ def main(argv=None):
             collate(replicate_record(ds.get(n), args.samples_per_complex), caps,
                     esm_dim=esm_dim)
             for n in names
+        ]
+        val_names = list(ds_val.names)
+        val_batches = [
+            collate(replicate_record(ds_val.get(n), args.samples_per_complex), caps,
+                    esm_dim=esm_dim)
+            for n in val_names
         ]
         score_model, score_vars, latent_fn, score_cfg, _ = build_score_runtime(
             args.original_model_dir, caps, tag=args.ckpt,
@@ -219,7 +278,17 @@ def main(argv=None):
         cache_dir=cache_dir, cache_id=args.cache_creation_id,
         latent_fn=latent_fn, names=names,
     )
-    print(f"phase 1 done: {len(data)} complexes x {args.samples_per_complex} poses; "
+    # the reference generates a ConfidenceDataset for the val loader too
+    # (confidence_train.py:297-307): held-out poses for per-epoch val metrics
+    val_data = generate_confidence_dataset(
+        score_model, score_vars, val_batches, scfg, sigma, jax.random.PRNGKey(7),
+        cache_dir=cache_dir, cache_id=args.cache_creation_id,
+        latent_fn=latent_fn,
+        names=val_names if val_names is not None
+        else [f"valcomplex{i}" for i in range(len(val_batches))],
+    )
+    print(f"phase 1 done: {len(data)} train + {len(val_data)} val complexes "
+          f"x {args.samples_per_complex} poses; "
           f"rmsd range [{min(d[1].min() for d in data):.2f}, {max(d[1].max() for d in data):.2f}]")
 
     # ---- phase 2
@@ -233,15 +302,25 @@ def main(argv=None):
         dropout=0.0, confidence_mode=True, num_confidence_outputs=n_out,
         all_atoms=True, latent_dim=0, latent_droprate=0.0,
     )
+    from .plateau import ReduceLROnPlateau, make_adam
+
     model = AllAtomScoreModel(cfg=conf_cfg, caps=caps)
     b0 = batches[0].set_time(0.0, 0.0, 0.0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(2), b0)
-    tx = optax.adam(args.lr)
+    tx = make_adam(args.lr)
     state = TrainState.create(variables, tx)
-    step_fn = jax.jit(make_confidence_train_step(model, tx, mode))
-    eval_fn = jax.jit(
-        lambda v, b: model.apply(v, b, deterministic=True, use_running_average=True)
-    )
+    mesh = None
+    if args.n_devices > 1:
+        from ..parallel import make_mesh, replicate, shard_batch, shard_step
+
+        mesh = make_mesh(args.n_devices)
+        step_fn = shard_step(
+            make_confidence_train_step(model, tx, mode, axis_name="data"),
+            mesh, n_sharded_args=2)
+        state = replicate(state, mesh)
+    else:
+        step_fn = jax.jit(make_confidence_train_step(model, tx, mode))
+    eval_fn = jax.jit(make_confidence_eval_step(model, mode))
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, confidence_model=conf_cfg, caps=caps)
@@ -252,8 +331,14 @@ def main(argv=None):
     from ..utils.wandb_log import maybe_wandb
 
     wandb_run = maybe_wandb(args.wandb, args.project, args.run_name, vars(args))
+    best_val = np.inf if args.main_metric_goal == "min" else -np.inf
+    best_epoch = -1
+    scheduler = (ReduceLROnPlateau(mode=args.main_metric_goal,
+                                   patience=args.scheduler_patience,
+                                   min_lr=args.lr / 100)
+                 if args.scheduler == "plateau" else None)
     for epoch in range(args.epochs):
-        metrics, scores, labels_all = [], [], []
+        metrics = []
         for batch, (pos, rmsd) in zip(batches, data):
             # one cached pose per complex copy (dataset.py:160-166), with
             # optional balanced resampling of positives/negatives
@@ -268,23 +353,56 @@ def main(argv=None):
                 lab = rmsd[idx].astype(np.float32)
             b = batch.replace(lig_pos=jnp.asarray(pos[idx])).set_time(0.0, 0.0, 0.0)
             key, k = jax.random.split(key)
-            state, m = step_fn(state, b, jnp.asarray(lab), k)
+            lab = jnp.asarray(lab)
+            if mesh is not None:
+                b, lab = shard_batch(b, mesh), shard_batch(lab, mesh)
+            state, m = step_fn(state, b, lab, k)
             metrics.append({k2: float(v) for k2, v in m.items()})
-            labels_all.append((rmsd[idx] < 2).astype(np.float32))
-            if mode == "bce":
-                out = eval_fn(
-                    {"params": state.params, "batch_stats": state.batch_stats}, b
-                )
-                scores.append(np.asarray(out).reshape(-1))
         loss = np.mean([m["loss"] for m in metrics])
         acc = np.mean([m["accuracy"] for m in metrics])
-        auc = roc_auc(np.concatenate(labels_all), np.concatenate(scores)) if scores else float("nan")
-        print(f"epoch {epoch}: loss={loss:.4f} acc={acc:.3f} auc={auc:.3f}")
+        print(f"epoch {epoch}: train loss={loss:.4f} acc={acc:.3f}")
+
+        # held-out val pass (confidence_train.py:149-200): fixed pose draw
+        # per epoch so the tracked metric is comparable across epochs
+        val_rng = np.random.RandomState(1234)
+        vmetrics, vscores, vlabels = [], [], []
+        variables_now = {"params": state.params, "batch_stats": state.batch_stats}
+        for batch, (pos, rmsd) in zip(val_batches, val_data):
+            idx = val_rng.randint(0, len(rmsd), batch.num_graphs)
+            lab = confidence_labels(rmsd[idx], args.rmsd_classification_cutoff)
+            if args.rmsd_prediction:
+                lab = rmsd[idx].astype(np.float32)
+            b = batch.replace(lig_pos=jnp.asarray(pos[idx])).set_time(0.0, 0.0, 0.0)
+            m, out = eval_fn(variables_now, b, jnp.asarray(lab))
+            vmetrics.append({k2: float(v) for k2, v in m.items()})
+            if mode == "bce":
+                vlabels.append((rmsd[idx] < 2).astype(np.float32))
+                vscores.append(np.asarray(out).reshape(-1))
+        val = {
+            "loss": float(np.mean([m["loss"] for m in vmetrics])),
+            "accuracy": float(np.mean([m["accuracy"] for m in vmetrics])),
+            "auc": (roc_auc(np.concatenate(vlabels), np.concatenate(vscores))
+                    if vscores else float("nan")),
+        }
+        print(f"epoch {epoch}: val loss={val['loss']:.4f} "
+              f"acc={val['accuracy']:.3f} auc={val['auc']:.3f}")
         if wandb_run:
-            wandb_run.log({"loss": loss, "accuracy": acc, "auc": auc}, step=epoch)
+            wandb_run.log({"loss": loss, "accuracy": acc,
+                           **{f"val_{k2}": v for k2, v in val.items()}},
+                          step=epoch)
         ckpt.save("last", state)
-    ckpt.save("best", state)
-    print("confidence training done")
+        tracked = val[args.main_metric]
+        improved = (tracked <= best_val if args.main_metric_goal == "min"
+                    else tracked >= best_val)
+        if np.isfinite(tracked) and improved or best_epoch < 0:
+            best_val, best_epoch = tracked, epoch
+            ckpt.save("best", state)
+        if scheduler is not None and np.isfinite(tracked):
+            new_opt = scheduler.step(tracked, state.opt_state)
+            if new_opt is not state.opt_state:
+                state = state.replace(opt_state=new_opt)
+    print(f"confidence training done (best val {args.main_metric}="
+          f"{best_val:.4f} at epoch {best_epoch})")
     return state
 
 
