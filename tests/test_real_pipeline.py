@@ -84,6 +84,7 @@ class TestConfidenceTraining:
             "--original_model_dir", score_run,
             "--data_dir", DATA,
             "--split_train", os.path.join(SPLITS, "fixture_train"),
+            "--split_val", os.path.join(SPLITS, "fixture_val"),
             "--cache_path", dirs["cache"],
             "--samples_per_complex", "2", "--inference_steps", "2",
             "--epochs", "1", "--ns", "4", "--nv", "2", "--num_conv_layers", "2",
@@ -93,7 +94,9 @@ class TestConfidenceTraining:
         assert os.path.exists(os.path.join(run, "ckpt_best"))
         # phase-1 pose caches are per complex name + cache id
         cache = os.path.join(run, "pose_cache")
-        assert sorted(os.listdir(cache)) == ["fix1_cache0.npz", "fix2_cache0.npz"]
+        # train (fix1, fix2) + val (fix3) pose caches, keyed name + cache id
+        assert sorted(os.listdir(cache)) == [
+            "fix1_cache0.npz", "fix2_cache0.npz", "fix3_cache0.npz"]
         with np.load(os.path.join(cache, "fix1_cache0.npz")) as z:
             assert z["pos"].shape[0] == 2 and z["rmsd"].shape == (2,)
 
@@ -106,11 +109,14 @@ class TestARTraining:
             "--original_model_dir", score_run,
             "--data_dir", DATA,
             "--split_train", os.path.join(SPLITS, "fixture_train"),
+            "--split_val", os.path.join(SPLITS, "fixture_val"),
             "--cache_path", dirs["cache"],
             "--batch_size", "2", "--epochs", "2", "--warmup_epochs", "1",
             "--run_name", "ar", "--log_dir", dirs["runs"],
         ])
-        assert os.path.exists(os.path.join(dirs["runs"], "ar", "ckpt_best"))
+        # best selected by held-out val metrics, along all three axes
+        for tag in ("ckpt_best", "ckpt_best_loss", "ckpt_best_seq", "ckpt_last"):
+            assert os.path.exists(os.path.join(dirs["runs"], "ar", tag)), tag
 
 
 class TestEvaluateReal:
@@ -136,11 +142,36 @@ class TestEvaluateReal:
         for artifact in ("rmsds.npy", "confidences.npy", "metrics.json",
                          "centroid_distances.npy", "run_times.npy"):
             assert os.path.exists(os.path.join(bucket, artifact)), artifact
+            # pooled cross-bucket artifacts at the top level
+            assert os.path.exists(os.path.join(dirs["eval"], artifact)), artifact
+        assert os.path.exists(os.path.join(dirs["eval"], "complex_names.npy"))
+        # both metric families survive the cross-bucket merge
+        assert "top1_rmsds_below_2" in metrics
+        assert "filtered_rmsds_below_2" in metrics
         with open(os.path.join(bucket, "metrics.json")) as f:
             m = json.load(f)
             assert "filtered_rmsds_below_2" in m
             # receptor-unseen subset metrics (evaluate.py:420-421 parity)
             assert "no_overlap_rmsds_below_2" in m
+
+    def test_ar_without_encoder_errors_loudly(self, tmp_path):
+        """--ar_model_dir against a latent-free score run must raise, not
+        silently fall back to no latents."""
+        from disco_diffdock_tpu.config import ScoreModelConfig
+        from disco_diffdock_tpu.eval.evaluate import main
+        from disco_diffdock_tpu.train.checkpoints import save_config
+
+        run_dir = str(tmp_path / "latent_free_run")
+        save_config(run_dir, score_model=ScoreModelConfig(latent_dim=0))
+        with pytest.raises(SystemExit, match="encoder"):
+            main([
+                "--data_dir", DATA,
+                "--split_path", os.path.join(SPLITS, "fixture_test"),
+                "--cache_path", str(tmp_path / "cache"),
+                "--model_dir", run_dir,
+                "--ar_model_dir", str(tmp_path / "whatever"),
+                "--out_dir", str(tmp_path / "out"),
+            ])
 
 
 class TestDockCLI:
