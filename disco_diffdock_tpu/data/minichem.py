@@ -82,6 +82,149 @@ def parse_sdf(path_or_text: str) -> MiniMol:
                    np.asarray(types, np.int32), charges)
 
 
+_MOL2_BOND_TYPE = {"1": 1, "2": 2, "3": 3, "am": 1, "ar": 4, "du": 1, "un": 1, "nc": 0}
+
+# single-bond covalent radii (A) for distance-based bond inference on
+# formats without a bond table (pdbqt; pdb without CONECT)
+_COVALENT_RADIUS = {
+    "H": 0.31, "B": 0.84, "C": 0.76, "N": 0.71, "O": 0.66, "F": 0.57,
+    "SI": 1.11, "P": 1.07, "S": 1.05, "CL": 1.02, "BR": 1.20, "I": 1.39,
+    "SE": 1.20, "FE": 1.32, "ZN": 1.22, "MG": 1.41, "MN": 1.39, "CA": 1.76,
+    "NA": 1.66, "K": 2.03, "CU": 1.32, "CO": 1.26, "NI": 1.24,
+}
+
+
+def _read_lines(path_or_text: str) -> list[str]:
+    if "\n" in path_or_text:
+        return path_or_text.splitlines()
+    with open(path_or_text) as f:
+        return f.read().splitlines()
+
+
+def parse_mol2(path_or_text: str) -> MiniMol:
+    """Parse the first molecule of a TRIPOS MOL2 file (the format the
+    reference reads via Chem.MolFromMol2File, process_mols.py:491-492).
+
+    Elements come from the SYBYL atom type (token before the '.'); bond
+    types map ar->aromatic(4), am->amide(1), numeric as-is.
+    """
+    lines = _read_lines(path_or_text)
+    section = None
+    elements, pos, charges = [], [], []
+    bonds, types = [], []
+    id_map: dict[int, int] = {}
+    for raw in lines:
+        L = raw.strip()
+        if L.startswith("@<TRIPOS>"):
+            tag = L[len("@<TRIPOS>"):].upper()
+            if tag == "MOLECULE" and elements:
+                break  # only the first molecule
+            section = tag
+            continue
+        if not L or section is None:
+            continue
+        if section == "ATOM":
+            parts = L.split()
+            # id name x y z type [subst_id subst_name charge]
+            atom_id = int(parts[0])
+            sybyl = parts[5]
+            el = sybyl.split(".")[0]
+            if el.upper() not in _ELEMENT_Z:  # e.g. 'Du' dummy: keep literal
+                el = el[0:2] if el[0:2].upper() in _ELEMENT_Z else el[0]
+            id_map[atom_id] = len(elements)
+            elements.append(el)
+            pos.append([float(parts[2]), float(parts[3]), float(parts[4])])
+            charges.append(float(parts[8]) if len(parts) > 8 else 0.0)
+        elif section == "BOND":
+            parts = L.split()
+            a, b, t = int(parts[1]), int(parts[2]), parts[3].lower()
+            ti = _MOL2_BOND_TYPE.get(t, 1)
+            if ti == 0:
+                continue  # 'nc' not-connected records
+            bonds.append((a, b))
+            types.append(ti)
+    bond_idx = np.asarray(
+        [(id_map[a], id_map[b]) for a, b in bonds], np.int32
+    ).reshape(-1, 2)
+    return MiniMol(elements, np.asarray(pos, np.float32), bond_idx,
+                   np.asarray(types, np.int32),
+                   np.rint(np.asarray(charges)).astype(np.int32))
+
+
+def infer_bonds(elements: list[str], pos: np.ndarray,
+                tolerance: float = 0.45) -> np.ndarray:
+    """Distance-based bond perception: a pair bonds when closer than the sum
+    of covalent radii + tolerance (the fallback for bond-table-free formats;
+    RDKit's PDB reader does the equivalent proximity perception)."""
+    n = len(elements)
+    radii = np.asarray(
+        [_COVALENT_RADIUS.get(e.upper(), 0.77) for e in elements], np.float32)
+    d = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+    cut = radii[:, None] + radii[None, :] + tolerance
+    cand = np.argwhere(np.triu(d < cut, k=1))
+    # hydrogens bond only to their single nearest neighbor
+    out = []
+    h_taken: dict[int, tuple[int, float]] = {}
+    for a, b in cand:
+        a, b = int(a), int(b)
+        if elements[a].upper() == "H" or elements[b].upper() == "H":
+            h = a if elements[a].upper() == "H" else b
+            if h not in h_taken or d[a, b] < h_taken[h][1]:
+                h_taken[h] = ((a, b), d[a, b])
+        else:
+            out.append((a, b))
+    out.extend(pair for pair, _ in h_taken.values())
+    return np.asarray(sorted(out), np.int32).reshape(-1, 2)
+
+
+def parse_pdb_ligand(path_or_text: str, pdbqt: bool = False) -> MiniMol:
+    """Parse a small molecule from PDB/PDBQT ATOM/HETATM records.
+
+    CONECT records supply bonds when present; otherwise bonds are inferred
+    from covalent-radius distances.  PDBQT AutoDock types (A->aromatic C,
+    OA/NA/SA->O/N/S, HD->H) are normalized to elements.  All bonds are
+    single (orders are not stored in these formats; the reference's
+    MolFromPDBBlock path is likewise order-free, process_mols.py:497-503).
+    """
+    lines = _read_lines(path_or_text)
+    elements, pos = [], []
+    serial_map: dict[int, int] = {}
+    conect: list[tuple[int, int]] = []
+    for L in lines:
+        rec = L[:6].strip()
+        if rec in ("ATOM", "HETATM"):
+            serial = int(L[6:11])
+            name = L[12:16].strip()
+            el = L[76:78].strip() if len(L) >= 78 else ""
+            if pdbqt or not el:
+                # AutoDock atom types / fall back to the atom-name letters
+                t = (el or name).upper()
+                el = {"A": "C", "OA": "O", "NA": "N", "SA": "S", "HD": "H",
+                      "HS": "H"}.get(t, None)
+                if el is None:
+                    t2 = "".join(c for c in name if c.isalpha()).upper()
+                    el = t2[:2] if t2[:2] in _ELEMENT_Z else t2[:1]
+            serial_map[serial] = len(elements)
+            elements.append(el)
+            pos.append([float(L[30:38]), float(L[38:46]), float(L[46:54])])
+        elif rec == "CONECT":
+            fields = [L[i:i + 5].strip() for i in range(6, min(len(L), 31), 5)]
+            fields = [int(x) for x in fields if x]
+            for b in fields[1:]:
+                if fields[0] in serial_map and b in serial_map:
+                    conect.append((min(fields[0], b), max(fields[0], b)))
+    pos = np.asarray(pos, np.float32)
+    if conect:
+        bonds = np.asarray(
+            sorted({(serial_map[a], serial_map[b]) for a, b in conect}),
+            np.int32).reshape(-1, 2)
+    else:
+        bonds = infer_bonds(elements, pos)
+    return MiniMol(elements, pos, bonds,
+                   np.ones(len(bonds), np.int32),
+                   np.zeros(len(elements), np.int32))
+
+
 def write_sdf(mol: MiniMol, pos: np.ndarray, name: str = "mol") -> str:
     """Serialize with replaced coordinates (write_mol_with_coords analogue)."""
     lines = [name, "  disco_diffdock_tpu", "", f"{len(mol.elements):3d}{len(mol.bonds):3d}  0  0  0  0  0  0  0  0999 V2000"]

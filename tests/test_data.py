@@ -61,6 +61,88 @@ class TestMinichem:
         assert len(residues) == 6
         assert all("CA" in r.atoms for r in residues)
 
+    def test_mol2_parse_matches_sdf(self):
+        """TRIPOS MOL2 twin of the SDF fixture parses to the same graph
+        (process_mols.py:491-492 ingestion, RDKit-free)."""
+        mol = minichem.parse_sdf(SDF)
+        atom_lines, bond_lines = [], []
+        sybyl = {("C", 0): "C.3", ("O", 0): "O.2", ("N", 0): "N.3"}
+        for i, (e, p) in enumerate(zip(mol.elements, mol.pos)):
+            atom_lines.append(
+                f"{i + 1:>4} {e}{i + 1:<3} {p[0]:9.4f} {p[1]:9.4f} "
+                f"{p[2]:9.4f} {sybyl[(e, 0)]:<6} 1 LIG 0.0000")
+        for j, ((a, b), t) in enumerate(zip(mol.bonds, mol.bond_types)):
+            bond_lines.append(f"{j + 1:>4} {a + 1:>4} {b + 1:>4} {t}")
+        text = (
+            "@<TRIPOS>MOLECULE\ntest\n 6 5 0 0 0\nSMALL\nNO_CHARGES\n"
+            "@<TRIPOS>ATOM\n" + "\n".join(atom_lines)
+            + "\n@<TRIPOS>BOND\n" + "\n".join(bond_lines) + "\n"
+        )
+        m2 = minichem.parse_mol2(text)
+        assert m2.elements == mol.elements
+        np.testing.assert_allclose(m2.pos, mol.pos, atol=1e-3)
+        np.testing.assert_array_equal(m2.bonds, mol.bonds)
+        np.testing.assert_array_equal(m2.bond_types, mol.bond_types)
+
+    def test_mol2_aromatic_and_amide_types(self):
+        text = (
+            "@<TRIPOS>MOLECULE\nx\n 2 1 0 0 0\nSMALL\nNO_CHARGES\n"
+            "@<TRIPOS>ATOM\n"
+            "1 C1 0.0 0.0 0.0 C.ar 1 LIG 0.0\n"
+            "2 N1 1.4 0.0 0.0 N.am 1 LIG 0.0\n"
+            "@<TRIPOS>BOND\n1 1 2 ar\n"
+        )
+        m = minichem.parse_mol2(text)
+        assert m.elements == ["C", "N"]
+        assert m.bond_types.tolist() == [4]  # ar -> aromatic
+
+    def test_pdb_ligand_conect_and_inference(self):
+        # ethanol-ish HETATM block with CONECT
+        text = (
+            "HETATM    1  C1  LIG A   1       0.000   0.000   0.000  1.00  0.00           C\n"
+            "HETATM    2  C2  LIG A   1       1.500   0.000   0.000  1.00  0.00           C\n"
+            "HETATM    3  O1  LIG A   1       2.160   1.250   0.000  1.00  0.00           O\n"
+            "CONECT    1    2\nCONECT    2    1    3\n"
+        )
+        m = minichem.parse_pdb_ligand(text)
+        assert m.elements == ["C", "C", "O"]
+        np.testing.assert_array_equal(m.bonds, [[0, 1], [1, 2]])
+        # without CONECT, covalent-radius inference finds the same bonds
+        no_conect = "\n".join(L for L in text.splitlines() if not L.startswith("CONECT"))
+        m2 = minichem.parse_pdb_ligand(no_conect)
+        np.testing.assert_array_equal(m2.bonds, [[0, 1], [1, 2]])
+
+    def test_pdbqt_autodock_types(self):
+        text = (
+            "HETATM    1  C1  LIG A   1       0.000   0.000   0.000  1.00  0.00    +0.1 A \n"
+            "HETATM    2  O1  LIG A   1       1.300   0.000   0.000  1.00  0.00    -0.3 OA\n"
+            "HETATM    3  H1  LIG A   1       1.800   0.800   0.000  1.00  0.00    +0.2 HD\n"
+        )
+        m = minichem.parse_pdb_ligand(text, pdbqt=True)
+        assert m.elements == ["C", "O", "H"]  # A->C, OA->O, HD->H
+        assert m.remove_hs().elements == ["C", "O"]
+
+    def test_read_molecule_mol2_end_to_end(self, tmp_path):
+        """A mol2 ligand featurizes through the full ligand_graph path
+        without RDKit (VERDICT round-2 item 9)."""
+        mol = minichem.parse_sdf(SDF)
+        lines = ["@<TRIPOS>MOLECULE", "lig", " 6 5 0 0 0", "SMALL",
+                 "NO_CHARGES", "@<TRIPOS>ATOM"]
+        ty = {"C": "C.3", "O": "O.2", "N": "N.3"}
+        for i, (e, p) in enumerate(zip(mol.elements, mol.pos)):
+            lines.append(f"{i + 1} {e}{i + 1} {p[0]:.4f} {p[1]:.4f} {p[2]:.4f} "
+                         f"{ty[e]} 1 LIG 0.0")
+        lines.append("@<TRIPOS>BOND")
+        for j, ((a, b), t) in enumerate(zip(mol.bonds, mol.bond_types)):
+            lines.append(f"{j + 1} {a + 1} {b + 1} {t}")
+        path = tmp_path / "lig.mol2"
+        path.write_text("\n".join(lines) + "\n")
+        m = featurize.read_molecule(str(path), remove_hs=True)
+        g = featurize.ligand_graph(m)
+        assert g["lig_x"].shape == (6, 16)
+        assert g["lig_z"].tolist() == [6, 6, 8, 6, 7, 6]
+        assert g["bonds"].shape == (10, 2)  # 5 bonds, bidirectional
+
 
 class TestTorsionDetect:
     def test_chain_molecule(self):
