@@ -1,0 +1,586 @@
+"""Full-model numeric parity: the COMPLETE score-model forward and one
+reverse Euler-Maruyama step vs an independent plain-torch oracle.
+
+The unit-level parity suite (test_parity_torch.py) checks the TP kernel, the
+SO(3)/torus tables and modify_conformer in isolation.  This file closes the
+remaining gap: a from-scratch torch/numpy twin of the reference's
+``TensorProductScoreModel.forward`` (models/score_model.py:169-307) --
+dynamic (unpadded) graph building, 5-layer conv trunk over the 4 edge
+groups, center-conv tr/rot head, pseudotorque torsion head, sigma
+normalizations -- consuming the SAME randomized flax parameter tree as the
+JAX model, must produce the same three scores on padded masked batches; and
+one full reverse step (utils/sampling.py:105-198) with the shipped
+DisCo-DiffDock low-temperature constants must produce the same pose.
+
+The oracle intentionally re-derives everything the padded/masked/one-hot TPU
+path could get wrong: edge enumeration (vs capacity compaction), joint
+scatter-means (vs one-hot matmuls), running-stat batchnorm slicing, head
+plumbing, drift math.  Two shared ingredients are consumed rather than
+re-derived, each validated elsewhere: the Clebsch-Gordan tables
+(tests/test_nn.py equivariance suite) and the SO(3)/torus score-norm tables
+(test_parity_torch.py vs the reference formulas).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from disco_diffdock_tpu.config import GraphCaps, ScoreModelConfig
+from disco_diffdock_tpu.data.synthetic import make_complex_batch
+from disco_diffdock_tpu.geom import so3, torus
+from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
+from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
+from disco_diffdock_tpu.nn.cg import cg_tensor
+from disco_diffdock_tpu.nn.irreps import Irreps
+from disco_diffdock_tpu.nn.tensor_product import FullTensorProduct, get_irrep_seq
+
+# ---------------------------------------------------------------------------
+# torch oracle building blocks
+# ---------------------------------------------------------------------------
+
+
+def t_sinusoidal(t: float, dim: int, scale: float = 1000.0) -> np.ndarray:
+    """sinusoidal_embedding(scale * t, dim) (diffusion_utils.py:58-70).
+
+    Computed in float32 like both the reference and the JAX model: the
+    ``scale * t`` phase multiplies frequency rounding by up to 1000, so a
+    float64 recompute here would NOT match either implementation."""
+    half = dim // 2
+    freqs = np.exp(
+        np.arange(half, dtype=np.float32)
+        * np.float32(-math.log(10000.0) / (half - 1))).astype(np.float32)
+    x = (np.float32(scale) * np.float32(t)) * freqs
+    emb = np.concatenate([np.sin(x), np.cos(x)])
+    return emb.astype(np.float64)
+
+
+def t_sh(vec: torch.Tensor, lmax: int) -> torch.Tensor:
+    """Component-normalized real SH, (y,z,x) l=1 layout (nn/sh.py twin)."""
+    n = torch.sqrt((vec * vec).sum(-1, keepdim=True)) + 1e-12
+    x, y, z = (vec / n).unbind(-1)
+    comps = [torch.ones_like(x)]
+    if lmax >= 1:
+        s3 = math.sqrt(3.0)
+        comps += [s3 * y, s3 * z, s3 * x]
+    if lmax >= 2:
+        s15 = math.sqrt(15.0)
+        comps += [s15 * x * y, s15 * y * z,
+                  (math.sqrt(5.0) / 2.0) * (3 * z * z - 1),
+                  s15 * x * z, (s15 / 2.0) * (x * x - y * y)]
+    assert lmax <= 2
+    return torch.stack(comps, -1)
+
+
+def t_rbf(dist: torch.Tensor, stop: float, num: int) -> torch.Tensor:
+    """GaussianSmearing (models/score_model.py GaussianSmearing twin)."""
+    offset = torch.linspace(0.0, stop, num, dtype=dist.dtype)
+    coeff = -0.5 / float(stop) ** 2 * (num - 1) ** 2
+    d = dist[..., None] - offset
+    return torch.exp(coeff * d * d)
+
+
+def t_fcblock(params: dict, x: torch.Tensor) -> torch.Tensor:
+    """FCBlock with layers=2: Dense/relu/Dense (nn/basic.py FCBlock)."""
+    w0 = torch.from_numpy(np.asarray(params["Dense_0"]["kernel"], np.float64))
+    b0 = torch.from_numpy(np.asarray(params["Dense_0"]["bias"], np.float64))
+    w1 = torch.from_numpy(np.asarray(params["Dense_1"]["kernel"], np.float64))
+    b1 = torch.from_numpy(np.asarray(params["Dense_1"]["bias"], np.float64))
+    return torch.relu(x @ w0 + b0) @ w1 + b1
+
+
+def t_dense(params: dict, x: torch.Tensor) -> torch.Tensor:
+    w = torch.from_numpy(np.asarray(params["kernel"], np.float64))
+    out = x @ w
+    if "bias" in params:
+        out = out + torch.from_numpy(np.asarray(params["bias"], np.float64))
+    return out
+
+
+def t_atom_encoder(params: dict, codes: np.ndarray, extras: torch.Tensor,
+                   n_cat: int) -> torch.Tensor:
+    """AtomEncoder: sum of Embed tables + joint Dense over [emb, extras]."""
+    emb = 0.0
+    for i in range(n_cat):
+        table = torch.from_numpy(
+            np.asarray(params[f"Embed_{i}"]["embedding"], np.float64))
+        emb = emb + table[codes[:, i].astype(np.int64)]
+    return t_dense(params["Dense_0"], torch.cat([emb, extras], -1))
+
+
+class TorchWeightedTP:
+    """General weighted TP twin of nn/tensor_product.WeightedTensorProduct,
+    layout 'fo', 1/sqrt(fan) normalization (reference FasterTensorProduct
+    convention, tensor_layers.py:88-92, generalized)."""
+
+    def __init__(self, in_irreps, sh_irreps, out_irreps):
+        self.in_irreps = Irreps(in_irreps)
+        self.sh_irreps = Irreps(sh_irreps)
+        self.out_irreps = Irreps(out_irreps)
+        self.paths, self.fan_in = [], []
+        for out_mi in self.out_irreps:
+            pk, fan = [], 0
+            for i, in_mi in enumerate(self.in_irreps):
+                for j, sh_mi in enumerate(self.sh_irreps):
+                    if in_mi.ir.p * sh_mi.ir.p != out_mi.ir.p:
+                        continue
+                    if not abs(in_mi.ir.l - sh_mi.ir.l) <= out_mi.ir.l <= in_mi.ir.l + sh_mi.ir.l:
+                        continue
+                    pk.append((i, j))
+                    fan += in_mi.mul
+            self.paths.append(pk)
+            self.fan_in.append(fan)
+        self.weight_splits = [f * mi.mul for f, mi in zip(self.fan_in, self.out_irreps)]
+
+    def __call__(self, x: torch.Tensor, sh: torch.Tensor,
+                 w_blocks: list) -> torch.Tensor:
+        in_slices = self.in_irreps.slices()
+        sh_slices = self.sh_irreps.slices()
+        outs = []
+        for k, out_mi in enumerate(self.out_irreps):
+            fan = self.fan_in[k]
+            if fan == 0:
+                outs.append(torch.zeros(x.shape[:-1] + (out_mi.dim,), dtype=x.dtype))
+                continue
+            basis = []
+            for (i, j) in self.paths[k]:
+                in_mi, sh_mi = self.in_irreps[i], self.sh_irreps[j]
+                C = torch.from_numpy(
+                    cg_tensor(in_mi.ir.l, sh_mi.ir.l, out_mi.ir.l).astype(np.float64))
+                xb = x[..., in_slices[i]].reshape(x.shape[:-1] + (in_mi.mul, in_mi.ir.dim))
+                shb = sh[..., sh_slices[j]]
+                T = torch.einsum("ej,ijk->eik", shb, C)
+                basis.append(torch.einsum("emi,eik->emk", xb, T))
+            basis = torch.cat(basis, dim=-2)  # (E, fan, d3)
+            W = w_blocks[k].reshape(-1, fan, out_mi.mul) / math.sqrt(fan)
+            out = torch.einsum("efk,efo->eok", basis, W)
+            outs.append(out.reshape(out.shape[0], out_mi.dim))
+        return torch.cat(outs, -1)
+
+
+def t_conv_mlp(params: dict, g: int, eattr: torch.Tensor, n_splits: int):
+    """Per-group edge-weight MLP of TPConvLayer (nn/conv.py fc{g}_*)."""
+    w1 = torch.from_numpy(np.asarray(params[f"fc{g}_w1"], np.float64))
+    b1 = torch.from_numpy(np.asarray(params[f"fc{g}_b1"], np.float64))
+    h = torch.relu(eattr @ w1 + b1)
+    blocks = []
+    for k in range(n_splits):
+        if f"fc{g}_w2_{k}" in params:
+            w2 = torch.from_numpy(np.asarray(params[f"fc{g}_w2_{k}"], np.float64))
+            b2 = torch.from_numpy(np.asarray(params[f"fc{g}_b2_{k}"], np.float64))
+            blocks.append(h @ w2 + b2)
+        else:
+            blocks.append(None)
+    return blocks
+
+
+def t_irreps_bn(params: dict, stats: dict, irreps, x: torch.Tensor) -> torch.Tensor:
+    """MaskedIrrepsBatchNorm in use_running_average mode (nn/batchnorm.py):
+    per-channel running var for all blocks, running mean + bias only for 0e,
+    weight for every channel."""
+    irreps = Irreps(irreps)
+    weight = np.asarray(params["weight"], np.float64)
+    bias = np.asarray(params.get("bias"), np.float64) if "bias" in params else None
+    mean = np.asarray(stats.get("mean"), np.float64) if "mean" in stats else None
+    var = np.asarray(stats["var"], np.float64)
+    out = torch.zeros_like(x)
+    ch = sc = 0
+    for mi, sl in zip(irreps, irreps.slices()):
+        d = mi.ir.dim
+        b = x[..., sl].reshape(x.shape[:-1] + (mi.mul, d))
+        if mi.ir.l == 0 and mi.ir.p == 1:
+            b = b - torch.from_numpy(mean[sc: sc + mi.mul])[:, None]
+        factor = torch.from_numpy(
+            weight[ch: ch + mi.mul] / np.sqrt(var[ch: ch + mi.mul] + 1e-5))
+        b = b * factor[:, None]
+        if mi.ir.l == 0 and mi.ir.p == 1:
+            b = b + torch.from_numpy(bias[sc: sc + mi.mul])[:, None]
+            sc += mi.mul
+        out[..., sl] = b.reshape(b.shape[:-2] + (mi.dim,))
+        ch += mi.mul
+    return out
+
+
+def irrep_to_vec_np(c: torch.Tensor) -> torch.Tensor:
+    """(y,z,x) component layout -> physical (x,y,z) (nn/sh.py)."""
+    return torch.stack([c[..., 2], c[..., 0], c[..., 1]], -1)
+
+
+# ---------------------------------------------------------------------------
+# the oracle forward (one UNPADDED graph, dynamic edges, plain torch)
+# ---------------------------------------------------------------------------
+
+
+def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
+                 g: dict, t: float):
+    """Graph build + conv trunk; returns (lig_attr, rec_attr) torch f64."""
+    ns = cfg.ns
+    pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
+    pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
+    nl, nr = len(pos_l), len(pos_r)
+
+    tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
+    sig_emb = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
+
+    # node embeddings (score_model.py:310-373 node paths)
+    lig_attr = t_atom_encoder(
+        params["lig_node_embedding"], g["lig_x"],
+        sig_emb[None].expand(nl, -1), n_cat=16)
+    rec_extras = torch.cat([
+        torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)),
+        sig_emb[None].expand(nr, -1)], -1)
+    rec_attr = t_atom_encoder(
+        params["rec_node_embedding"], g["rec_x"][:, :1], rec_extras, n_cat=1)
+
+    # ---- ligand edges: bonds + 5A radius pairs (duplicates kept, as in the
+    # reference's concatenation, score_model.py:310-344)
+    b_src = g["bonds"][:, 0].tolist()
+    b_dst = g["bonds"][:, 1].tolist()
+    r_src, r_dst = [], []
+    for i in range(nl):
+        for j in range(nl):
+            if i != j and np.linalg.norm(g["lig_pos"][i] - g["lig_pos"][j]) < cfg.lig_max_radius:
+                r_src.append(i)
+                r_dst.append(j)
+    lig_src = np.asarray(b_src + r_src)
+    lig_dst = np.asarray(b_dst + r_dst)
+    bond_feat = torch.zeros((len(lig_src), 4), dtype=torch.float64)
+    bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
+    vec_l = pos_l[lig_dst] - pos_l[lig_src]
+    dist_l = torch.sqrt(((vec_l + 1e-12) ** 2).sum(-1))
+    lig_eattr = torch.cat([
+        bond_feat, sig_emb[None].expand(len(lig_src), -1),
+        t_rbf(dist_l, cfg.lig_max_radius, cfg.distance_embed_dim)], -1)
+    lig_eattr = t_fcblock(params["lig_edge_embedding"], lig_eattr)
+    lig_sh = t_sh(vec_l, cfg.sh_lmax)
+
+    # ---- receptor edges (precomputed kNN)
+    rec_src, rec_dst = g["rec_src"], g["rec_dst"]
+    vec_r = pos_r[rec_dst] - pos_r[rec_src]
+    dist_r = torch.sqrt(((vec_r + 1e-12) ** 2).sum(-1))
+    rec_eattr = torch.cat([
+        sig_emb[None].expand(len(rec_src), -1),
+        t_rbf(dist_r, cfg.rec_max_radius, cfg.distance_embed_dim)], -1)
+    rec_eattr = t_fcblock(params["rec_edge_embedding"], rec_eattr)
+    rec_sh = t_sh(vec_r, cfg.sh_lmax)
+
+    # ---- cross edges, dynamic cutoff 3*sigma_tr + 20 (score_model.py:202)
+    cutoff = tr_sigma * 3 + 20 if cfg.dynamic_max_cross else cfg.cross_max_distance
+    x_src, x_dst = [], []
+    for i in range(nl):
+        for j in range(nr):
+            if np.linalg.norm(g["lig_pos"][i] - g["rec_pos"][j]) < cutoff:
+                x_src.append(i)
+                x_dst.append(j)
+    x_src, x_dst = np.asarray(x_src), np.asarray(x_dst)
+    vec_x = pos_r[x_dst] - pos_l[x_src]
+    dist_x = torch.sqrt(((vec_x + 1e-12) ** 2).sum(-1))
+    cross_eattr = torch.cat([
+        sig_emb[None].expand(len(x_src), -1),
+        t_rbf(dist_x, cfg.cross_max_distance, cfg.cross_distance_embed_dim)], -1)
+    cross_eattr = t_fcblock(params["cross_edge_embedding"], cross_eattr)
+    cross_sh = t_sh(vec_x, cfg.sh_lmax)
+
+    # ---- conv trunk: 4 blocks per layer, joint scatter-mean per receiver
+    # (nn/conv.py TPConvLayer; reference tensor_layers.py:147-168).  NOTE the
+    # flipped cross block reuses the un-negated cross SH -- a reference quirk
+    # (score_model.py:223: edge_sh cat repeats lr_edge_sh for the flip).
+    seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
+    sh_irreps = "1x0e + 1x1o" if cfg.sh_lmax == 1 else "1x0e + 1x1o + 1x2e"
+    for li in range(cfg.num_conv_layers):
+        in_ir = seq[min(li, len(seq) - 1)]
+        out_ir = seq[min(li + 1, len(seq) - 1)]
+        tp = TorchWeightedTP(in_ir, sh_irreps, out_ir)
+        lp = params[f"conv{li}"]
+        out_dim = Irreps(out_ir).dim
+        sums = {"lig": torch.zeros((nl, out_dim), dtype=torch.float64),
+                "rec": torch.zeros((nr, out_dim), dtype=torch.float64)}
+        counts = {"lig": torch.zeros((nl, 1), dtype=torch.float64),
+                  "rec": torch.zeros((nr, 1), dtype=torch.float64)}
+        blocks = [
+            (lig_src, lig_dst, lig_eattr, lig_sh, 0, "lig", "lig"),
+            (x_src, x_dst, cross_eattr, cross_sh, 1, "lig", "rec"),
+            (rec_src, rec_dst, rec_eattr, rec_sh, 2, "rec", "rec"),
+            (x_dst, x_src, cross_eattr, cross_sh, 3, "rec", "lig"),
+        ]
+        attrs = {"lig": lig_attr, "rec": rec_attr}
+        for (src, dst, eattr, esh, grp, rt, st) in blocks:
+            xfeat = attrs[st][dst]
+            full = torch.cat([eattr, attrs[rt][src][:, :ns], xfeat[:, :ns]], -1)
+            w = t_conv_mlp(lp, grp, full, len(tp.weight_splits))
+            msg = tp(xfeat, esh, w)
+            sums[rt].index_add_(0, torch.from_numpy(np.asarray(src)), msg)
+            counts[rt].index_add_(
+                0, torch.from_numpy(np.asarray(src)),
+                torch.ones((len(src), 1), dtype=torch.float64))
+        outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
+        if cfg.batch_norm:
+            bnp = lp["MaskedIrrepsBatchNorm_0"]
+            bns = stats[f"conv{li}"]["MaskedIrrepsBatchNorm_0"]
+            outs = {k: t_irreps_bn(bnp, bns, out_ir, v) for k, v in outs.items()}
+        pad = out_dim - attrs["lig"].shape[-1]
+        lig_attr = outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad))
+        rec_attr = outs["rec"] + torch.nn.functional.pad(attrs["rec"], (0, pad))
+    return lig_attr, rec_attr
+
+
+def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
+                   g: dict, t: float):
+    """Plain-torch twin of TensorProductScoreModel.__call__ for one graph.
+
+    ``g``: dict of unpadded numpy arrays (lig_x, lig_pos, rec_x, rec_pos,
+    bonds (E,2) src/dst, bond_attr, rec_src, rec_dst, tor_edges (R,2)).
+    Returns (tr_pred (3,), rot_pred (3,), tor_pred (R,)).
+    """
+    ns = cfg.ns
+    lig_attr, rec_attr = oracle_trunk(params, stats, cfg, sigma, g, t)
+    pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
+    nl = len(pos_l)
+    tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
+    sig_emb = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
+    seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
+    sh_irreps = "1x0e + 1x1o" if cfg.sh_lmax == 1 else "1x0e + 1x1o + 1x2e"
+    final_ir = seq[min(cfg.num_conv_layers, len(seq) - 1)]
+
+    # ---- center conv head (score_model.py:269-287)
+    center = pos_l.mean(0, keepdim=True)
+    vec_c = pos_l - center
+    dist_c = torch.sqrt(((vec_c + 1e-12) ** 2).sum(-1))
+    center_eattr = torch.cat([
+        t_rbf(dist_c, cfg.center_max_distance, cfg.distance_embed_dim),
+        sig_emb[None].expand(nl, -1)], -1)
+    center_eattr = t_fcblock(params["center_edge_embedding"], center_eattr)
+    center_eattr = torch.cat([center_eattr, lig_attr[:, :ns]], -1)
+    center_sh = t_sh(vec_c, cfg.sh_lmax)
+    tp_f = TorchWeightedTP(final_ir, sh_irreps, "2x1o + 2x1e")
+    wf = t_conv_mlp(params["final_conv"], 0, center_eattr, len(tp_f.weight_splits))
+    msg = tp_f(lig_attr, center_sh, wf)
+    gp = msg.mean(0, keepdim=True)
+    if cfg.batch_norm:
+        gp = t_irreps_bn(params["final_conv"]["MaskedIrrepsBatchNorm_0"],
+                         stats["final_conv"]["MaskedIrrepsBatchNorm_0"],
+                         "2x1o + 2x1e", gp)
+    gp = gp[0]
+    tr_pred = irrep_to_vec_np(gp[:3] + gp[6:9])
+    rot_pred = irrep_to_vec_np(gp[3:6] + gp[9:12])
+
+    tr_norm = torch.linalg.norm(tr_pred) + 1e-12
+    h = t_dense(params["tr_final_dense1"], torch.cat([tr_norm[None], sig_emb])[None])
+    tr_scale = t_dense(params["tr_final_dense2"], torch.relu(h))[0, 0]
+    tr_pred = tr_pred / tr_norm * tr_scale
+    rot_norm = torch.linalg.norm(rot_pred) + 1e-12
+    h = t_dense(params["rot_final_dense1"], torch.cat([rot_norm[None], sig_emb])[None])
+    rot_scale = t_dense(params["rot_final_dense2"], torch.relu(h))[0, 0]
+    rot_pred = rot_pred / rot_norm * rot_scale
+
+    if cfg.scale_by_sigma:
+        tr_pred = tr_pred / tr_sigma
+        # the SO(3)/torus norm tables are parity-tested separately; consume
+        # the repo lookups here (the reference does .cpu() table lookups too)
+        rot_pred = rot_pred * float(so3.score_norm(jnp.asarray([rot_sigma]))[0])
+
+    # ---- pseudotorque torsion head (score_model.py:291-307)
+    R = len(g["tor_edges"])
+    tor_pred = torch.zeros(R, dtype=torch.float64)
+    if R and not cfg.no_torsion:
+        u, v = g["tor_edges"][:, 0], g["tor_edges"][:, 1]
+        bond_pos = (pos_l[u] + pos_l[v]) / 2
+        t_src, t_dst = [], []
+        bp = bond_pos.numpy()
+        for i in range(R):
+            for j in range(nl):
+                if np.linalg.norm(bp[i] - g["lig_pos"][j]) < cfg.lig_max_radius:
+                    t_src.append(i)
+                    t_dst.append(j)
+        t_src, t_dst = np.asarray(t_src), np.asarray(t_dst)
+        vec_t = pos_l[t_dst] - bond_pos[t_src]
+        dist_t = torch.sqrt(((vec_t + 1e-12) ** 2).sum(-1))
+        t_eattr = t_fcblock(params["final_edge_embedding"],
+                            t_rbf(dist_t, cfg.lig_max_radius, cfg.distance_embed_dim))
+        bond_attr = lig_attr[u] + lig_attr[v]
+        t_eattr = torch.cat([t_eattr, lig_attr[t_dst][:, :ns],
+                             bond_attr[t_src][:, :ns]], -1)
+        bond_vec = pos_l[v] - pos_l[u]
+        bond_sh2 = t_sh(bond_vec, 2)[:, 4:9]
+        edge_sh = t_sh(vec_t, cfg.sh_lmax)
+        ftp = FullTensorProduct(sh_irreps, "1x2e")
+        tor_sh = torch.from_numpy(np.asarray(
+            ftp(jnp.asarray(edge_sh.numpy()),
+                jnp.asarray(bond_sh2.numpy()[t_src])), np.float64))
+        tp_t = TorchWeightedTP(final_ir, str(ftp.irreps_out), f"{ns}x0o + {ns}x0e")
+        wt = t_conv_mlp(params["tor_bond_conv"], 0, t_eattr, len(tp_t.weight_splits))
+        msg = tp_t(lig_attr[t_dst], tor_sh, wt)
+        sums = torch.zeros((R, 2 * ns), dtype=torch.float64)
+        cnt = torch.zeros((R, 1), dtype=torch.float64)
+        sums.index_add_(0, torch.from_numpy(t_src), msg)
+        cnt.index_add_(0, torch.from_numpy(t_src),
+                       torch.ones((len(t_src), 1), dtype=torch.float64))
+        tor_feat = sums / (cnt + 1e-12)
+        if cfg.batch_norm:
+            tor_feat = t_irreps_bn(
+                params["tor_bond_conv"]["MaskedIrrepsBatchNorm_0"],
+                stats["tor_bond_conv"]["MaskedIrrepsBatchNorm_0"],
+                f"{ns}x0o + {ns}x0e", tor_feat)
+        h = torch.tanh(t_dense(params["tor_final_dense1"], tor_feat))
+        tor_pred = t_dense(params["tor_final_dense2"], h)[:, 0]
+        if cfg.scale_by_sigma:
+            tor_pred = tor_pred * math.sqrt(
+                float(torus.score_norm(jnp.asarray([tor_sigma]))[0]))
+    return tr_pred.numpy(), rot_pred.numpy(), tor_pred.numpy()
+
+
+# ---------------------------------------------------------------------------
+# fixture: tiny model + randomized parameter tree shared by both sides
+# ---------------------------------------------------------------------------
+
+CAPS = GraphCaps(
+    max_lig=12, max_rec=16, lig_bond_cap=30, lig_radius_cap=12 * 11,
+    rec_edge_cap=16 * 8, cross_cap=12 * 16, tor_cap=4, tor_edge_cap=4 * 12,
+)
+CFG = ScoreModelConfig(
+    ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+    latent_dim=0, latent_droprate=0.0, compute_dtype="float32",
+)
+
+
+def _randomize(variables, seed=11):
+    """Replace every param/stat leaf with a random draw so no zero-init
+    blind spot survives (vars stay positive)."""
+    rng = np.random.RandomState(seed)
+
+    def rnd(path, leaf):
+        flat = " ".join(str(p) for p in path)
+        # fan-scaled draws keep activations O(1) through 5 layers: large
+        # activations would amplify f32-vs-f64 divergence past any sharp
+        # tolerance without testing anything extra
+        fan = leaf.shape[0] if leaf.ndim == 2 else 1
+        x = rng.randn(*leaf.shape).astype(np.float32) / np.sqrt(fan)
+        if "var" in flat:
+            x = np.abs(x) + 1.0
+        if "weight" in flat and "MaskedIrreps" in flat:
+            x = np.abs(x) + 0.5
+        return jnp.asarray(x)
+
+    return jax.tree_util.tree_map_with_path(rnd, variables)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    batch = make_complex_batch(
+        seed=3, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+        c_alpha_max_neighbors=6,
+    )
+    model = TensorProductScoreModel(cfg=CFG, caps=CAPS)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    variables = _randomize(variables)
+    return model, variables, batch
+
+
+def _unpad_graph(batch, gi: int) -> dict:
+    """Extract one graph's unpadded numpy arrays from the padded batch."""
+    lm = np.asarray(batch.lig_mask[gi])
+    rm = np.asarray(batch.rec_mask[gi])
+    nl = int(lm.sum())
+    bonds_mask = np.asarray(batch.lig_bonds.mask[gi])
+    bonds = np.stack([np.asarray(batch.lig_bonds.src[gi]),
+                      np.asarray(batch.lig_bonds.dst[gi])], -1)[bonds_mask]
+    rec_em = np.asarray(batch.rec_edges.mask[gi])
+    tor_m = np.asarray(batch.tor_mask[gi])
+    return dict(
+        lig_x=np.asarray(batch.lig_x[gi])[:nl],
+        lig_pos=np.asarray(batch.lig_pos[gi])[:nl],
+        rec_x=np.asarray(batch.rec_x[gi])[rm],
+        rec_pos=np.asarray(batch.rec_pos[gi])[rm],
+        bonds=bonds,
+        bond_attr=np.asarray(batch.lig_bond_attr[gi])[bonds_mask],
+        rec_src=np.asarray(batch.rec_edges.src[gi])[rec_em],
+        rec_dst=np.asarray(batch.rec_edges.dst[gi])[rec_em],
+        tor_edges=np.asarray(batch.tor_edges[gi])[tor_m],
+        tor_mask_rotate=np.asarray(batch.tor_mask_rotate[gi])[tor_m][:, :nl],
+    )
+
+
+class TestFullModelForwardParity:
+    """Complete padded/masked JAX forward == dynamic-graph torch oracle."""
+
+    @pytest.mark.parametrize("t", [1.0, 0.5, 0.05])
+    def test_scores_match(self, setup, t):
+        model, variables, batch = setup
+        b = batch.set_time(t, t, t)
+        tr, rot, tor = model.apply(
+            variables, b, deterministic=True, use_running_average=True
+        )
+        tr, rot, tor = np.asarray(tr), np.asarray(rot), np.asarray(tor)
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        for gi in range(batch.num_graphs):
+            g = _unpad_graph(batch, gi)
+            o_tr, o_rot, o_tor = oracle_forward(
+                params, stats, CFG, model.sigma, g, t)
+            np.testing.assert_allclose(tr[gi], o_tr, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"tr graph {gi} t={t}")
+            np.testing.assert_allclose(rot[gi], o_rot, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"rot graph {gi} t={t}")
+            R = len(g["tor_edges"])
+            np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=2e-4, atol=2e-5,
+                                       err_msg=f"tor graph {gi} t={t}")
+            assert np.all(tor[gi][R:] == 0.0)
+
+
+class TestReverseStepParity:
+    """One full Euler-Maruyama reverse step (utils/sampling.py:105-198) with
+    the shipped DisCo-DiffDock-S low-temperature constants vs a numpy oracle
+    consuming the torch-oracle scores."""
+
+    def test_one_step_low_temperature(self, setup):
+        from disco_diffdock_tpu.sampling import SamplerConfig, sampling
+        from tests.test_parity_torch import _oracle_modify_conformer
+
+        model, variables, batch = setup
+        sigma = model.sigma
+        # shipped DisCo-DiffDock-S constants (configs/inference_disco_*.yml)
+        temp_sampling = (1.546842681537956, 4.005218254154881, 3.6499018519649384)
+        temp_psi = (1.1826298582329897, 0.9209708061994818, 0.2768632399747332)
+        temp_sigma_data = (0.5911354109955666, 0.6379099342794536, 0.3566754905393134)
+        scfg = SamplerConfig(
+            inference_steps=1, no_final_step_noise=True,
+            temp_sampling=temp_sampling, temp_psi=temp_psi,
+            temp_sigma_data=temp_sigma_data,
+        )
+        final, _, _ = sampling(
+            model, variables, batch, jax.random.PRNGKey(5), scfg, sigma)
+        final_pos = np.asarray(final.lig_pos)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        t, dt = 1.0, 1.0  # linspace(1,0,2)[:-1]; last step dt = t
+        for gi in range(batch.num_graphs):
+            g = _unpad_graph(batch, gi)
+            tr_s, rot_s, tor_s = oracle_forward(params, stats, CFG, sigma, g, t)
+            tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
+            out = {}
+            for name, (sc, sig, smin, smax, ts, psi, tsd) in {
+                "tr": (tr_s, tr_sigma, sigma.tr_sigma_min, sigma.tr_sigma_max,
+                       temp_sampling[0], temp_psi[0], temp_sigma_data[0]),
+                "rot": (rot_s, rot_sigma, sigma.rot_sigma_min, sigma.rot_sigma_max,
+                        temp_sampling[1], temp_psi[1], temp_sigma_data[1]),
+                "tor": (tor_s, tor_sigma, sigma.tor_sigma_min, sigma.tor_sigma_max,
+                        temp_sampling[2], temp_psi[2], temp_sigma_data[2]),
+            }.items():
+                gcoef = sig * math.sqrt(2 * math.log(smax / smin))
+                sd = math.exp(tsd * math.log(smax) + (1 - tsd) * math.log(smin))
+                lam = (sd + sig) / (sd + sig / ts)
+                # z = 0 on the (single) final step with no_final_step_noise
+                out[name] = gcoef**2 * dt * (lam + ts * psi / 2) * sc
+            new_pos = _oracle_modify_conformer(
+                g["lig_pos"].astype(np.float64), out["tr"], out["rot"],
+                g["tor_edges"], g["tor_mask_rotate"], out["tor"])
+            nl = len(new_pos)
+            np.testing.assert_allclose(
+                final_pos[gi][:nl], new_pos, rtol=5e-4, atol=5e-4,
+                err_msg=f"pose after 1 reverse step, graph {gi}")
