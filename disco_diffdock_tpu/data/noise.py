@@ -27,25 +27,42 @@ def apply_noise(
     beta: float = 1.0,
     no_torsion: bool = False,
     t_override=None,
+    graph_ids: jnp.ndarray | None = None,
 ) -> tuple[ComplexBatch, dict]:
     """Perturb poses and return (noised batch, targets dict).
 
     Targets: tr_score (B,3), rot_score (B,3), tor_score (B,R),
     tor_sigma (B,), all in the same padded layout as the model outputs.
+
+    Every random draw is keyed per graph by ``fold_in(key, graph_id)``
+    (``graph_ids`` defaults to ``arange(B)``), so the draws depend only on
+    the graph's GLOBAL batch position -- a data-parallel shard passing its
+    global ids reproduces the single-device noise exactly, making sharded
+    training bit-comparable to unsharded (tests/test_parallel.py).
     """
     B = batch.num_graphs
     R = batch.tor_edges.shape[1]
-    k_t, k_tr, k_rot, k_tor = jax.random.split(key, 4)
+    if graph_ids is None:
+        graph_ids = jnp.arange(B)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(graph_ids)
 
     if t_override is None:
-        t = jax.random.beta(k_t, alpha, beta, (B,))
+        t = jax.vmap(
+            lambda k: jax.random.beta(jax.random.split(k, 4)[0], alpha, beta, ())
+        )(keys)
     else:
         t = jnp.broadcast_to(jnp.asarray(t_override, jnp.float32), (B,))
     tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
 
-    tr_update = jax.random.normal(k_tr, (B, 3)) * tr_sigma[:, None]
-    rot_update = so3.sample_vec(k_rot, rot_sigma)
-    tor_update = jax.random.normal(k_tor, (B, R)) * tor_sigma[:, None]
+    def draw(k, tr_s, rot_s, tor_s):
+        _, k_tr, k_rot, k_tor = jax.random.split(k, 4)
+        tr_g = jax.random.normal(k_tr, (3,)) * tr_s
+        rot_g = so3.sample_vec(k_rot, rot_s)
+        tor_g = jax.random.normal(k_tor, (R,)) * tor_s
+        return tr_g, rot_g, tor_g
+
+    tr_update, rot_update, tor_update = jax.vmap(draw)(
+        keys, tr_sigma, rot_sigma, tor_sigma)
 
     new_pos = modify_conformer(
         batch.lig_pos,

@@ -1,1 +1,1 @@
-from .mesh import make_mesh, shard_train_step, replicate, shard_batch
+from .mesh import make_mesh, shard_step, shard_train_step, replicate, shard_batch

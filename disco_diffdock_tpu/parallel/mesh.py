@@ -40,21 +40,33 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
     """Wrap a pmean-aware train step (built with axis_name=...) in shard_map.
 
-    state replicates, batch shards on its leading axis, the per-shard rng is
-    folded with the shard index so noise draws differ across shards.
+    state replicates, batch shards on its leading axis.  The step itself
+    decorrelates randomness across shards: noise draws are keyed by GLOBAL
+    graph id (so sharded == unsharded exactly) and dropout keys fold in the
+    shard index (train/steps.py).
     """
     from jax.experimental.shard_map import shard_map
 
-    def stepper(state, batch, key):
-        idx = jax.lax.axis_index(axis_name)
-        shard_key = jax.random.fold_in(key, idx)
-        return train_step(state, batch, shard_key)
-
     sharded = shard_map(
-        stepper,
+        train_step,
         mesh=mesh,
         in_specs=(P(), P(axis_name), P()),
         out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def shard_step(step, mesh: Mesh, n_sharded_args: int, axis_name: str = "data"):
+    """shard_map wrap for a pmean-aware step of signature
+    ``(state, *batch_axis_args, key) -> (state, aux)`` -- the confidence/AR
+    trainer steps carry labels/latents alongside the batch, all sharded on
+    their leading axis; state and rng replicate."""
+    from jax.experimental.shard_map import shard_map
+
+    in_specs = (P(),) + (P(axis_name),) * n_sharded_args + (P(),)
+    sharded = shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
         check_rep=False,
     )
     return jax.jit(sharded)

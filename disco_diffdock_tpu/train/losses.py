@@ -8,6 +8,7 @@ Graph-mask aware so padded graphs in a sharded batch contribute nothing.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..geom import so3, torus
@@ -24,11 +25,21 @@ def score_matching_loss(
     tor_weight: float = 0.33,
     no_torsion: bool = False,
     apply_mean: bool = True,
+    axis_name: str | None = None,
 ):
-    """Returns (loss, aux dict of per-component losses)."""
+    """Returns (loss, aux dict of per-component losses).
+
+    With ``axis_name`` (inside shard_map) the graph/torsion-count
+    denominators become cross-shard means, so each shard's loss is exactly
+    its contribution to the GLOBAL batch loss: pmean(per-shard losses) ==
+    the unsharded loss even when shards carry different torsion counts (the
+    reference computes the loss on the gathered full batch after
+    DataParallel, utils/training.py:17-53 -- global normalization)."""
     tr_pred, rot_pred, tor_pred = preds
     gm = batch.graph_mask.astype(jnp.float32)
     ng = jnp.sum(gm) + 1e-12
+    if axis_name is not None:
+        ng = jax.lax.pmean(ng, axis_name)
 
     def gmean(x):  # (B, k) -> masked scalar mean over graphs and k
         return jnp.sum(jnp.mean(x, axis=-1) * gm) / ng
@@ -47,6 +58,8 @@ def score_matching_loss(
         tor_norm2 = torus.score_norm(targets["tor_sigma"])[:, None]
         tm = (batch.tor_mask & batch.graph_mask[:, None]).astype(jnp.float32)
         nt = jnp.sum(tm) + 1e-4
+        if axis_name is not None:
+            nt = jax.lax.pmean(nt, axis_name)
         tor_l = (tor_pred - targets["tor_score"]) ** 2 / tor_norm2 * tm
         tor_b = targets["tor_score"] ** 2 / tor_norm2 * tm
         tor_loss = jnp.sum(tor_l) / nt

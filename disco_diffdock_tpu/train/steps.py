@@ -72,12 +72,20 @@ def make_train_step(
         loss, aux = score_matching_loss(
             preds, targets, noised, tr_s, rot_s,
             tr_weight, rot_weight, tor_weight, no_torsion,
+            axis_name=axis_name,
         )
         return loss, (aux, mut["batch_stats"])
 
     def train_step(state: TrainState, batch, key):
         k_noise, k_drop = jax.random.split(key)
-        noised, targets = apply_noise(k_noise, batch, sigma, alpha, beta, no_torsion)
+        # global graph ids: noise draws depend only on a graph's global
+        # position, so a sharded step reproduces the unsharded step exactly
+        ids = jnp.arange(batch.num_graphs)
+        if axis_name is not None:
+            ids = ids + jax.lax.axis_index(axis_name) * batch.num_graphs
+            k_drop = jax.random.fold_in(k_drop, jax.lax.axis_index(axis_name))
+        noised, targets = apply_noise(
+            k_noise, batch, sigma, alpha, beta, no_torsion, graph_ids=ids)
         t = noised.complex_t["tr"]
         tr_s, rot_s, _ = sigma.t_to_sigma(t, t, t)
         (loss, (aux, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

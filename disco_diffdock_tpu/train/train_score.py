@@ -16,6 +16,7 @@ import argparse
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -49,12 +50,20 @@ def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None):
             noised, deterministic=False, use_running_average=False,
             mutable=["batch_stats"], rngs=rngs,
         )
-        loss, aux = score_matching_loss(preds, targets, noised, tr_s, rot_s)
+        loss, aux = score_matching_loss(preds, targets, noised, tr_s, rot_s,
+                                        axis_name=axis_name)
         return loss, (aux, mut["batch_stats"])
 
     def step(state: TrainState, batch, key):
         k_noise, k_drop, k_gum, k_rate = jax.random.split(key, 4)
-        noised, targets = apply_noise(k_noise, batch, sigma, alpha, beta)
+        ids = jnp.arange(batch.num_graphs)
+        if axis_name is not None:
+            idx = jax.lax.axis_index(axis_name)
+            ids = ids + idx * batch.num_graphs
+            k_drop, k_gum, k_rate = (
+                jax.random.fold_in(k, idx) for k in (k_drop, k_gum, k_rate))
+        noised, targets = apply_noise(
+            k_noise, batch, sigma, alpha, beta, graph_ids=ids)
         t = noised.complex_t["tr"]
         tr_s, rot_s, _ = sigma.t_to_sigma(t, t, t)
         rngs = {"dropout": k_drop, "gumbel": k_gum, "droprate": k_rate}
@@ -173,6 +182,11 @@ def main(argv=None):
                         "for architecture tweaks; reference train.py:131-138)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
+    p.add_argument("--n_devices", type=int, default=1,
+                   help=">1 shards each train batch over a data mesh "
+                        "(batch size must divide it); gradients sync via "
+                        "psum over ICI -- the DataParallel analogue "
+                        "(utils/model_utils.py:98-99)")
     p.add_argument("--use_latents", action="store_true", default=True)
     p.add_argument("--no_latents", dest="use_latents", action="store_false")
     p.add_argument("--sampling_alpha", type=float, default=1.0)
@@ -198,8 +212,9 @@ def main(argv=None):
             EncoderConfig(ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0)
             if args.use_latents else None
         )
+        sb = max(4, args.n_devices)  # synthetic batch divisible by the mesh
         train_batches = [
-            make_complex_batch(seed=s, batch=4, n_lig=10, n_res=24, caps=caps,
+            make_complex_batch(seed=s, batch=sb, n_lig=10, n_res=24, caps=caps,
                                esm_dim=16, c_alpha_max_neighbors=8)
             for s in range(2)
         ]
@@ -308,10 +323,27 @@ def main(argv=None):
         except ImportError:
             print("| WARNING: wandb not installed; logging disabled")
 
+    mesh = None
+    if args.n_devices > 1:
+        from ..parallel import make_mesh, replicate, shard_batch, shard_train_step
+
+        mesh = make_mesh(args.n_devices)
+        assert args.batch_size % args.n_devices == 0 or args.synthetic, (
+            "--batch_size must divide --n_devices")
+    axis = "data" if mesh is not None else None
     if enc_cfg is not None:
-        step_fn = jax.jit(make_wrapper_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
+        raw_step = make_wrapper_train_step(
+            model, tx, sigma, args.sampling_alpha, args.sampling_beta,
+            axis_name=axis)
     else:
-        step_fn = jax.jit(make_train_step(model, tx, sigma, args.sampling_alpha, args.sampling_beta))
+        raw_step = make_train_step(
+            model, tx, sigma, args.sampling_alpha, args.sampling_beta,
+            axis_name=axis)
+    if mesh is not None:
+        step_fn = shard_train_step(raw_step, mesh)
+        state = replicate(state, mesh)
+    else:
+        step_fn = jax.jit(raw_step)
     val_fn = jax.jit(make_val_step(model, sigma, wrapper=enc_cfg is not None))
 
     key = jax.random.PRNGKey(42)
@@ -338,6 +370,8 @@ def main(argv=None):
         while True:
             for batch in batches:
                 key, k = jax.random.split(key)
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
                 state, aux = step_fn(state, batch, k)
                 losses.append(float(aux["loss"]))
                 it += 1
