@@ -88,7 +88,9 @@ def build():
     def run(b, key):
         k1, k2 = jax.random.split(key)
         b = randomize_position(k1, b, False, False, sigma.tr_sigma_max)
-        final, _, _ = sampling(models, variables, b, k2, scfg, sigma)
+        # 40 pose copies of ONE complex: receptor-side work runs once
+        final, _, _ = sampling(models, variables, b, k2, scfg, sigma,
+                               shared_rec=True)
         return final.lig_pos
 
     @jax.jit

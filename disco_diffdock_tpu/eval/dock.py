@@ -191,6 +191,7 @@ def dock(args):
         return sampling(
             model, variables, rb, k2, scfg, sigma, latent=latent,
             confidence_model=conf_model, confidence_variables=conf_vars,
+            shared_rec=True,  # one complex, S pose copies
         )
 
     final, conf, traj = _run(batch, jax.random.PRNGKey(args.seed))

@@ -67,6 +67,15 @@ def _edge_latent(lat_src, lat_dst, edges: ListEdges):
     )
 
 
+def _bcat(parts):
+    """Concat along the feature axis, broadcasting mixed leading dims (the
+    pose-shared receptor arrays carry B=1 next to per-pose B arrays)."""
+    bmax = max(p.shape[0] for p in parts)
+    return jnp.concatenate(
+        [jnp.broadcast_to(p, (bmax,) + p.shape[1:]) if p.shape[0] != bmax else p
+         for p in parts], -1)
+
+
 class TensorProductScoreModel(nn.Module):
     cfg: ScoreModelConfig
     caps: GraphCaps
@@ -207,6 +216,7 @@ class TensorProductScoreModel(nn.Module):
         deterministic: bool = True,
         use_running_average: bool = False,
         lig_pos: Optional[jnp.ndarray] = None,
+        shared_rec: bool = False,
     ):
         """Run graph building + conv trunk.
 
@@ -214,6 +224,16 @@ class TensorProductScoreModel(nn.Module):
         ``latent``: None or (lat_l (B,NL,Ld), lat_r (B,NR,Ld)) for vocab=1, or
         (B, Ld*vocab) graph-level latents for vocab>1.
         ``unconditional``: (B, 1) float flags for CFG (latent droprate).
+
+        ``shared_rec``: the caller guarantees every graph in the batch is a
+        pose copy of ONE complex with a shared diffusion time (the sampler's
+        pose-batch protocol, utils/sampling.py:55-56).  Receptor-side arrays
+        then compute at B=1 -- one-hot gather operands read once instead of
+        replicated per pose, and layer-0 receptor-receptor messages compute
+        once -- with pose-dependent data broadcasting in where it joins.
+        Inference-only (use with use_running_average=True: train-mode BN
+        stats would weight the shared receptor rows once instead of B
+        times).
         """
         cfg = self.cfg
         ns = cfg.ns
@@ -273,25 +293,33 @@ class TensorProductScoreModel(nn.Module):
         lig_attr = self.lig_node_embedding(jnp.concatenate(lig_node_in, -1))
         lig_eattr = self.lig_edge_embedding(lig_eattr, deterministic=deterministic)
 
-        # ---- receptor graph (precomputed kNN; protein rigid)
-        rec_edges = batch.rec_edges
+        # ---- receptor graph (precomputed kNN; protein rigid).  shared_rec:
+        # every receptor array computes at B=1 and broadcasts downstream.
+        BR = 1 if shared_rec else B
+        r1 = slice(0, 1) if shared_rec else slice(None)
+        rec_edges = ListEdges(
+            src=batch.rec_edges.src[r1], dst=batch.rec_edges.dst[r1],
+            mask=batch.rec_edges.mask[r1], overflow=batch.rec_edges.overflow,
+        ) if shared_rec else batch.rec_edges
         rec_oh = build_onehots(rec_edges, NR, NR, cdt)
-        vec_r = gather_pos(rec_oh[1], batch.rec_pos) - gather_pos(rec_oh[0], batch.rec_pos)
+        vec_r = (gather_pos(rec_oh[1], batch.rec_pos[r1])
+                 - gather_pos(rec_oh[0], batch.rec_pos[r1]))
         dist_r = jnp.linalg.norm(vec_r + 1e-12, axis=-1)
-        rec_eattr = [jnp.broadcast_to(sig_emb[:, None, :], (B, rec_edges.capacity, sig_emb.shape[-1])),
+        rec_eattr = [jnp.broadcast_to(sig_emb[r1, None, :],
+                                      (BR, rec_edges.capacity, sig_emb.shape[-1])),
                      self.rec_distance_expansion(dist_r)]
         if lat_r is not None:
             if cfg.latent_vocab == 1:
                 rec_eattr.append(_edge_latent(lat_r, lat_r, rec_edges))
             else:
                 rec_eattr.append(gather_nodes(lat_r, rec_edges.src))
-        rec_eattr = jnp.concatenate(rec_eattr, -1)
+        rec_eattr = _bcat(rec_eattr)
         rec_sh = spherical_harmonics(vec_r, cfg.sh_lmax)
 
-        rec_node_in = [batch.rec_x.astype(jnp.float32), node_sig_r]
+        rec_node_in = [batch.rec_x[r1].astype(jnp.float32), node_sig_r[r1]]
         if lat_r is not None:
             rec_node_in.append(lat_r)
-        rec_attr = self.rec_node_embedding(jnp.concatenate(rec_node_in, -1))
+        rec_attr = self.rec_node_embedding(_bcat(rec_node_in))
         rec_eattr = self.rec_edge_embedding(rec_eattr, deterministic=deterministic)
 
         # ---- cross graph with per-graph dynamic cutoff
@@ -321,10 +349,12 @@ class TensorProductScoreModel(nn.Module):
         # ---- classifier-free-guidance unconditional embeddings
         if cfg.latent_droprate > 0 and unconditional is not None:
             u = unconditional.reshape(B, 1, 1)
+            # shared_rec guarantees pose-shared flags: keep rec terms at B=1
+            ur = u[r1]
             lig_attr = lig_attr + u * self.lig_node_uncond
-            rec_attr = rec_attr + u * self.rec_node_uncond
+            rec_attr = rec_attr + ur * self.rec_node_uncond
             lig_eattr = lig_eattr + u * self.lig_edge_uncond
-            rec_eattr = rec_eattr + u * self.rec_edge_uncond
+            rec_eattr = rec_eattr + ur * self.rec_edge_uncond
             cross_eattr = cross_eattr + u * self.cross_edge_uncond
 
         # ---- per-layer latent cross-attention embeddings (vocab > 1 only)
@@ -338,7 +368,7 @@ class TensorProductScoreModel(nn.Module):
 
         # ---- conv trunk (one-hots built once; edges fixed within a forward)
         attrs = {"lig": lig_attr, "rec": rec_attr}
-        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
+        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask[r1]}
         for li, layer in enumerate(self.conv_layers):
             blocks = [
                 ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0, onehots=lig_oh),
@@ -409,12 +439,14 @@ class TensorProductScoreModel(nn.Module):
         unconditional=None,
         deterministic: bool = True,
         use_running_average: bool = False,
+        shared_rec: bool = False,
     ):
         cfg = self.cfg
         ns = cfg.ns
         B, NL = batch.lig_x.shape[:2]
         lig_attr, rec_attr, (tr_sigma, rot_sigma, tor_sigma) = self.embed(
-            batch, latent, unconditional, deterministic, use_running_average
+            batch, latent, unconditional, deterministic, use_running_average,
+            shared_rec=shared_rec,
         )
 
         if cfg.confidence_mode:

@@ -55,11 +55,23 @@ def gather_nodes(node_attr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def gather_mm(oh: jnp.ndarray, node_attr: jnp.ndarray) -> jnp.ndarray:
-    """One-hot matmul gather: (B,E,N) @ (B,N,D) -> (B,E,D) on the MXU."""
-    return jnp.einsum(
-        "ben,bnd->bed", oh, node_attr.astype(oh.dtype),
-        preferred_element_type=node_attr.dtype if node_attr.dtype == jnp.float32 else None,
-    )
+    """One-hot matmul gather: (B,E,N) @ (B,N,D) -> (B,E,D) on the MXU.
+
+    Either operand may carry a leading dim of 1 (pose-shared receptor mode,
+    models/score_model.py shared_rec): a B=1 one-hot against B-pose node
+    features (or vice versa) contracts with the singleton operand READ ONCE
+    instead of replicated B times -- at bench shapes the receptor one-hot is
+    ~200 MB/step replicated vs ~5 MB shared.
+    """
+    pet = node_attr.dtype if node_attr.dtype == jnp.float32 else None
+    if oh.shape[0] == node_attr.shape[0]:
+        return jnp.einsum("ben,bnd->bed", oh, node_attr.astype(oh.dtype),
+                          preferred_element_type=pet)
+    if oh.shape[0] == 1:
+        return jnp.einsum("en,bnd->bed", oh[0], node_attr.astype(oh.dtype),
+                          preferred_element_type=pet)
+    return jnp.einsum("ben,nd->bed", oh, node_attr[0].astype(oh.dtype),
+                      preferred_element_type=pet)
 
 
 def gather_pos(oh: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
@@ -68,19 +80,30 @@ def gather_pos(oh: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     XLA's native gather on 3-wide f32 rows is latency-bound (~5 GB/s); the
     matmul form runs ~4x faster.  HIGH precision (3-pass bf16) keeps
     coordinates exact to ~2^-21 relative -- sub-micro-Angstrom here.
+    Leading dims of 1 broadcast as in :func:`gather_mm`.
     """
-    return jnp.einsum(
-        "ben,bnd->bed", oh.astype(jnp.float32), pos,
-        precision=jax.lax.Precision.HIGH,
-    )
+    oh = oh.astype(jnp.float32)
+    if oh.shape[0] == pos.shape[0]:
+        return jnp.einsum("ben,bnd->bed", oh, pos,
+                          precision=jax.lax.Precision.HIGH)
+    if oh.shape[0] == 1:
+        return jnp.einsum("en,bnd->bed", oh[0], pos,
+                          precision=jax.lax.Precision.HIGH)
+    return jnp.einsum("ben,nd->bed", oh, pos[0],
+                      precision=jax.lax.Precision.HIGH)
 
 
 def scatter_mm(oh_src: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
-    """One-hot matmul scatter-add: (B,E,N)^T @ (B,E,D) -> (B,N,D), f32 acc."""
-    return jnp.einsum(
-        "ben,bed->bnd", oh_src, msg.astype(oh_src.dtype),
-        preferred_element_type=jnp.float32,
-    )
+    """One-hot matmul scatter-add: (B,E,N)^T @ (B,E,D) -> (B,N,D), f32 acc.
+    Leading dims of 1 broadcast as in :func:`gather_mm`."""
+    if oh_src.shape[0] == msg.shape[0]:
+        return jnp.einsum("ben,bed->bnd", oh_src, msg.astype(oh_src.dtype),
+                          preferred_element_type=jnp.float32)
+    if oh_src.shape[0] == 1:
+        return jnp.einsum("en,bed->bnd", oh_src[0], msg.astype(oh_src.dtype),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("ben,ed->bnd", oh_src, msg[0].astype(oh_src.dtype),
+                      preferred_element_type=jnp.float32)
 
 
 @dataclasses.dataclass
@@ -196,9 +219,12 @@ class TPConvLayer(nn.Module):
             )
             for t in out_types
         }
-        B = blocks[0].edges.src.shape[0]
-        sums = {t: jnp.zeros((B, counts[t], out_dim), jnp.float32) for t in out_types}
-        ns_count = {t: jnp.zeros((B, counts[t], 1), jnp.float32) for t in out_types}
+        # init at B=1: jnp broadcasting grows the accumulators to the pose
+        # batch on the first pose-dependent contribution, so blocks whose
+        # arrays are pose-shared (leading dim 1, shared_rec mode) accumulate
+        # once instead of per pose
+        sums = {t: jnp.zeros((1, counts[t], out_dim), jnp.float32) for t in out_types}
+        ns_count = {t: jnp.zeros((1, counts[t], 1), jnp.float32) for t in out_types}
 
         for blk in blocks:
             if blk.onehots is not None:
@@ -213,6 +239,11 @@ class TPConvLayer(nn.Module):
                 and (deterministic or self.dropout == 0.0)
                 and blk.append_scalars
                 and blk.src_type in node_attrs
+                # the Pallas kernels assume uniform leading dims (no
+                # pose-shared B=1 broadcasting)
+                and blk.edges.src.shape[0]
+                == node_attrs[blk.dst_type].shape[0]
+                == node_attrs[blk.src_type].shape[0]
             )
             if fusable and self.use_pallas == "message":
                 # MLP+TP fused in VMEM; gathers/scatters remain XLA fusions.
@@ -254,7 +285,11 @@ class TPConvLayer(nn.Module):
                 else:
                     s_src = jnp.zeros(eattr.shape[:2] + (ns,), cdt)
                 s_dst = x[..., :ns]
-                eattr = jnp.concatenate([eattr, s_src, s_dst], -1)
+                parts = [eattr, s_src, s_dst]
+                bmax = max(p.shape[0] for p in parts)
+                eattr = jnp.concatenate(
+                    [jnp.broadcast_to(p, (bmax,) + p.shape[1:])
+                     if p.shape[0] != bmax else p for p in parts], -1)
             w = run_mlp(blk.group, eattr, deterministic)
             msg = tp(x, blk.edge_sh.astype(cdt), w, w_layout=w_layout)
             sums[blk.src_type] = sums[blk.src_type] + scatter_mm(oh_src, msg)

@@ -283,6 +283,7 @@ def sampling(
     confidence_variables=None,
     confidence_batch: Optional[ComplexBatch] = None,
     t_schedule=None,
+    shared_rec: bool = False,
 ):
     """High-level sampling: score model + optional latents + confidence.
 
@@ -290,6 +291,9 @@ def sampling(
     None or the (lat_l, lat_r) node one-hots from the encoder / AR prior.
     ``model`` is one model, or a list of ``(n_steps, model)`` segments (same
     variables, different edge capacities -- see reverse_diffusion).
+    ``shared_rec``: set when every graph in the batch is a pose copy of one
+    complex (the standard N-poses protocol) -- receptor-side model work then
+    runs once instead of per pose (models/score_model.py embed docstring).
     Returns (final_batch, confidence, trajectory).
     """
 
@@ -300,9 +304,12 @@ def sampling(
                 lat = jax.tree.map(lambda x: 0.0 * x, lat)
             if unconditional is None:
                 unconditional = jnp.zeros((b.num_graphs, 1))
+            # only pass the kwarg when set: other model views (wrapper
+            # adapters, all-atom) do not take it
+            kw = {"shared_rec": True} if shared_rec else {}
             return mdl.apply(
                 variables, b, latent=lat, unconditional=unconditional,
-                deterministic=True, use_running_average=True,
+                deterministic=True, use_running_average=True, **kw,
             )
         return score_fn
 

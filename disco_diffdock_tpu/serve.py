@@ -101,6 +101,7 @@ class DockingService:
                 return sampling(
                     model, variables, rb, k2, scfg, self.sigma, latent=latent,
                     confidence_model=conf_model, confidence_variables=conf_vars,
+                    shared_rec=True,  # one complex, S pose copies
                 )
 
             self._programs[key] = _run

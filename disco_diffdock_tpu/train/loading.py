@@ -105,7 +105,8 @@ def build_score_runtime(
         class _ScoreView:
             @staticmethod
             def apply(v, b, latent=None, unconditional=None,
-                      deterministic=True, use_running_average=True, **kw):
+                      deterministic=True, use_running_average=True,
+                      shared_rec=False, **kw):
                 # extra kwargs (e.g. mutable=["intermediates"] for the edge
                 # -capacity audit) forward to flax apply
                 return model.apply(
@@ -114,6 +115,7 @@ def build_score_runtime(
                         bb, latent=latent, unconditional=unconditional,
                         deterministic=deterministic,
                         use_running_average=use_running_average,
+                        shared_rec=shared_rec,
                     ),
                     **kw,
                 )

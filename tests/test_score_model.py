@@ -77,6 +77,32 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(rot_r), np.asarray(rot) @ R.T, atol=2e-3)
         np.testing.assert_allclose(np.asarray(tor_r), np.asarray(tor), atol=2e-3)
 
+    def test_shared_rec_matches_full(self):
+        """shared_rec=True (receptor-side work at B=1, the N-poses protocol
+        fast path) must reproduce the plain forward exactly on a pose-copied
+        batch -- it is a pure re-association of the same math."""
+        cfg = small_cfg()
+        model = TensorProductScoreModel(cfg=cfg, caps=small_caps())
+        batch = make_complex_batch(
+            seed=2, batch=6, n_lig=10, n_res=24, caps=small_caps(),
+            esm_dim=16, c_alpha_max_neighbors=8, same_complex=True,
+        )
+        # distinct ligand poses per row (receptor stays shared)
+        key = jax.random.PRNGKey(3)
+        batch = batch.replace(
+            lig_pos=batch.lig_pos
+            + jax.random.normal(key, batch.lig_pos.shape) * 0.5
+        ).set_time(0.7, 0.7, 0.7)
+        params = model.init(jax.random.PRNGKey(0), batch)
+        ref = model.apply(params, batch, deterministic=True,
+                          use_running_average=True)
+        fast = model.apply(params, batch, deterministic=True,
+                           use_running_average=True, shared_rec=True)
+        for r, f, name in zip(ref, fast, ("tr", "rot", "tor")):
+            np.testing.assert_allclose(
+                np.asarray(f), np.asarray(r), rtol=2e-4, atol=2e-5,
+                err_msg=name)
+
     def test_padding_invariance(self):
         """Growing the padded capacities must not change the outputs."""
         cfg = small_cfg()
