@@ -74,8 +74,11 @@ def compact_edges(
     flat_dist = dist.reshape(B, Na * Nb)
     # invalid pairs get +inf so they sort last; score = -dist for top_k
     score = jnp.where(flat_mask, -flat_dist, -jnp.inf)
-    _, idx = jax.lax.top_k(score, capacity)  # (B, E)
-    sel_mask = jnp.take_along_axis(flat_mask, idx, axis=1)
+    vals, idx = jax.lax.top_k(score, capacity)  # (B, E)
+    # validity of the selected slots comes from the top_k VALUES (-inf =
+    # masked pair): an elementwise test instead of a take_along_axis row
+    # gather, which profiled at 2.6-3.9 ms/step at bench shapes
+    sel_mask = vals > -jnp.inf
     src = idx // Nb
     dst = idx % Nb
     # dropped true edges per graph (a masked sum is free next to the top_k)
