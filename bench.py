@@ -38,9 +38,14 @@ N_LIG = 32
 N_RES = 320
 
 # (n_steps, cross_cap): seg1 is the exact worst case (cannot overflow); later
-# caps are per-step trajectory maxima (3 seeds) + >=12% margin -- the post-run
+# caps are per-step trajectory maxima (3 seeds) + >=10% margin -- the post-run
 # audit below re-verifies the realized trajectory every bench invocation.
-CROSS_CAP_SCHEDULE = ((6, N_LIG * N_RES), (4, 9216), (10, 6144))
+# (Round-3 remeasure: the old (4,9216),(10,6144) tail had only 6144 at step
+# 10 where the 3-seed max is 6150 -- seed-dependent truncation by a few
+# edges; the 5-segment schedule below is both safer and slightly tighter.)
+CROSS_CAP_SCHEDULE = (
+    (6, N_LIG * N_RES), (2, 9472), (2, 7680), (4, 6784), (6, 5824),
+)
 LIG_RADIUS_CAP = N_LIG * (N_LIG - 1)  # exact worst case
 
 _BASELINE_PATH = os.path.join(os.path.dirname(__file__), "benchmarks", "baseline_measured.json")

@@ -187,6 +187,10 @@ class TPConvLayer(nn.Module):
             mlps.append((w1, b1, w2, b2))
 
         def run_mlp(g, e, deterministic):
+            # NOTE: splitting this first matmul into per-part partial
+            # matmuls (avoiding the concat materialization) was measured at
+            # 1.33 vs 1.41 complexes/sec end-to-end -- XLA's concat+matmul
+            # lowering wins, matching the round-2 2D-flattened-MLP finding.
             w1, b1, w2, b2 = mlps[g]
             h = nn.relu(e @ w1.astype(cdt) + b1.astype(cdt))
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -284,8 +288,7 @@ class TPConvLayer(nn.Module):
                     s_src = gather_mm(oh_src, node_attrs[blk.src_type][..., :ns].astype(cdt))
                 else:
                     s_src = jnp.zeros(eattr.shape[:2] + (ns,), cdt)
-                s_dst = x[..., :ns]
-                parts = [eattr, s_src, s_dst]
+                parts = [eattr, s_src, x[..., :ns]]
                 bmax = max(p.shape[0] for p in parts)
                 eattr = jnp.concatenate(
                     [jnp.broadcast_to(p, (bmax,) + p.shape[1:])
