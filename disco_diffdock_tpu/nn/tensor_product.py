@@ -160,9 +160,21 @@ class WeightedTensorProduct:
                 )  # (..., 1, fan, d3) * (..., o, fan, 1) -> (..., o, d3)
             else:
                 W = wk.reshape(wk.shape[:-1] + (fan, out_mi.mul)) / float(np.sqrt(fan))
-                out = jnp.sum(
-                    basis[..., :, None, :] * W[..., :, :, None], axis=-3
-                )  # (..., fan, 1, d3) * (..., fan, o, 1) -> (..., o, d3)
+                if out_mi.ir.dim > 1:
+                    # per-component fan contractions: each (..., fan) x
+                    # (..., fan, o) slice matches the scalar-block pattern
+                    # XLA folds into a single convolution fusion with the
+                    # upstream per-edge weight matmul -- which removes the
+                    # ~10 ms of bf16[B,E,fan,o] layout copies the joint
+                    # (fan, o, d3) broadcast-reduce needed (profile_notes.md)
+                    out = jnp.stack(
+                        [jnp.sum(basis[..., k][..., :, None] * W, axis=-2)
+                         for k in range(out_mi.ir.dim)], -1,
+                    )  # (..., o, d3)
+                else:
+                    out = jnp.sum(
+                        basis[..., :, None, :] * W[..., :, :, None], axis=-3
+                    )  # (..., fan, 1, d3) * (..., fan, o, 1) -> (..., o, d3)
             outs.append(out.reshape(out.shape[:-2] + (out_mi.dim,)))
         return jnp.concatenate(outs, axis=-1)
 
