@@ -32,7 +32,7 @@ from ..graphs.radius import radius_edges
 from ..graphs.segment import masked_mean_pool
 from ..nn.basic import AtomEncoder, FCBlock
 from ..nn.batchnorm import MaskedIrrepsBatchNorm
-from ..nn.conv import ConvBlock, TPConvLayer, gather_nodes
+from ..nn.conv import ConvBlock, TPConvLayer, build_onehots, gather_nodes
 from ..nn.irreps import spherical_harmonics_irreps
 from ..nn.sh import irrep_to_vec, spherical_harmonics
 from ..nn.tensor_product import FullTensorProduct, get_irrep_seq
@@ -123,12 +123,31 @@ class AllAtomScoreModel(nn.Module):
         unconditional=None,
         deterministic: bool = True,
         use_running_average: bool = False,
+        shared_rec: bool = False,
     ):
+        """``shared_rec``: every graph is a pose copy of one complex with a
+        shared time (the confidence-reranking batch) -- receptor-residue,
+        receptor-atom and membership-edge arrays compute at B=1 and
+        broadcast where pose-dependent data joins (see
+        score_model.TensorProductScoreModel.embed).  Inference-only."""
         cfg = self.cfg
         ns = cfg.ns
         B, NL = batch.lig_x.shape[:2]
         NR = batch.rec_x.shape[1]
         NA = batch.atom_x.shape[1]
+        r1 = slice(0, 1) if shared_rec else slice(None)
+
+        def _sl(edges: ListEdges) -> ListEdges:
+            if not shared_rec:
+                return edges
+            return ListEdges(src=edges.src[r1], dst=edges.dst[r1],
+                             mask=edges.mask[r1], overflow=edges.overflow)
+
+        rec_edges_s = _sl(batch.rec_edges)
+        atom_edges_s = _sl(batch.atom_edges)
+        ar_edges_s = _sl(batch.ar_edges)
+        rec_pos_s = batch.rec_pos[r1]
+        atom_pos_s = batch.atom_pos[r1]
 
         t_tr, t_rot, t_tor = (batch.complex_t[k] for k in ("tr", "rot", "tor"))
         if cfg.confidence_mode:
@@ -141,15 +160,15 @@ class AllAtomScoreModel(nn.Module):
         def bsig(n):
             return jnp.broadcast_to(sig[:, None, :], (B, n, sig.shape[-1]))
 
-        # ---- node embeddings
+        # ---- node embeddings (receptor-side at B=1 when pose-shared)
         lig_attr = self.lig_node_embedding(
             jnp.concatenate([batch.lig_x.astype(jnp.float32), bsig(NL)], -1)
         )
         rec_attr = self.rec_node_embedding(
-            jnp.concatenate([batch.rec_x.astype(jnp.float32), bsig(NR)], -1)
+            jnp.concatenate([batch.rec_x[r1].astype(jnp.float32), bsig(NR)[r1]], -1)
         )
         atom_attr = self.atom_node_embedding(
-            jnp.concatenate([batch.atom_x.astype(jnp.float32), bsig(NA)], -1)
+            jnp.concatenate([batch.atom_x[r1].astype(jnp.float32), bsig(NA)[r1]], -1)
         )
 
         # ---- edges + attrs + sh per block
@@ -173,18 +192,18 @@ class AllAtomScoreModel(nn.Module):
         )
         lig_sh = spherical_harmonics(v, cfg.sh_lmax)
 
-        v = evec(batch.rec_pos, batch.rec_pos, batch.rec_edges)
+        v = evec(rec_pos_s, rec_pos_s, rec_edges_s)
         d = jnp.linalg.norm(v + 1e-12, axis=-1)
         rec_eattr = self.rec_edge_embedding(
-            jnp.concatenate([bsig(batch.rec_edges.capacity), self.rec_distance_expansion(d)], -1),
+            jnp.concatenate([bsig(rec_edges_s.capacity)[r1], self.rec_distance_expansion(d)], -1),
             deterministic=deterministic,
         )
         rec_sh = spherical_harmonics(v, cfg.sh_lmax)
 
-        v = evec(batch.atom_pos, batch.atom_pos, batch.atom_edges)
+        v = evec(atom_pos_s, atom_pos_s, atom_edges_s)
         d = jnp.linalg.norm(v + 1e-12, axis=-1)
         atom_eattr = self.atom_edge_embedding(
-            jnp.concatenate([bsig(batch.atom_edges.capacity), self.lig_distance_expansion(d)], -1),
+            jnp.concatenate([bsig(atom_edges_s.capacity)[r1], self.lig_distance_expansion(d)], -1),
             deterministic=deterministic,
         )
         atom_sh = spherical_harmonics(v, cfg.sh_lmax)
@@ -216,41 +235,57 @@ class AllAtomScoreModel(nn.Module):
         )
         la_sh = spherical_harmonics(v, cfg.sh_lmax)
 
-        ar_edges = batch.ar_edges  # atom -> residue membership (precomputed)
-        v = gather_nodes(batch.rec_pos, ar_edges.dst) - gather_nodes(batch.atom_pos, ar_edges.src)
+        v = gather_nodes(rec_pos_s, ar_edges_s.dst) - gather_nodes(atom_pos_s, ar_edges_s.src)
         d = jnp.linalg.norm(v + 1e-12, axis=-1)
         ar_eattr = self.ar_edge_embedding(
-            jnp.concatenate([bsig(ar_edges.capacity), self.rec_distance_expansion(d)], -1),
+            jnp.concatenate([bsig(ar_edges_s.capacity)[r1], self.rec_distance_expansion(d)], -1),
             deterministic=deterministic,
         )
         ar_sh = spherical_harmonics(v, cfg.sh_lmax)
 
+        # one-hot gather/scatter operands built ONCE per edge set and shared
+        # across all depth levels (they only depend on the edge indices);
+        # receptor-side pairs are pose-shared at B=1 under shared_rec
+        cdt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        oh = {
+            "lig": build_onehots(lig_edges, NL, NL, cdt),
+            "lr": build_onehots(lr_edges, NL, NR, cdt),
+            "rl": build_onehots(lr_edges.flip(), NR, NL, cdt),
+            "la": build_onehots(la_edges, NL, NA, cdt),
+            "al": build_onehots(la_edges.flip(), NA, NL, cdt),
+            "atom": build_onehots(atom_edges_s, NA, NA, cdt),
+            "ar": build_onehots(ar_edges_s, NA, NR, cdt),
+            "ra": build_onehots(ar_edges_s.flip(), NR, NA, cdt),
+            "rec": build_onehots(rec_edges_s, NR, NR, cdt),
+        }
+
         # ---- 9-conv trunk
         attrs = {"lig": lig_attr, "rec": rec_attr, "atom": atom_attr}
-        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask, "atom": batch.atom_mask}
+        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask[r1],
+                 "atom": batch.atom_mask[r1]}
 
         L = cfg.num_conv_layers
         for l in range(L):
-            def run(conv_idx, edges, src_t, dst_t, base, sh_):
+            def run(conv_idx, edges, src_t, dst_t, base, sh_, oh_key):
                 # receiver/supplier scalar features appended inside the layer
                 return self.conv_layers[9 * l + conv_idx](
                     attrs, masks,
-                    [ConvBlock(edges, src_t, dst_t, base, sh_)],
+                    [ConvBlock(edges, src_t, dst_t, base, sh_, onehots=oh[oh_key])],
                     out_types=[src_t], out_counts={src_t: attrs[src_t].shape[1]},
                     deterministic=deterministic, use_running_average=use_running_average,
                 )[src_t]
 
-            lig_update = run(0, lig_edges, "lig", "lig", lig_eattr, lig_sh)
-            lr_update = run(1, lr_edges, "lig", "rec", lr_eattr, lr_sh)
-            la_update = run(2, la_edges, "lig", "atom", la_eattr, la_sh)
+            lig_update = run(0, lig_edges, "lig", "lig", lig_eattr, lig_sh, "lig")
+            lr_update = run(1, lr_edges, "lig", "rec", lr_eattr, lr_sh, "lr")
+            la_update = run(2, la_edges, "lig", "atom", la_eattr, la_sh, "la")
 
             if l != L - 1:
-                atom_update = run(3, batch.atom_edges, "atom", "atom", atom_eattr, atom_sh)
-                al_update = run(4, la_edges.flip(), "atom", "lig", la_eattr, la_sh)
-                ar_update = run(5, ar_edges, "atom", "rec", ar_eattr, ar_sh)
-                rec_update = run(6, batch.rec_edges, "rec", "rec", rec_eattr, rec_sh)
-                rl_update = run(7, lr_edges.flip(), "rec", "lig", lr_eattr, lr_sh)
-                ra_update = run(8, ar_edges.flip(), "rec", "atom", ar_eattr, ar_sh)
+                atom_update = run(3, atom_edges_s, "atom", "atom", atom_eattr, atom_sh, "atom")
+                al_update = run(4, la_edges.flip(), "atom", "lig", la_eattr, la_sh, "al")
+                ar_update = run(5, ar_edges_s, "atom", "rec", ar_eattr, ar_sh, "ar")
+                rec_update = run(6, rec_edges_s, "rec", "rec", rec_eattr, rec_sh, "rec")
+                rl_update = run(7, lr_edges.flip(), "rec", "lig", lr_eattr, lr_sh, "rl")
+                ra_update = run(8, ar_edges_s.flip(), "rec", "atom", ar_eattr, ar_sh, "ra")
 
             def pad_to(x, D):
                 return jnp.pad(x, [(0, 0), (0, 0), (0, D - x.shape[-1])])

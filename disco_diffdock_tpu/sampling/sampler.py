@@ -324,8 +324,10 @@ def sampling(
     if confidence_model is not None:
         cb = confidence_batch if confidence_batch is not None else final
         cb = cb.replace(lig_pos=final.lig_pos).set_time(0.0, 0.0, 0.0)
+        kw = {"shared_rec": True} if shared_rec else {}
         confidence = confidence_model.apply(
-            confidence_variables, cb, deterministic=True, use_running_average=True
+            confidence_variables, cb, deterministic=True,
+            use_running_average=True, **kw,
         )
         confidence = jnp.nan_to_num(confidence, nan=-1000.0)
     return final, confidence, traj

@@ -63,6 +63,28 @@ def test_confidence_mode():
     assert np.all(np.isfinite(np.asarray(conf)))
 
 
+def test_shared_rec_matches_full():
+    """Pose-shared receptor/atom fast path (the confidence-reranking batch
+    shape) must reproduce the plain forward exactly."""
+    model = AllAtomScoreModel(cfg=aa_cfg(confidence_mode=True), caps=aa_caps())
+    batch = make_complex_batch(
+        seed=4, batch=5, n_lig=10, n_res=16, caps=aa_caps(), esm_dim=16,
+        c_alpha_max_neighbors=8, all_atoms=True, atoms_per_res=4,
+        same_complex=True,
+    )
+    key = jax.random.PRNGKey(9)
+    batch = batch.replace(
+        lig_pos=batch.lig_pos + jax.random.normal(key, batch.lig_pos.shape) * 0.5
+    ).set_time(0.0, 0.0, 0.0)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    ref = model.apply(variables, batch, deterministic=True,
+                      use_running_average=True)
+    fast = model.apply(variables, batch, deterministic=True,
+                       use_running_average=True, shared_rec=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_multiclass_confidence():
     model = AllAtomScoreModel(
         cfg=aa_cfg(confidence_mode=True, num_confidence_outputs=3), caps=aa_caps()
