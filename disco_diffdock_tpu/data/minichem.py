@@ -266,13 +266,21 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
     G_degree = np.zeros(n, np.int32)
     aromatic = np.zeros(n, bool)
     bond_order_sum = np.zeros(n, np.float32)
+    n_double = np.zeros(n, np.int32)
+    n_triple = np.zeros(n, np.int32)
     for (a, b), t in zip(mol.bonds, mol.bond_types):
         G_degree[a] += 1
         G_degree[b] += 1
         order = 1.5 if t == 4 else t
         bond_order_sum[a] += order
         bond_order_sum[b] += order
-        if t == 4:
+        if t == 2:
+            n_double[a] += 1
+            n_double[b] += 1
+        elif t == 3:
+            n_triple[a] += 1
+            n_triple[b] += 1
+        elif t == 4:
             aromatic[a] = aromatic[b] = True
     num_rings, in_ring = ring_info(n, mol.bonds)
 
@@ -281,15 +289,16 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
         z = atomic_number(e)
         val = _VALENCE.get(e.capitalize(), 4)
         num_h = max(0, int(round(val - bond_order_sum[i] + mol.charges[i] * (1 if e.upper() in ("N",) else -1))))
-        # heuristic hybridization from connectivity
-        heavy = G_degree[i]
-        if aromatic[i] or heavy + num_h == 3:
-            hyb = "SP2"
-        elif heavy + num_h <= 2 and e.upper() == "C":
+        # hybridization from incident bond ORDERS (RDKit semantics for
+        # common organics): a triple bond or two cumulated double bonds ->
+        # SP; any double/aromatic bond -> SP2; else SP3
+        if n_triple[i] >= 1 or n_double[i] >= 2:
             hyb = "SP"
+        elif n_double[i] == 1 or aromatic[i]:
+            hyb = "SP2"
         else:
             hyb = "SP3"
-        total_degree = heavy + num_h
+        total_degree = G_degree[i] + num_h
         feats[i] = [
             safe_index(A["possible_atomic_num_list"], z),
             0,  # chirality unspecified in the fallback

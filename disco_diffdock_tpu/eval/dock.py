@@ -168,7 +168,9 @@ def dock(args):
         def latent_fn(b, key):
             def apply_fn(bb, lat, dec):
                 return ar_model.apply(ar_vars, bb, lat, dec,
-                                      deterministic=True, use_running_average=True)
+                                      deterministic=True,
+                                      use_running_average=True,
+                                      shared_rec=True)  # one complex, S poses
             return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
                              args.softmax_latent_temperature)
 

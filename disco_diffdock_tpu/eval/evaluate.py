@@ -372,11 +372,14 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 input_latent_dim=score_cfg.latent_dim,
             )
             ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
+            single = all(len(p) == 1 for p in packs)
 
             def latent_fn(b, key):
                 def apply_fn(bb, lat, dec):
                     return ar_model.apply(ar_vars, bb, lat, dec,
-                                          deterministic=True, use_running_average=True)
+                                          deterministic=True,
+                                          use_running_average=True,
+                                          shared_rec=single)
                 return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
                                  getattr(args, "softmax_latent_temperature", 1.0))
 

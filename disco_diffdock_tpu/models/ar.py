@@ -53,12 +53,15 @@ class PretrainedScoreEncoder(nn.Module):
         decoding_idx: jnp.ndarray,
         deterministic: bool = True,
         use_running_average: bool = False,
+        shared_rec: bool = False,
     ):
         """One AR decoding step: returns (logits (B, latent_dim, NL+NR), mask).
 
         ``input_latent``: (lat_l (B,NL,ild), lat_r (B,NR,ild)) partial string.
         ``decoding_idx``: (B,) which slot is being decoded (conditioning is
         implicit: slots >= idx are zero in input_latent, as in the reference).
+        ``shared_rec``: pose-copied single-complex batch (eval decode) --
+        receptor-side trunk arrays compute at B=1 where latent-free.
         """
         B, NL = batch.lig_x.shape[:2]
         NR = batch.rec_x.shape[1]
@@ -69,6 +72,7 @@ class PretrainedScoreEncoder(nn.Module):
             unconditional=jnp.ones((B, 1)),
             deterministic=deterministic,
             use_running_average=use_running_average,
+            shared_rec=shared_rec,
         )
         s_lig = self.pretrained_score_model.scalar_features(lig_attr)
         s_rec = self.pretrained_score_model.scalar_features(rec_attr)

@@ -61,6 +61,30 @@ class TestMinichem:
         assert len(residues) == 6
         assert all("CA" in r.atoms for r in residues)
 
+    def test_hybridization_from_bond_orders(self):
+        """RDKit-semantics hybridization from incident bond orders: nitrile
+        C -> SP, carbonyl C -> SP2, saturated C -> SP3."""
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        # CH3-C#N (acetonitrile) + C=O fragment: atoms C(sp3), C(sp), N,
+        # then C(sp2)=O
+        text = (
+            "m\n  mini\n\n  5  3  0  0  0  0  0  0  0  0999 V2000\n"
+            "    0.0000    0.0000    0.0000 C   0  0\n"
+            "    1.5000    0.0000    0.0000 C   0  0\n"
+            "    2.7000    0.0000    0.0000 N   0  0\n"
+            "    5.0000    0.0000    0.0000 C   0  0\n"
+            "    6.2000    0.0000    0.0000 O   0  0\n"
+            "  1  2  1  0\n  2  3  3  0\n  4  5  2  0\n"
+            "M  END\n$$$$\n"
+        )
+        mol = minichem.parse_sdf(text)
+        x = minichem.featurize_minimol(mol)
+        hyb = A["possible_hybridization_list"]
+        assert hyb[x[0, 7]] == "SP3"  # methyl C
+        assert hyb[x[1, 7]] == "SP"   # nitrile C
+        assert hyb[x[3, 7]] == "SP2"  # carbonyl C
+
     def test_mol2_parse_matches_sdf(self):
         """TRIPOS MOL2 twin of the SDF fixture parses to the same graph
         (process_mols.py:491-492 ingestion, RDKit-free)."""
