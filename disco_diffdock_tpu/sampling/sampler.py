@@ -258,6 +258,8 @@ def reverse_diffusion(
             i = j
         ofs += n
 
+    # NOTE: scan unroll=2 measured 0.89 vs 1.42 complexes/sec end-to-end
+    # (doubled live ranges overwhelm HBM scheduling); keep unroll=1.
     carry = (batch.lig_pos, key)
     trajs = []
     for (i, j, fn, on) in runs:
