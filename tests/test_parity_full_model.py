@@ -104,12 +104,15 @@ def t_dense(params: dict, x: torch.Tensor) -> torch.Tensor:
 
 def t_atom_encoder(params: dict, codes: np.ndarray, extras: torch.Tensor,
                    n_cat: int) -> torch.Tensor:
-    """AtomEncoder: sum of Embed tables + joint Dense over [emb, extras]."""
+    """AtomEncoder: sum of Embed tables + joint Dense over [emb, extras];
+    with no extras (additional_dim=0) the Dense is absent."""
     emb = 0.0
     for i in range(n_cat):
         table = torch.from_numpy(
             np.asarray(params[f"Embed_{i}"]["embedding"], np.float64))
         emb = emb + table[codes[:, i].astype(np.int64)]
+    if "Dense_0" not in params:
+        return emb
     return t_dense(params["Dense_0"], torch.cat([emb, extras], -1))
 
 
@@ -530,6 +533,162 @@ class TestFullModelForwardParity:
             np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=2e-4, atol=2e-5,
                                        err_msg=f"tor graph {gi} t={t}")
             assert np.all(tor[gi][R:] == 0.0)
+
+
+def t_latent_mlp(params: dict, stats: dict, hidden: int, x: torch.Tensor):
+    """LatentPredictorMLP: (Dense-BN-ReLU) x2 + Dense (latent_encoder.py:
+    148-169), running-average BN."""
+    for i in range(2):
+        x = t_dense(params[f"Dense_{i}"], x)
+        x = t_irreps_bn(params[f"MaskedIrrepsBatchNorm_{i}"],
+                        stats[f"MaskedIrrepsBatchNorm_{i}"],
+                        f"{hidden}x0e", x)
+        x = torch.relu(x)
+    return t_dense(params["Dense_2"], x)
+
+
+class TestEncoderParity:
+    """The DisCo latent encoder (TPEncoder, vocab=1 node-anchor config):
+    time-free trunk over the ORACLE pose with a fixed 30A cross cutoff,
+    per-node latent-logit heads, softmax over the union of nodes
+    (latent_encoder.py:16-343) vs a plain-torch dynamic-graph oracle."""
+
+    def test_logits_match(self):
+        from disco_diffdock_tpu.config import EncoderConfig
+        from disco_diffdock_tpu.models.encoder import TPEncoder
+
+        cfg = EncoderConfig(
+            ns=4, nv=2, num_conv_layers=3, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=2, latent_hidden_dim=16,
+        )
+        batch = make_complex_batch(
+            seed=8, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = TPEncoder(cfg=cfg, caps=CAPS)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+            batch,
+        )
+        variables = _randomize(variables, seed=17)
+        logits, node_mask = model.apply(
+            variables, batch, apply_gumbel=False,
+            deterministic=True, use_running_average=True,
+        )
+        logits = np.asarray(logits)
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        ns = cfg.ns
+
+        for gi in range(batch.num_graphs):
+            g = _unpad_graph(batch, gi)
+            om = np.asarray(batch.lig_mask[gi])
+            orig = np.asarray(batch.extras["orig_pos"][gi])[om]
+            pos_l = torch.from_numpy(orig.astype(np.float64))  # oracle pose
+            pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
+            nl, nr = len(pos_l), len(pos_r)
+
+            lig_attr = t_atom_encoder(
+                params["lig_node_embedding"], g["lig_x"],
+                torch.zeros((nl, 0), dtype=torch.float64), n_cat=16)
+            rec_attr = t_atom_encoder(
+                params["rec_node_embedding"], g["rec_x"][:, :1],
+                torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)), n_cat=1)
+
+            # lig bonds + 5A radius on the ORACLE pose
+            b_src, b_dst = g["bonds"][:, 0].tolist(), g["bonds"][:, 1].tolist()
+            r_src, r_dst = [], []
+            for i in range(nl):
+                for j in range(nl):
+                    if i != j and np.linalg.norm(orig[i] - orig[j]) < cfg.lig_max_radius:
+                        r_src.append(i)
+                        r_dst.append(j)
+            lig_src = np.asarray(b_src + r_src)
+            lig_dst = np.asarray(b_dst + r_dst)
+            bond_feat = torch.zeros((len(lig_src), 4), dtype=torch.float64)
+            bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
+            vec = pos_l[lig_dst] - pos_l[lig_src]
+            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+            lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(
+                [bond_feat, t_rbf(dist, cfg.lig_max_radius, cfg.distance_embed_dim)], -1))
+            lig_sh = t_sh(vec, cfg.sh_lmax)
+
+            rec_src, rec_dst = g["rec_src"], g["rec_dst"]
+            vec = pos_r[rec_dst] - pos_r[rec_src]
+            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+            rec_eattr = t_fcblock(params["rec_edge_embedding"],
+                                  t_rbf(dist, cfg.rec_max_radius, cfg.distance_embed_dim))
+            rec_sh = t_sh(vec, cfg.sh_lmax)
+
+            # fixed 30A cross cutoff on the oracle pose
+            x_src, x_dst = [], []
+            for i in range(nl):
+                for j in range(nr):
+                    if np.linalg.norm(orig[i] - g["rec_pos"][j]) < cfg.cross_max_distance:
+                        x_src.append(i)
+                        x_dst.append(j)
+            x_src, x_dst = np.asarray(x_src), np.asarray(x_dst)
+            vec = pos_r[x_dst] - pos_l[x_src]
+            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+            cross_eattr = t_fcblock(params["cross_edge_embedding"],
+                                    t_rbf(dist, cfg.cross_max_distance,
+                                          cfg.cross_distance_embed_dim))
+            cross_sh = t_sh(vec, cfg.sh_lmax)
+
+            seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
+            sh_irreps = "1x0e + 1x1o"
+            attrs = {"lig": lig_attr, "rec": rec_attr}
+            for li in range(cfg.num_conv_layers):
+                in_ir = seq[min(li, len(seq) - 1)]
+                out_ir = seq[min(li + 1, len(seq) - 1)]
+                tp = TorchWeightedTP(in_ir, sh_irreps, out_ir)
+                lp = params[f"conv{li}"]
+                out_dim = Irreps(out_ir).dim
+                sums = {"lig": torch.zeros((nl, out_dim), dtype=torch.float64),
+                        "rec": torch.zeros((nr, out_dim), dtype=torch.float64)}
+                counts = {"lig": torch.zeros((nl, 1), dtype=torch.float64),
+                          "rec": torch.zeros((nr, 1), dtype=torch.float64)}
+                for (src, dst, eattr, esh, grp, rt, st) in (
+                    (lig_src, lig_dst, lig_eattr, lig_sh, 0, "lig", "lig"),
+                    (x_src, x_dst, cross_eattr, cross_sh, 1, "lig", "rec"),
+                    (rec_src, rec_dst, rec_eattr, rec_sh, 2, "rec", "rec"),
+                    (x_dst, x_src, cross_eattr, cross_sh, 3, "rec", "lig"),
+                ):
+                    xfeat = attrs[st][dst]
+                    full = torch.cat([eattr, attrs[rt][src][:, :ns], xfeat[:, :ns]], -1)
+                    w = t_conv_mlp(lp, grp, full, len(tp.weight_splits))
+                    msg = tp(xfeat, esh, w)
+                    sums[rt].index_add_(0, torch.from_numpy(np.asarray(src)), msg)
+                    counts[rt].index_add_(
+                        0, torch.from_numpy(np.asarray(src)),
+                        torch.ones((len(src), 1), dtype=torch.float64))
+                outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
+                if cfg.batch_norm:
+                    bnp = lp["MaskedIrrepsBatchNorm_0"]
+                    bns = stats[f"conv{li}"]["MaskedIrrepsBatchNorm_0"]
+                    outs = {k: t_irreps_bn(bnp, bns, out_ir, v) for k, v in outs.items()}
+                pad = out_dim - attrs["lig"].shape[-1]
+                attrs = {
+                    "lig": outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad)),
+                    "rec": outs["rec"] + torch.nn.functional.pad(attrs["rec"], (0, pad)),
+                }
+
+            def scalars(a):
+                if cfg.num_conv_layers >= 3:
+                    return torch.cat([a[:, :ns], a[:, -ns:]], -1)
+                return a[:, :ns]
+
+            pl = t_latent_mlp(params["latent_s_predictor"],
+                              stats["latent_s_predictor"],
+                              cfg.latent_hidden_dim, scalars(attrs["lig"]))
+            pr = t_latent_mlp(params["latent_r_predictor"],
+                              stats["latent_r_predictor"],
+                              cfg.latent_hidden_dim, scalars(attrs["rec"]))
+            o_logits = torch.cat([pl, pr], 0).T.numpy()  # (latent_dim, nl+nr)
+            got = np.concatenate([logits[gi][:, :nl], logits[gi][:, CAPS.max_lig:
+                                                                  CAPS.max_lig + nr]], -1)
+            np.testing.assert_allclose(got, o_logits, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"graph {gi}")
 
 
 class TestAllAtomConfidenceParity:
