@@ -54,7 +54,10 @@ def build(k):
     def run(b, key):
         k1, k2 = jax.random.split(key)
         b = randomize_position(k1, b, False, False, sigma.tr_sigma_max)
-        final, _, _ = sampling(models, variables, b, k2, scfg, sigma)
+        # k=1 is a single-complex pose batch -> the shared-receptor fast
+        # path applies, exactly as in the eval driver's unpacked programs
+        final, _, _ = sampling(models, variables, b, k2, scfg, sigma,
+                               shared_rec=(k == 1))
         return final.lig_pos
 
     return run, batch
