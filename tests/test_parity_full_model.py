@@ -220,8 +220,15 @@ def irrep_to_vec_np(c: torch.Tensor) -> torch.Tensor:
 
 
 def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
-                 g: dict, t: float):
-    """Graph build + conv trunk; returns (lig_attr, rec_attr) torch f64."""
+                 g: dict, t: float, lat=None, unconditional: bool = False):
+    """Graph build + conv trunk; returns (lig_attr, rec_attr) torch f64.
+
+    ``lat``: optional ((nl, Ld), (nr, Ld)) numpy node-latent features
+    (vocab=1 path): appended to node extras, [lat[src], lat[dst]] appended
+    to lig/rec edge attrs, zeros on cross edges (score_model.py:329-404).
+    ``unconditional``: add the five CFG unconditional embeddings after the
+    embedding MLPs (score_model.py:209-215) -- the AR prior's trunk mode.
+    """
     ns = cfg.ns
     pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
     pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
@@ -229,14 +236,21 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
 
     tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
     sig_emb = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
+    if lat is not None:
+        lat_l = torch.from_numpy(lat[0].astype(np.float64))
+        lat_r = torch.from_numpy(lat[1].astype(np.float64))
 
     # node embeddings (score_model.py:310-373 node paths)
+    lig_extras = sig_emb[None].expand(nl, -1)
+    if lat is not None:
+        lig_extras = torch.cat([lig_extras, lat_l], -1)
     lig_attr = t_atom_encoder(
-        params["lig_node_embedding"], g["lig_x"],
-        sig_emb[None].expand(nl, -1), n_cat=16)
+        params["lig_node_embedding"], g["lig_x"], lig_extras, n_cat=16)
     rec_extras = torch.cat([
         torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)),
         sig_emb[None].expand(nr, -1)], -1)
+    if lat is not None:
+        rec_extras = torch.cat([rec_extras, lat_r], -1)
     rec_attr = t_atom_encoder(
         params["rec_node_embedding"], g["rec_x"][:, :1], rec_extras, n_cat=1)
 
@@ -256,20 +270,24 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
     vec_l = pos_l[lig_dst] - pos_l[lig_src]
     dist_l = torch.sqrt(((vec_l + 1e-12) ** 2).sum(-1))
-    lig_eattr = torch.cat([
+    lig_eattr = [
         bond_feat, sig_emb[None].expand(len(lig_src), -1),
-        t_rbf(dist_l, cfg.lig_max_radius, cfg.distance_embed_dim)], -1)
-    lig_eattr = t_fcblock(params["lig_edge_embedding"], lig_eattr)
+        t_rbf(dist_l, cfg.lig_max_radius, cfg.distance_embed_dim)]
+    if lat is not None:
+        lig_eattr.append(torch.cat([lat_l[lig_src], lat_l[lig_dst]], -1))
+    lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(lig_eattr, -1))
     lig_sh = t_sh(vec_l, cfg.sh_lmax)
 
     # ---- receptor edges (precomputed kNN)
     rec_src, rec_dst = g["rec_src"], g["rec_dst"]
     vec_r = pos_r[rec_dst] - pos_r[rec_src]
     dist_r = torch.sqrt(((vec_r + 1e-12) ** 2).sum(-1))
-    rec_eattr = torch.cat([
+    rec_eattr = [
         sig_emb[None].expand(len(rec_src), -1),
-        t_rbf(dist_r, cfg.rec_max_radius, cfg.distance_embed_dim)], -1)
-    rec_eattr = t_fcblock(params["rec_edge_embedding"], rec_eattr)
+        t_rbf(dist_r, cfg.rec_max_radius, cfg.distance_embed_dim)]
+    if lat is not None:
+        rec_eattr.append(torch.cat([lat_r[rec_src], lat_r[rec_dst]], -1))
+    rec_eattr = t_fcblock(params["rec_edge_embedding"], torch.cat(rec_eattr, -1))
     rec_sh = t_sh(vec_r, cfg.sh_lmax)
 
     # ---- cross edges, dynamic cutoff 3*sigma_tr + 20 (score_model.py:202)
@@ -283,11 +301,24 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     x_src, x_dst = np.asarray(x_src), np.asarray(x_dst)
     vec_x = pos_r[x_dst] - pos_l[x_src]
     dist_x = torch.sqrt(((vec_x + 1e-12) ** 2).sum(-1))
-    cross_eattr = torch.cat([
+    cross_eattr = [
         sig_emb[None].expand(len(x_src), -1),
-        t_rbf(dist_x, cfg.cross_max_distance, cfg.cross_distance_embed_dim)], -1)
-    cross_eattr = t_fcblock(params["cross_edge_embedding"], cross_eattr)
+        t_rbf(dist_x, cfg.cross_max_distance, cfg.cross_distance_embed_dim)]
+    if lat is not None:
+        # reference zeroes cross-edge latent features (score_model.py:401)
+        d = cfg.latent_dim * max(cfg.latent_vocab, 2)
+        cross_eattr.append(torch.zeros((len(x_src), d), dtype=torch.float64))
+    cross_eattr = t_fcblock(params["cross_edge_embedding"], torch.cat(cross_eattr, -1))
     cross_sh = t_sh(vec_x, cfg.sh_lmax)
+
+    if unconditional:
+        # CFG unconditional embeddings, added after the embedding MLPs
+        # (score_model.py:350-358 with u == 1)
+        lig_attr = lig_attr + torch.from_numpy(params["lig_node_uncond"].astype(np.float64))
+        rec_attr = rec_attr + torch.from_numpy(params["rec_node_uncond"].astype(np.float64))
+        lig_eattr = lig_eattr + torch.from_numpy(params["lig_edge_uncond"].astype(np.float64))
+        rec_eattr = rec_eattr + torch.from_numpy(params["rec_edge_uncond"].astype(np.float64))
+        cross_eattr = cross_eattr + torch.from_numpy(params["cross_edge_uncond"].astype(np.float64))
 
     # ---- conv trunk: 4 blocks per layer, joint scatter-mean per receiver
     # (nn/conv.py TPConvLayer; reference tensor_layers.py:147-168).  NOTE the
@@ -963,3 +994,154 @@ class TestReverseStepParity:
             np.testing.assert_allclose(
                 final_pos[gi][:nl], new_pos, rtol=5e-4, atol=5e-4,
                 err_msg=f"pose after 1 reverse step, graph {gi}")
+
+
+class TestARPriorParity:
+    """The AR latent prior (PretrainedScoreEncoder, models/ar.py): score
+    trunk at t=1 with unconditional=1 and the partial latent string as
+    conditioning, fresh per-node predictor MLPs, softmax over the union of
+    nodes; sequential slot-by-slot decode (reference
+    pretrained_score_encoder.py:8-89, model_classes.py:9-49) vs a
+    plain-torch dynamic-graph oracle built on the same trunk twin."""
+
+    ILD = 2  # input latent string length (shipped latent_dim)
+
+    @pytest.fixture(scope="class")
+    def ar_setup(self):
+        from disco_diffdock_tpu.models.ar import PretrainedScoreEncoder
+
+        cfg = ScoreModelConfig(
+            ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=self.ILD, latent_vocab=1, latent_droprate=0.1,
+            compute_dtype="float32",
+        )
+        batch = make_complex_batch(
+            seed=21, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = PretrainedScoreEncoder(
+            score_cfg=cfg, caps=CAPS, latent_dim=1,
+            input_latent_dim=self.ILD, latent_hidden_dim=16,
+        )
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+        zero_lat = (jnp.zeros((B, NL, self.ILD)), jnp.zeros((B, NR, self.ILD)))
+        dec0 = jnp.zeros((B,), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(0), batch, zero_lat, dec0)
+        variables = _randomize(variables, seed=23)
+        return cfg, model, variables, batch
+
+    def _oracle_logits(self, cfg, params, stats, sigma, g, lat_np):
+        """Torch twin of one AR forward: trunk at t=1 (unconditional) +
+        the two latent predictor heads; returns (nl+nr,) slot logits."""
+        sp = params["pretrained_score_model"]
+        ss = stats["pretrained_score_model"]
+        lig_attr, rec_attr = oracle_trunk(
+            sp, ss, cfg, sigma, g, 1.0, lat=lat_np, unconditional=True)
+        ns = cfg.ns
+
+        def scalars(a):
+            if cfg.num_conv_layers >= 3:
+                return torch.cat([a[:, :ns], a[:, -ns:]], -1)
+            return a[:, :ns]
+
+        pl = t_latent_mlp(params["latent_s_predictor"],
+                          stats["latent_s_predictor"], 16, scalars(lig_attr))
+        pr = t_latent_mlp(params["latent_r_predictor"],
+                          stats["latent_r_predictor"], 16, scalars(rec_attr))
+        return torch.cat([pl, pr], 0)[:, 0].numpy()  # (nl+nr,)
+
+    def test_ar_logits_match(self, ar_setup):
+        cfg, model, variables, batch = ar_setup
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+        rng = np.random.RandomState(5)
+
+        # partial string: slot 0 already decoded (a random valid node per
+        # graph), slot 1 being decoded
+        lat_l = np.zeros((B, NL, self.ILD), np.float32)
+        lat_r = np.zeros((B, NR, self.ILD), np.float32)
+        anchors = []
+        for gi in range(B):
+            nl = int(np.asarray(batch.lig_mask[gi]).sum())
+            nr = int(np.asarray(batch.rec_mask[gi]).sum())
+            a = rng.randint(0, nl + nr)
+            anchors.append(a)
+            if a < nl:
+                lat_l[gi, a, 0] = 1.0
+            else:
+                lat_r[gi, a - nl, 0] = 1.0
+        dec = jnp.full((B,), 1, jnp.int32)
+
+        logits, node_mask = model.apply(
+            variables, batch, (jnp.asarray(lat_l), jnp.asarray(lat_r)), dec,
+            deterministic=True, use_running_average=True,
+        )
+        logits = np.asarray(logits)  # (B, 1, NL+NR)
+        assert logits.shape == (B, 1, NL + NR)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        sigma = SigmaSchedule()
+        for gi in range(B):
+            g = _unpad_graph(batch, gi)
+            nl, nr = len(g["lig_pos"]), len(g["rec_pos"])
+            o = self._oracle_logits(
+                cfg, params, stats, sigma, g,
+                (lat_l[gi, :nl], lat_r[gi, :nr]))
+            got = np.concatenate(
+                [logits[gi, 0, :nl], logits[gi, 0, NL:NL + nr]])
+            np.testing.assert_allclose(got, o, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"AR slot logits, graph {gi}")
+
+    def test_sequential_decode_matches(self, ar_setup):
+        """encode_ar at argmax temperature: every slot's logits AND the
+        chosen node match the oracle decode (model_classes.py:26-46
+        temperature>=100 branch)."""
+        from disco_diffdock_tpu.models.ar import encode_ar
+
+        cfg, model, variables, batch = ar_setup
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+        calls = []
+
+        def apply_fn(b, lat, d):
+            out = model.apply(variables, b, lat, d,
+                              deterministic=True, use_running_average=True)
+            calls.append((jax.tree.map(np.asarray, lat), np.asarray(out[0])))
+            return out
+
+        lat_l, lat_r = encode_ar(
+            apply_fn, batch, jax.random.PRNGKey(3), self.ILD,
+            sampling_temperature=1000.0)
+        lat_l, lat_r = np.asarray(lat_l), np.asarray(lat_r)
+        assert len(calls) == self.ILD
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        sigma = SigmaSchedule()
+        for gi in range(B):
+            g = _unpad_graph(batch, gi)
+            nl, nr = len(g["lig_pos"]), len(g["rec_pos"])
+            ol = np.zeros((nl, self.ILD), np.float32)
+            orr = np.zeros((nr, self.ILD), np.float32)
+            for idx in range(self.ILD):
+                o = self._oracle_logits(cfg, params, stats, sigma, g, (ol, orr))
+                # JAX call idx must have seen the oracle's partial string
+                (cl, cr), lg = calls[idx]
+                np.testing.assert_allclose(cl[gi, :nl], ol, atol=0)
+                got = np.concatenate([lg[gi, 0, :nl], lg[gi, 0, NL:NL + nr]])
+                np.testing.assert_allclose(got, o, rtol=3e-4, atol=3e-5,
+                                           err_msg=f"decode slot {idx}, graph {gi}")
+                choice = int(np.argmax(o))  # argmax branch at temp >= 100
+                if choice < nl:
+                    ol[choice, idx] = 1.0
+                    assert lat_l[gi, choice, idx] == 1.0, (gi, idx, choice)
+                else:
+                    orr[choice - nl, idx] = 1.0
+                    assert lat_r[gi, choice - nl, idx] == 1.0, (gi, idx, choice)
+            # exactly one node chosen per slot
+            assert lat_l[gi].sum(0).max() <= 1.0 + 1e-6
+            np.testing.assert_allclose(
+                lat_l[gi, :nl].sum(0) + lat_r[gi, :nr].sum(0),
+                np.ones(self.ILD), err_msg=f"one-hot per slot, graph {gi}")
