@@ -364,15 +364,18 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
 
 
 def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
-                   g: dict, t: float):
+                   g: dict, t: float, lat=None, unconditional: bool = False):
     """Plain-torch twin of TensorProductScoreModel.__call__ for one graph.
 
     ``g``: dict of unpadded numpy arrays (lig_x, lig_pos, rec_x, rec_pos,
     bonds (E,2) src/dst, bond_attr, rec_src, rec_dst, tor_edges (R,2)).
+    ``lat``/``unconditional`` forward to :func:`oracle_trunk` (the latent
+    -conditioned / CFG trunk modes).
     Returns (tr_pred (3,), rot_pred (3,), tor_pred (R,)).
     """
     ns = cfg.ns
-    lig_attr, rec_attr = oracle_trunk(params, stats, cfg, sigma, g, t)
+    lig_attr, rec_attr = oracle_trunk(params, stats, cfg, sigma, g, t,
+                                      lat=lat, unconditional=unconditional)
     pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
     nl = len(pos_l)
     tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
@@ -1145,3 +1148,85 @@ class TestARPriorParity:
             np.testing.assert_allclose(
                 lat_l[gi, :nl].sum(0) + lat_r[gi, :nr].sum(0),
                 np.ones(self.ILD), err_msg=f"one-hot per slot, graph {gi}")
+
+
+class TestCFGReverseStepParity:
+    """One reverse step under classifier-free guidance (utils/sampling.py:
+    119-135): conditional pass with the latent string, unconditional pass
+    with zeroed latents + unconditional embeddings, extrapolation
+    c + w*(c - u), then the plain Euler-Maruyama update -- vs the torch
+    oracle run twice per graph."""
+
+    def test_one_cfg_step(self):
+        from disco_diffdock_tpu.sampling import SamplerConfig, sampling
+        from tests.test_parity_torch import _oracle_modify_conformer
+
+        ILD = 2
+        cfg = ScoreModelConfig(
+            ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=ILD, latent_vocab=1, latent_droprate=0.1,
+            compute_dtype="float32",
+        )
+        batch = make_complex_batch(
+            seed=31, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = TensorProductScoreModel(cfg=cfg, caps=CAPS)
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+        lat_l = np.zeros((B, NL, ILD), np.float32)
+        lat_r = np.zeros((B, NR, ILD), np.float32)
+        rng = np.random.RandomState(7)
+        for gi in range(B):
+            nl = int(np.asarray(batch.lig_mask[gi]).sum())
+            nr = int(np.asarray(batch.rec_mask[gi]).sum())
+            for s in range(ILD):
+                a = rng.randint(0, nl + nr)
+                if a < nl:
+                    lat_l[gi, a, s] = 1.0
+                else:
+                    lat_r[gi, a - nl, s] = 1.0
+        lat = (jnp.asarray(lat_l), jnp.asarray(lat_r))
+        variables = model.init(
+            jax.random.PRNGKey(0), batch, latent=lat,
+            unconditional=jnp.zeros((B, 1)))
+        variables = _randomize(variables, seed=29)
+
+        w = 0.5
+        scfg = SamplerConfig(
+            inference_steps=1, no_final_step_noise=True,
+            cfg_weight=w, cfg_start=1.0, cfg_end=0.0,
+        )
+        sigma = SigmaSchedule()
+        final, _, _ = sampling(
+            model, variables, batch, jax.random.PRNGKey(5), scfg, sigma,
+            latent=lat)
+        final_pos = np.asarray(final.lig_pos)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        t, dt = 1.0, 1.0
+        for gi in range(B):
+            g = _unpad_graph(batch, gi)
+            nl, nr = len(g["lig_pos"]), len(g["rec_pos"])
+            glat = (lat_l[gi, :nl], lat_r[gi, :nr])
+            zlat = (np.zeros_like(glat[0]), np.zeros_like(glat[1]))
+            cond = oracle_forward(params, stats, cfg, sigma, g, t, lat=glat)
+            unc = oracle_forward(params, stats, cfg, sigma, g, t, lat=zlat,
+                                 unconditional=True)
+            tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
+            out = {}
+            for name, c, u, sig, smin, smax in (
+                ("tr", cond[0], unc[0], tr_sigma, sigma.tr_sigma_min, sigma.tr_sigma_max),
+                ("rot", cond[1], unc[1], rot_sigma, sigma.rot_sigma_min, sigma.rot_sigma_max),
+                ("tor", cond[2], unc[2], tor_sigma, sigma.tor_sigma_min, sigma.tor_sigma_max),
+            ):
+                s = c + w * (c - u)
+                gcoef = sig * math.sqrt(2 * math.log(smax / smin))
+                out[name] = gcoef**2 * dt * s  # z = 0 on the final step
+            new_pos = _oracle_modify_conformer(
+                g["lig_pos"].astype(np.float64), out["tr"], out["rot"],
+                g["tor_edges"], g["tor_mask_rotate"], out["tor"])
+            np.testing.assert_allclose(
+                final_pos[gi][:nl], new_pos, rtol=5e-4, atol=5e-4,
+                err_msg=f"CFG reverse step, graph {gi}")
