@@ -89,7 +89,12 @@ def build():
     sigma = SigmaSchedule()
     scfg = SamplerConfig(inference_steps=STEPS, no_final_step_noise=True)
 
-    @jax.jit
+    # measured-win TPU compile options (utils/xla_opts.py sweep results)
+    from functools import partial
+
+    from disco_diffdock_tpu.utils.xla_opts import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(b, key):
         k1, k2 = jax.random.split(key)
         b = randomize_position(k1, b, False, False, sigma.tr_sigma_max)

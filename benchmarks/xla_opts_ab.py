@@ -31,6 +31,27 @@ OPTION_SETS: dict[str, dict[str, str]] = {
         "xla_tpu_scoped_vmem_limit_kib": "49152",
         "xla_tpu_licm_size_inflation_ratio": "16.0",
     },
+    "dotdup+vmem48": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "49152",
+    },
+    "dotdup+vmem32": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+    },
+    "dotdup+vmem64": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "65536",
+    },
+    "dotdup+licm4": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_licm_size_inflation_ratio": "4.0",
+    },
+    "dotdup+vmem48+licm4": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_scoped_vmem_limit_kib": "49152",
+        "xla_tpu_licm_size_inflation_ratio": "4.0",
+    },
 }
 
 

@@ -21,6 +21,7 @@ minichem.
 from __future__ import annotations
 
 import argparse
+from functools import partial
 import json
 import os
 
@@ -185,7 +186,9 @@ def dock(args):
         return_trajectory=args.save_visualisation,
     )
 
-    @jax.jit
+    from ..utils.xla_opts import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def _run(b, key):
         k1, k2, k3 = jax.random.split(key, 3)
         latent = latent_fn(b, k3) if latent_fn is not None else None

@@ -14,6 +14,7 @@ run dirs of trained models.
 from __future__ import annotations
 
 import argparse
+from functools import partial
 import json
 import os
 import time
@@ -155,8 +156,11 @@ def evaluate_complexes(
     # multi-complex programs keep the general path
     shared_rec = batch_packs is None or all(len(p) == 1 for p in batch_packs)
 
-    # one compiled program reused across complexes (shapes are bucketed)
-    @jax.jit
+    # one compiled program reused across complexes (shapes are bucketed);
+    # measured-win TPU compile options (utils/xla_opts.py)
+    from ..utils.xla_opts import tpu_compiler_options
+
+    @partial(jax.jit, compiler_options=tpu_compiler_options())
     def _run(batch, key):
         k1, k2, k3 = jax.random.split(key, 3)
         latent = latent_fn(batch, k3) if latent_fn is not None else None

@@ -23,6 +23,7 @@ resource); the HTTP layer queues.  Shape bucketing bounds compile count.
 from __future__ import annotations
 
 import argparse
+from functools import partial
 import json
 import os
 import tempfile
@@ -92,7 +93,9 @@ class DockingService:
             model, variables, latent_fn, conf_model, conf_vars = self._runtime(caps)
             scfg = SamplerConfig(inference_steps=steps, no_final_step_noise=True)
 
-            @jax.jit
+            from .utils.xla_opts import tpu_compiler_options
+
+            @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _run(batch, rng):
                 k1, k2, k3 = jax.random.split(rng, 3)
                 latent = latent_fn(batch, k3) if latent_fn is not None else None
