@@ -52,6 +52,21 @@ OPTION_SETS: dict[str, dict[str, str]] = {
         "xla_tpu_scoped_vmem_limit_kib": "49152",
         "xla_tpu_licm_size_inflation_ratio": "4.0",
     },
+    # round 2 of the sweep: fusion-family neighbors of the winner
+    "nodsr": {"xla_tpu_enable_dot_strength_reduction": "false"},
+    "dotdup+nodsr": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_enable_dot_strength_reduction": "false",
+    },
+    "norwb": {"xla_tpu_rwb_fusion": "false"},
+    "dotdup+norwb": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_rwb_fusion": "false",
+    },
+    "dotdup+nestedloop": {
+        "xla_tpu_dot_dot_fusion_duplicated": "true",
+        "xla_tpu_enable_multi_level_nested_loop_fusion": "true",
+    },
 }
 
 
@@ -72,7 +87,7 @@ def main():
             continue
         out = compiled(batch, key)
         np.asarray(out)  # host fetch = the only reliable sync over the tunnel
-        reps = 3
+        reps = int(__import__("os").environ.get("XLA_AB_REPS", "3"))
         t0 = time.perf_counter()
         for i in range(reps):
             out = compiled(batch, jax.random.PRNGKey(i + 1))

@@ -47,12 +47,23 @@ def chain_sequences(pdb_path: str) -> list[tuple[str, str]]:
     return [(c, "".join(seq)) for c, seq in chains.items()]
 
 
+def complex_name(pdb_path: str) -> str:
+    """Complex name for embedding keys: the PDBBind receptor file
+    <name>_protein_processed.pdb keys as <name> (the reference prep script
+    keys records by complex name, pdbbind_lm_embedding_preparation.py)."""
+    base = os.path.splitext(os.path.basename(pdb_path))[0]
+    for suffix in ("_protein_processed", "_protein"):
+        if base.endswith(suffix):
+            return base[: -len(suffix)]
+    return base
+
+
 def pdb_to_fasta(pdb_paths: Iterable[str], out_path: str, max_len: int = 1022) -> None:
     """Write per-chain FASTA records named <name>_chain_<i> (sequences
     truncated at 1022 tokens as in inference_utils.py:95)."""
     with open(out_path, "w") as f:
         for path in pdb_paths:
-            name = os.path.splitext(os.path.basename(path))[0]
+            name = complex_name(path)
             for i, (_, seq) in enumerate(chain_sequences(path)):
                 f.write(f">{name}_chain_{i}\n{seq[:max_len]}\n")
 
@@ -141,7 +152,7 @@ def compute_esm_embeddings(pdb_paths: Iterable[str], out_path: str, device: str 
     converter = alphabet.get_batch_converter()
     out = {}
     for path in pdb_paths:
-        name = os.path.splitext(os.path.basename(path))[0]
+        name = complex_name(path)
         chains = chain_sequences(path)
         embs = []
         for _, seq in chains:
@@ -151,3 +162,68 @@ def compute_esm_embeddings(pdb_paths: Iterable[str], out_path: str, device: str 
             embs.append(rep[0, 1 : len(seq[:1022]) + 1].cpu().numpy())
         out[name] = np.concatenate(embs, 0).astype(np.float32)
     np.savez_compressed(out_path, **out)
+
+
+def _resolve_pdbs(args) -> list[str]:
+    if args.pdb:
+        return list(args.pdb)
+    assert args.data_dir, "pass --pdb paths or --data_dir"
+    names = None
+    if args.split_path:
+        with open(args.split_path) as f:
+            names = [line.strip() for line in f if line.strip()]
+    else:
+        names = sorted(os.listdir(args.data_dir))
+    paths = []
+    for n in names:
+        p = os.path.join(args.data_dir, n, f"{n}_protein_processed.pdb")
+        if os.path.exists(p):
+            paths.append(p)
+    return paths
+
+
+def main(argv=None):
+    """CLI twin of the reference's three offline ESM scripts
+    (pdbbind_lm_embedding_preparation.py / esm extraction /
+    esm_embeddings_to_pt.py) plus the online path:
+
+        python -m disco_diffdock_tpu.data.esm prepare --data_dir <PDBBind> --out fasta.fa
+        python -m disco_diffdock_tpu.data.esm combine --esm_dir <chain_pt_dir> --out esm.npz
+        python -m disco_diffdock_tpu.data.esm online  --data_dir <PDBBind> --out esm.npz
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="ESM embedding pipeline")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sp = sub.add_parser("prepare", help="receptor PDBs -> per-chain FASTA "
+                                        "for the fair-esm extract script")
+    sp.add_argument("--pdb", nargs="*", default=None)
+    sp.add_argument("--data_dir", default=None)
+    sp.add_argument("--split_path", default=None)
+    sp.add_argument("--out", required=True)
+    sc = sub.add_parser("combine", help="per-chain ESM outputs -> one npz")
+    sc.add_argument("--esm_dir", required=True)
+    sc.add_argument("--out", required=True)
+    so = sub.add_parser("online", help="compute embeddings in-process "
+                                       "(needs fair-esm)")
+    so.add_argument("--pdb", nargs="*", default=None)
+    so.add_argument("--data_dir", default=None)
+    so.add_argument("--split_path", default=None)
+    so.add_argument("--out", required=True)
+    so.add_argument("--device", default="cpu")
+    args = p.parse_args(argv)
+    if args.cmd == "prepare":
+        paths = _resolve_pdbs(args)
+        pdb_to_fasta(paths, args.out)
+        print(f"HAPPENING | wrote FASTA for {len(paths)} receptors -> {args.out}")
+    elif args.cmd == "combine":
+        combine_embeddings(args.esm_dir, args.out)
+        print(f"HAPPENING | combined embeddings -> {args.out}")
+    else:
+        paths = _resolve_pdbs(args)
+        compute_esm_embeddings(paths, args.out, device=args.device)
+        print(f"HAPPENING | embeddings for {len(paths)} receptors -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
