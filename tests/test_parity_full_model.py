@@ -220,12 +220,19 @@ def irrep_to_vec_np(c: torch.Tensor) -> torch.Tensor:
 
 
 def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
-                 g: dict, t: float, lat=None, unconditional: bool = False):
+                 g: dict, t: float, lat=None, unconditional: bool = False,
+                 confidence_mode: bool = False, glat=None, post_layer=None):
     """Graph build + conv trunk; returns (lig_attr, rec_attr) torch f64.
 
     ``lat``: optional ((nl, Ld), (nr, Ld)) numpy node-latent features
     (vocab=1 path): appended to node extras, [lat[src], lat[dst]] appended
     to lig/rec edge attrs, zeros on cross edges (score_model.py:329-404).
+    ``glat``: optional flat (Ld*vocab,) numpy graph-level latent (vocab>1
+    path): broadcast onto node extras, appended once per lig/rec edge
+    (gather at src of a graph-constant), zeros on cross edges.
+    ``post_layer``: optional callable ``(li, lig_attr, rec_attr) ->
+    (lig_attr, rec_attr)`` applied after conv layer li (the latent
+    cross-attention twin, score_model.py:232-254).
     ``unconditional``: add the five CFG unconditional embeddings after the
     embedding MLPs (score_model.py:209-215) -- the AR prior's trunk mode.
     """
@@ -235,15 +242,24 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     nl, nr = len(pos_l), len(pos_r)
 
     tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
+    if confidence_mode:
+        # confidence models consume raw complex_t as the "sigmas"
+        # (score_model.py embed(): sigmas = (t_tr, t_rot, t_tor)), so the
+        # dynamic cross cutoff reads 3*t + 20
+        tr_sigma = t
     sig_emb = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
     if lat is not None:
         lat_l = torch.from_numpy(lat[0].astype(np.float64))
         lat_r = torch.from_numpy(lat[1].astype(np.float64))
+    if glat is not None:
+        gvec = torch.from_numpy(np.asarray(glat, np.float64))
 
     # node embeddings (score_model.py:310-373 node paths)
     lig_extras = sig_emb[None].expand(nl, -1)
     if lat is not None:
         lig_extras = torch.cat([lig_extras, lat_l], -1)
+    if glat is not None:
+        lig_extras = torch.cat([lig_extras, gvec[None].expand(nl, -1)], -1)
     lig_attr = t_atom_encoder(
         params["lig_node_embedding"], g["lig_x"], lig_extras, n_cat=16)
     rec_extras = torch.cat([
@@ -251,6 +267,8 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
         sig_emb[None].expand(nr, -1)], -1)
     if lat is not None:
         rec_extras = torch.cat([rec_extras, lat_r], -1)
+    if glat is not None:
+        rec_extras = torch.cat([rec_extras, gvec[None].expand(nr, -1)], -1)
     rec_attr = t_atom_encoder(
         params["rec_node_embedding"], g["rec_x"][:, :1], rec_extras, n_cat=1)
 
@@ -275,6 +293,8 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
         t_rbf(dist_l, cfg.lig_max_radius, cfg.distance_embed_dim)]
     if lat is not None:
         lig_eattr.append(torch.cat([lat_l[lig_src], lat_l[lig_dst]], -1))
+    if glat is not None:
+        lig_eattr.append(gvec[None].expand(len(lig_src), -1))
     lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(lig_eattr, -1))
     lig_sh = t_sh(vec_l, cfg.sh_lmax)
 
@@ -287,6 +307,8 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
         t_rbf(dist_r, cfg.rec_max_radius, cfg.distance_embed_dim)]
     if lat is not None:
         rec_eattr.append(torch.cat([lat_r[rec_src], lat_r[rec_dst]], -1))
+    if glat is not None:
+        rec_eattr.append(gvec[None].expand(len(rec_src), -1))
     rec_eattr = t_fcblock(params["rec_edge_embedding"], torch.cat(rec_eattr, -1))
     rec_sh = t_sh(vec_r, cfg.sh_lmax)
 
@@ -304,7 +326,7 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     cross_eattr = [
         sig_emb[None].expand(len(x_src), -1),
         t_rbf(dist_x, cfg.cross_max_distance, cfg.cross_distance_embed_dim)]
-    if lat is not None:
+    if lat is not None or glat is not None:
         # reference zeroes cross-edge latent features (score_model.py:401)
         d = cfg.latent_dim * max(cfg.latent_vocab, 2)
         cross_eattr.append(torch.zeros((len(x_src), d), dtype=torch.float64))
@@ -360,11 +382,14 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
         pad = out_dim - attrs["lig"].shape[-1]
         lig_attr = outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad))
         rec_attr = outs["rec"] + torch.nn.functional.pad(attrs["rec"], (0, pad))
+        if post_layer is not None:
+            lig_attr, rec_attr = post_layer(li, lig_attr, rec_attr)
     return lig_attr, rec_attr
 
 
 def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
-                   g: dict, t: float, lat=None, unconditional: bool = False):
+                   g: dict, t: float, lat=None, unconditional: bool = False,
+                   glat=None, post_layer=None):
     """Plain-torch twin of TensorProductScoreModel.__call__ for one graph.
 
     ``g``: dict of unpadded numpy arrays (lig_x, lig_pos, rec_x, rec_pos,
@@ -375,7 +400,8 @@ def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     """
     ns = cfg.ns
     lig_attr, rec_attr = oracle_trunk(params, stats, cfg, sigma, g, t,
-                                      lat=lat, unconditional=unconditional)
+                                      lat=lat, unconditional=unconditional,
+                                      glat=glat, post_layer=post_layer)
     pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
     nl = len(pos_l)
     tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
@@ -1230,3 +1256,181 @@ class TestCFGReverseStepParity:
             np.testing.assert_allclose(
                 final_pos[gi][:nl], new_pos, rtol=5e-4, atol=5e-4,
                 err_msg=f"CFG reverse step, graph {gi}")
+
+
+class TestCGConfidenceParity:
+    """The coarse-grained model's confidence head (score_model.py:263-266:
+    masked-mean-pooled scalar features -> MLP/BN/ReLU x2 -> linear) on the
+    same trunk, in confidence_mode (raw complex_t consumed as the sigmas,
+    so the dynamic cross cutoff is 3*t + 20) -- the CG counterpart of the
+    shipped all-atom confidence family."""
+
+    @pytest.mark.parametrize("t", [0.0, 0.3])
+    def test_confidence_matches(self, t):
+        cfg = ScoreModelConfig(
+            ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=0, latent_droprate=0.0, compute_dtype="float32",
+            confidence_mode=True, num_confidence_outputs=1,
+            confidence_dropout=0.0,
+        )
+        batch = make_complex_batch(
+            seed=41, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = TensorProductScoreModel(cfg=cfg, caps=CAPS)
+        b = batch.set_time(t, t, t)
+        variables = model.init(jax.random.PRNGKey(0), b)
+        variables = _randomize(variables, seed=43)
+        conf = np.asarray(model.apply(
+            variables, b, deterministic=True, use_running_average=True))
+        assert conf.shape == (batch.num_graphs,)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        sigma = SigmaSchedule()
+        ns = cfg.ns
+        for gi in range(batch.num_graphs):
+            g = _unpad_graph(batch, gi)
+            lig_attr, _ = oracle_trunk(params, stats, cfg, sigma, g, t,
+                                       confidence_mode=True)
+            scal = torch.cat([lig_attr[:, :ns], lig_attr[:, -ns:]], -1)
+            pooled = scal.mean(0, keepdim=True)  # masked mean == mean (unpadded)
+            x = t_dense(params["confidence_mlp1"], pooled)
+            x = t_irreps_bn(params["confidence_bn1"], stats["confidence_bn1"],
+                            f"{ns}x0e", x)
+            x = torch.relu(x)
+            x = t_dense(params["confidence_mlp2"], x)
+            x = t_irreps_bn(params["confidence_bn2"], stats["confidence_bn2"],
+                            f"{ns}x0e", x)
+            x = torch.relu(x)
+            o = t_dense(params["confidence_out"], x)[0, 0].item()
+            np.testing.assert_allclose(conf[gi], o, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"CG confidence, graph {gi}")
+
+
+def t_xattn(params: dict, heads: int, dim_head: int,
+            x: torch.Tensor, ctx: torch.Tensor) -> torch.Tensor:
+    """CrossAttention twin (nn/basic.py CrossAttention; reference
+    models/layers.py:35-78): q/k/v Dense (no bias), per-head softmax
+    attention, output Dense."""
+    W = lambda k: torch.from_numpy(np.asarray(params[k]["kernel"], np.float64))
+    q = (x @ W("Dense_0")).reshape(-1, heads, dim_head)
+    k = (ctx @ W("Dense_1")).reshape(-1, heads, dim_head)
+    v = (ctx @ W("Dense_2")).reshape(-1, heads, dim_head)
+    sim = torch.einsum("ihd,jhd->hij", q, k) * dim_head ** -0.5
+    attn = torch.softmax(sim, -1)
+    out = torch.einsum("hij,jhd->ihd", attn, v).reshape(-1, heads * dim_head)
+    b3 = torch.from_numpy(np.asarray(params["Dense_3"]["bias"], np.float64))
+    return out @ W("Dense_3") + b3
+
+
+class TestVocabLatentScoreParity:
+    """The vocab>1 latent path of the score model: graph-level latents
+    broadcast onto nodes/edges (score_model.py:329-404 vocab branch) plus
+    the per-layer bilinear latent cross-attention (:232-254 simple
+    attention: att = scal @ lat^T, res = MLP(att @ lat), zero-padded back
+    onto the irreps layout) -- vs the torch oracle via the glat/post_layer
+    trunk hooks."""
+
+    LD, VOCAB = 2, 3
+
+    @pytest.mark.parametrize("new_xattn", [False, True])
+    def test_scores_match(self, new_xattn):
+        cfg = ScoreModelConfig(
+            ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=self.LD, latent_vocab=self.VOCAB, latent_droprate=0.0,
+            latent_cross_attention=True, new_cross_attention=new_xattn,
+            cross_attention_heads=2, cross_attention_dim=8,
+            compute_dtype="float32",
+        )
+        batch = make_complex_batch(
+            seed=51, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        B = batch.num_graphs
+        rng = np.random.RandomState(13)
+        # one-hot slot latents, as the gumbel head emits (B, Ld, vocab)
+        lat3 = np.zeros((B, self.LD, self.VOCAB), np.float32)
+        for gi in range(B):
+            for s in range(self.LD):
+                lat3[gi, s, rng.randint(self.VOCAB)] = 1.0
+        latent = jnp.asarray(lat3.reshape(B, -1))
+
+        model = TensorProductScoreModel(cfg=cfg, caps=CAPS)
+        t = 0.5
+        b = batch.set_time(t, t, t)
+        variables = model.init(jax.random.PRNGKey(0), b, latent=latent)
+        variables = _randomize(variables, seed=53)
+        # damp the latent-attention stacks: the bilinear path SQUARES
+        # activations per layer (att = scal@lat^T, res = att@lat) and fully
+        # random O(1) weights explode past f32 over 5 layers -- both sides
+        # consume the same tree, so the scaling tests the identical math
+        p = dict(variables["params"])
+        for k in list(p):
+            if k.startswith("lat_"):  # lat_emb / lat_res / lat_xattn stacks
+                p[k] = jax.tree.map(lambda x: x * 0.2, p[k])
+        variables = {**variables, "params": p}
+        tr, rot, tor = model.apply(
+            variables, b, latent=latent,
+            deterministic=True, use_running_average=True)
+        tr, rot, tor = np.asarray(tr), np.asarray(rot), np.asarray(tor)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        sigma = SigmaSchedule()
+        ns = cfg.ns
+        L = cfg.num_conv_layers
+        tot = L * ns + max(0, L - 2) * ns
+
+        for gi in range(B):
+            g = _unpad_graph(batch, gi)
+            # per-slot latent embeddings (score_model.py:69-78,232-236)
+            lat_emb = torch.stack([
+                t_fcblock(params[f"lat_emb{i}"],
+                          torch.from_numpy(lat3[gi, i].astype(np.float64)))
+                for i in range(self.LD)
+            ], 0)  # (Ld, tot)
+            assert lat_emb.shape == (self.LD, tot)
+
+            def post_layer(li, lig_attr, rec_attr):
+                cur_len = ns if li < 2 else 2 * ns
+                cur_idx = li * ns + max(0, li - 2) * ns
+                lat = lat_emb[:, cur_idx:cur_idx + cur_len]  # (Ld, d)
+                outs = []
+                for x in (lig_attr, rec_attr):
+                    if li < 2:
+                        scal = x[:, :ns]
+                    else:
+                        scal = torch.cat([x[:, :ns], x[:, -ns:]], -1)
+                    if new_xattn:
+                        # multi-head path (score_model.py:241-246): xattn +
+                        # residual, MLP + residual, minus scal (re-added as
+                        # x + res_full below)
+                        res = t_xattn(params[f"lat_xattn{li}"], 2, 8,
+                                      scal, lat) + scal
+                        res = t_fcblock(params[f"lat_res{li}"], res) + res
+                        res = res - scal
+                    else:
+                        att = scal @ lat.T           # (n, Ld)
+                        res = att @ lat              # (n, d)
+                        res = t_fcblock(params[f"lat_res{li}"], res)
+                    D = x.shape[-1]
+                    if li < 2:
+                        res_full = torch.nn.functional.pad(res, (0, D - res.shape[-1]))
+                    else:
+                        res_full = torch.cat([
+                            torch.nn.functional.pad(res[:, :ns], (0, D - 2 * ns)),
+                            res[:, ns:]], -1)
+                    outs.append(x + res_full)
+                return outs[0], outs[1]
+
+            o_tr, o_rot, o_tor = oracle_forward(
+                params, stats, cfg, sigma, g, t,
+                glat=lat3[gi].reshape(-1), post_layer=post_layer)
+            np.testing.assert_allclose(tr[gi], o_tr, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"tr graph {gi}")
+            np.testing.assert_allclose(rot[gi], o_rot, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"rot graph {gi}")
+            R = len(g["tor_edges"])
+            np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"tor graph {gi}")
