@@ -607,6 +607,103 @@ def t_latent_mlp(params: dict, stats: dict, hidden: int, x: torch.Tensor):
     return t_dense(params["Dense_2"], x)
 
 
+def oracle_encoder_trunk(params, stats, cfg, g: dict, orig: np.ndarray):
+    """Time-free encoder trunk over the ORACLE pose (latent_encoder.py:
+    171-305 without the latent heads): fixed 30A cross cutoff, no sigma
+    embedding.  Returns the {"lig", "rec"} attr dict; shared by the
+    vocab=1 and vocab>1 encoder parity tests."""
+    ns = cfg.ns
+    pos_l = torch.from_numpy(orig.astype(np.float64))  # oracle pose
+    pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
+    nl, nr = len(pos_l), len(pos_r)
+
+    lig_attr = t_atom_encoder(
+        params["lig_node_embedding"], g["lig_x"],
+        torch.zeros((nl, 0), dtype=torch.float64), n_cat=16)
+    rec_attr = t_atom_encoder(
+        params["rec_node_embedding"], g["rec_x"][:, :1],
+        torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)), n_cat=1)
+
+    # lig bonds + 5A radius on the ORACLE pose
+    b_src, b_dst = g["bonds"][:, 0].tolist(), g["bonds"][:, 1].tolist()
+    r_src, r_dst = [], []
+    for i in range(nl):
+        for j in range(nl):
+            if i != j and np.linalg.norm(orig[i] - orig[j]) < cfg.lig_max_radius:
+                r_src.append(i)
+                r_dst.append(j)
+    lig_src = np.asarray(b_src + r_src)
+    lig_dst = np.asarray(b_dst + r_dst)
+    bond_feat = torch.zeros((len(lig_src), 4), dtype=torch.float64)
+    bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
+    vec = pos_l[lig_dst] - pos_l[lig_src]
+    dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+    lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(
+        [bond_feat, t_rbf(dist, cfg.lig_max_radius, cfg.distance_embed_dim)], -1))
+    lig_sh = t_sh(vec, cfg.sh_lmax)
+
+    rec_src, rec_dst = g["rec_src"], g["rec_dst"]
+    vec = pos_r[rec_dst] - pos_r[rec_src]
+    dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+    rec_eattr = t_fcblock(params["rec_edge_embedding"],
+                          t_rbf(dist, cfg.rec_max_radius, cfg.distance_embed_dim))
+    rec_sh = t_sh(vec, cfg.sh_lmax)
+
+    # fixed 30A cross cutoff on the oracle pose
+    x_src, x_dst = [], []
+    for i in range(nl):
+        for j in range(nr):
+            if np.linalg.norm(orig[i] - g["rec_pos"][j]) < cfg.cross_max_distance:
+                x_src.append(i)
+                x_dst.append(j)
+    x_src, x_dst = np.asarray(x_src), np.asarray(x_dst)
+    vec = pos_r[x_dst] - pos_l[x_src]
+    dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+    cross_eattr = t_fcblock(params["cross_edge_embedding"],
+                            t_rbf(dist, cfg.cross_max_distance,
+                                  cfg.cross_distance_embed_dim))
+    cross_sh = t_sh(vec, cfg.sh_lmax)
+
+    seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
+    sh_irreps = "1x0e + 1x1o"
+    attrs = {"lig": lig_attr, "rec": rec_attr}
+    for li in range(cfg.num_conv_layers):
+        in_ir = seq[min(li, len(seq) - 1)]
+        out_ir = seq[min(li + 1, len(seq) - 1)]
+        tp = TorchWeightedTP(in_ir, sh_irreps, out_ir)
+        lp = params[f"conv{li}"]
+        out_dim = Irreps(out_ir).dim
+        sums = {"lig": torch.zeros((nl, out_dim), dtype=torch.float64),
+                "rec": torch.zeros((nr, out_dim), dtype=torch.float64)}
+        counts = {"lig": torch.zeros((nl, 1), dtype=torch.float64),
+                  "rec": torch.zeros((nr, 1), dtype=torch.float64)}
+        for (src, dst, eattr, esh, grp, rt, st) in (
+            (lig_src, lig_dst, lig_eattr, lig_sh, 0, "lig", "lig"),
+            (x_src, x_dst, cross_eattr, cross_sh, 1, "lig", "rec"),
+            (rec_src, rec_dst, rec_eattr, rec_sh, 2, "rec", "rec"),
+            (x_dst, x_src, cross_eattr, cross_sh, 3, "rec", "lig"),
+        ):
+            xfeat = attrs[st][dst]
+            full = torch.cat([eattr, attrs[rt][src][:, :ns], xfeat[:, :ns]], -1)
+            w = t_conv_mlp(lp, grp, full, len(tp.weight_splits))
+            msg = tp(xfeat, esh, w)
+            sums[rt].index_add_(0, torch.from_numpy(np.asarray(src)), msg)
+            counts[rt].index_add_(
+                0, torch.from_numpy(np.asarray(src)),
+                torch.ones((len(src), 1), dtype=torch.float64))
+        outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
+        if cfg.batch_norm:
+            bnp = lp["MaskedIrrepsBatchNorm_0"]
+            bns = stats[f"conv{li}"]["MaskedIrrepsBatchNorm_0"]
+            outs = {k: t_irreps_bn(bnp, bns, out_ir, v) for k, v in outs.items()}
+        pad = out_dim - attrs["lig"].shape[-1]
+        attrs = {
+            "lig": outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad)),
+            "rec": outs["rec"] + torch.nn.functional.pad(attrs["rec"], (0, pad)),
+        }
+    return attrs
+
+
 class TestEncoderParity:
     """The DisCo latent encoder (TPEncoder, vocab=1 node-anchor config):
     time-free trunk over the ORACLE pose with a fixed 30A cross cutoff,
@@ -644,94 +741,8 @@ class TestEncoderParity:
             g = _unpad_graph(batch, gi)
             om = np.asarray(batch.lig_mask[gi])
             orig = np.asarray(batch.extras["orig_pos"][gi])[om]
-            pos_l = torch.from_numpy(orig.astype(np.float64))  # oracle pose
-            pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
-            nl, nr = len(pos_l), len(pos_r)
-
-            lig_attr = t_atom_encoder(
-                params["lig_node_embedding"], g["lig_x"],
-                torch.zeros((nl, 0), dtype=torch.float64), n_cat=16)
-            rec_attr = t_atom_encoder(
-                params["rec_node_embedding"], g["rec_x"][:, :1],
-                torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)), n_cat=1)
-
-            # lig bonds + 5A radius on the ORACLE pose
-            b_src, b_dst = g["bonds"][:, 0].tolist(), g["bonds"][:, 1].tolist()
-            r_src, r_dst = [], []
-            for i in range(nl):
-                for j in range(nl):
-                    if i != j and np.linalg.norm(orig[i] - orig[j]) < cfg.lig_max_radius:
-                        r_src.append(i)
-                        r_dst.append(j)
-            lig_src = np.asarray(b_src + r_src)
-            lig_dst = np.asarray(b_dst + r_dst)
-            bond_feat = torch.zeros((len(lig_src), 4), dtype=torch.float64)
-            bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
-            vec = pos_l[lig_dst] - pos_l[lig_src]
-            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-            lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(
-                [bond_feat, t_rbf(dist, cfg.lig_max_radius, cfg.distance_embed_dim)], -1))
-            lig_sh = t_sh(vec, cfg.sh_lmax)
-
-            rec_src, rec_dst = g["rec_src"], g["rec_dst"]
-            vec = pos_r[rec_dst] - pos_r[rec_src]
-            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-            rec_eattr = t_fcblock(params["rec_edge_embedding"],
-                                  t_rbf(dist, cfg.rec_max_radius, cfg.distance_embed_dim))
-            rec_sh = t_sh(vec, cfg.sh_lmax)
-
-            # fixed 30A cross cutoff on the oracle pose
-            x_src, x_dst = [], []
-            for i in range(nl):
-                for j in range(nr):
-                    if np.linalg.norm(orig[i] - g["rec_pos"][j]) < cfg.cross_max_distance:
-                        x_src.append(i)
-                        x_dst.append(j)
-            x_src, x_dst = np.asarray(x_src), np.asarray(x_dst)
-            vec = pos_r[x_dst] - pos_l[x_src]
-            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-            cross_eattr = t_fcblock(params["cross_edge_embedding"],
-                                    t_rbf(dist, cfg.cross_max_distance,
-                                          cfg.cross_distance_embed_dim))
-            cross_sh = t_sh(vec, cfg.sh_lmax)
-
-            seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
-            sh_irreps = "1x0e + 1x1o"
-            attrs = {"lig": lig_attr, "rec": rec_attr}
-            for li in range(cfg.num_conv_layers):
-                in_ir = seq[min(li, len(seq) - 1)]
-                out_ir = seq[min(li + 1, len(seq) - 1)]
-                tp = TorchWeightedTP(in_ir, sh_irreps, out_ir)
-                lp = params[f"conv{li}"]
-                out_dim = Irreps(out_ir).dim
-                sums = {"lig": torch.zeros((nl, out_dim), dtype=torch.float64),
-                        "rec": torch.zeros((nr, out_dim), dtype=torch.float64)}
-                counts = {"lig": torch.zeros((nl, 1), dtype=torch.float64),
-                          "rec": torch.zeros((nr, 1), dtype=torch.float64)}
-                for (src, dst, eattr, esh, grp, rt, st) in (
-                    (lig_src, lig_dst, lig_eattr, lig_sh, 0, "lig", "lig"),
-                    (x_src, x_dst, cross_eattr, cross_sh, 1, "lig", "rec"),
-                    (rec_src, rec_dst, rec_eattr, rec_sh, 2, "rec", "rec"),
-                    (x_dst, x_src, cross_eattr, cross_sh, 3, "rec", "lig"),
-                ):
-                    xfeat = attrs[st][dst]
-                    full = torch.cat([eattr, attrs[rt][src][:, :ns], xfeat[:, :ns]], -1)
-                    w = t_conv_mlp(lp, grp, full, len(tp.weight_splits))
-                    msg = tp(xfeat, esh, w)
-                    sums[rt].index_add_(0, torch.from_numpy(np.asarray(src)), msg)
-                    counts[rt].index_add_(
-                        0, torch.from_numpy(np.asarray(src)),
-                        torch.ones((len(src), 1), dtype=torch.float64))
-                outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
-                if cfg.batch_norm:
-                    bnp = lp["MaskedIrrepsBatchNorm_0"]
-                    bns = stats[f"conv{li}"]["MaskedIrrepsBatchNorm_0"]
-                    outs = {k: t_irreps_bn(bnp, bns, out_ir, v) for k, v in outs.items()}
-                pad = out_dim - attrs["lig"].shape[-1]
-                attrs = {
-                    "lig": outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad)),
-                    "rec": outs["rec"] + torch.nn.functional.pad(attrs["rec"], (0, pad)),
-                }
+            attrs = oracle_encoder_trunk(params, stats, cfg, g, orig)
+            nl, nr = len(orig), len(g["rec_pos"])
 
             def scalars(a):
                 if cfg.num_conv_layers >= 3:
@@ -1434,3 +1445,58 @@ class TestVocabLatentScoreParity:
             R = len(g["tor_edges"])
             np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=3e-4, atol=3e-5,
                                        err_msg=f"tor graph {gi}")
+
+
+class TestEncoderVocabParity:
+    """The encoder's vocab>1 head (latent_encoder.py:312-319): mean-pooled
+    lig/rec scalar features concatenated -> LatentPredictorMLP ->
+    (B, latent_dim, vocab) logits -- on the shared time-free oracle trunk."""
+
+    def test_vocab_logits_match(self):
+        from disco_diffdock_tpu.config import EncoderConfig
+        from disco_diffdock_tpu.models.encoder import TPEncoder
+
+        LD, VOCAB = 2, 4
+        cfg = EncoderConfig(
+            ns=4, nv=2, num_conv_layers=3, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=LD, latent_vocab=VOCAB, latent_hidden_dim=16,
+        )
+        batch = make_complex_batch(
+            seed=61, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = TPEncoder(cfg=cfg, caps=CAPS)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)},
+            batch,
+        )
+        variables = _randomize(variables, seed=67)
+        logits = np.asarray(model.apply(
+            variables, batch, apply_gumbel=False,
+            deterministic=True, use_running_average=True,
+        ))
+        assert logits.shape == (batch.num_graphs, LD, VOCAB)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        ns = cfg.ns
+        for gi in range(batch.num_graphs):
+            g = _unpad_graph(batch, gi)
+            om = np.asarray(batch.lig_mask[gi])
+            orig = np.asarray(batch.extras["orig_pos"][gi])[om]
+            attrs = oracle_encoder_trunk(params, stats, cfg, g, orig)
+
+            def scalars(a):
+                if cfg.num_conv_layers >= 3:
+                    return torch.cat([a[:, :ns], a[:, -ns:]], -1)
+                return a[:, :ns]
+
+            pooled = torch.cat([
+                scalars(attrs["lig"]).mean(0), scalars(attrs["rec"]).mean(0)
+            ])[None]  # masked mean == mean on unpadded arrays
+            o = t_latent_mlp(params["latent_predictor"],
+                             stats["latent_predictor"],
+                             cfg.latent_hidden_dim, pooled)
+            o = o.reshape(LD, VOCAB).numpy()
+            np.testing.assert_allclose(logits[gi], o, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"vocab logits, graph {gi}")
