@@ -1500,3 +1500,42 @@ class TestEncoderVocabParity:
             o = o.reshape(LD, VOCAB).numpy()
             np.testing.assert_allclose(logits[gi], o, rtol=3e-4, atol=3e-5,
                                        err_msg=f"vocab logits, graph {gi}")
+
+
+class TestSecondOrderReprParity:
+    """The --use_second_order_repr variant (tensor_layers.py:12-27 second
+    branch: 2e/2o feature irreps) with sh_lmax=2 -- the general-CG
+    WeightedTensorProduct path in a complete score-model forward."""
+
+    def test_scores_match(self):
+        cfg = ScoreModelConfig(
+            ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=0, latent_droprate=0.0, compute_dtype="float32",
+            use_second_order_repr=True, sh_lmax=2,
+        )
+        batch = make_complex_batch(
+            seed=81, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = TensorProductScoreModel(cfg=cfg, caps=CAPS)
+        t = 0.4
+        b = batch.set_time(t, t, t)
+        variables = model.init(jax.random.PRNGKey(0), b)
+        variables = _randomize(variables, seed=83)
+        tr, rot, tor = model.apply(
+            variables, b, deterministic=True, use_running_average=True)
+        tr, rot, tor = np.asarray(tr), np.asarray(rot), np.asarray(tor)
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        sigma = SigmaSchedule()
+        for gi in range(batch.num_graphs):
+            g = _unpad_graph(batch, gi)
+            o_tr, o_rot, o_tor = oracle_forward(params, stats, cfg, sigma, g, t)
+            np.testing.assert_allclose(tr[gi], o_tr, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"tr graph {gi}")
+            np.testing.assert_allclose(rot[gi], o_rot, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"rot graph {gi}")
+            R = len(g["tor_edges"])
+            np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"tor graph {gi}")
