@@ -69,6 +69,10 @@ class ScoreModelConfig:
     use_pallas_conv: "bool | str" = False
     fuse_w2: bool = False  # concatenate per-block TP-weight matmuls into one
     confidence_mode: bool = False
+    # legacy encoder variant (models/layers.py:81-116); the reference defaults
+    # this to True for configs predating the flag (model_utils.py:62) -- the
+    # shipped paper_confidence_model is such a checkpoint
+    use_old_atom_encoder: bool = False
     confidence_dropout: float = 0.0
     confidence_no_batchnorm: bool = False
     num_confidence_outputs: int = 1

@@ -160,9 +160,12 @@ def dock(args):
         conf_vars = restore_variables(args.confidence_model_dir, "best", use_ema=False)
 
     if enc_cfg is not None and args.ar_model_dir:
+        from ..train.loading import ar_kwargs_from_run
+
         ar_model = PretrainedScoreEncoder(
             score_cfg=score_cfg, caps=caps, latent_dim=1,
             input_latent_dim=score_cfg.latent_dim,
+            **ar_kwargs_from_run(args.ar_model_dir),
         )
         ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
 

@@ -371,9 +371,12 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
 
         if enc_cfg is not None and args.ar_model_dir:
             # AR latents replace the oracle-encoder latents
+            from ..train.loading import ar_kwargs_from_run
+
             ar_model = PretrainedScoreEncoder(
                 score_cfg=score_cfg, caps=caps, latent_dim=1,
                 input_latent_dim=score_cfg.latent_dim,
+                **ar_kwargs_from_run(args.ar_model_dir),
             )
             ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
             single = all(len(p) == 1 for p in packs)

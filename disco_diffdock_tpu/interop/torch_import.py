@@ -348,8 +348,7 @@ N_REC_FEATURES = 1  # residue identity
 N_ATOM_FEATURES = 4  # all-atom receptor atom features
 
 
-def _score_model_entries(cfg: ScoreModelConfig, ref: str = "", ours: str = "",
-                         use_old_atom_encoder: bool = False) -> list:
+def _score_model_entries(cfg: ScoreModelConfig, ref: str = "", ours: str = "") -> list:
     """CG TensorProductScoreModel (reference models/score_model.py:14-167)."""
     assert cfg.embedding_type == "sinusoidal", (
         "non-sinusoidal time embeddings draw parameters outside the reference "
@@ -359,14 +358,15 @@ def _score_model_entries(cfg: ScoreModelConfig, ref: str = "", ours: str = "",
     rp = (ref + ".") if ref else ""
     op = (ours + "/") if ours else ""
     has_lm = cfg.esm_embedding_dim > 0
+    old = cfg.use_old_atom_encoder
     ents = []
     ents += _atom_encoder_entries(
         f"{rp}lig_node_embedding", f"{op}lig_node_embedding", N_LIG_FEATURES,
-        has_dense=True, old=use_old_atom_encoder,
+        has_dense=True, old=old,
     )
     ents += _atom_encoder_entries(
         f"{rp}rec_node_embedding", f"{op}rec_node_embedding", N_REC_FEATURES,
-        has_dense=True, old=use_old_atom_encoder, has_lm=has_lm,
+        has_dense=True, old=old, has_lm=has_lm,
     )
     for name in ("lig_edge_embedding", "rec_edge_embedding", "cross_edge_embedding"):
         ents += _seq_embedding_entries(f"{rp}{name}", f"{op}{name}")
@@ -533,18 +533,18 @@ AR_HEAD_DROP_PREFIXES = (
 )
 
 
-def _all_atom_entries(cfg: ScoreModelConfig, use_old_atom_encoder: bool = False) -> list:
+def _all_atom_entries(cfg: ScoreModelConfig) -> list:
     """All-atom TensorProductScoreModel (reference models/all_atom_score_model.py:53-200)."""
     assert cfg.all_atoms
     has_lm = cfg.esm_embedding_dim > 0
+    old = cfg.use_old_atom_encoder
     ents = []
     ents += _atom_encoder_entries("lig_node_embedding", "lig_node_embedding",
-                                  N_LIG_FEATURES, True, old=use_old_atom_encoder)
+                                  N_LIG_FEATURES, True, old=old)
     ents += _atom_encoder_entries("rec_node_embedding", "rec_node_embedding",
-                                  N_REC_FEATURES, True, old=use_old_atom_encoder,
-                                  has_lm=has_lm)
+                                  N_REC_FEATURES, True, old=old, has_lm=has_lm)
     ents += _atom_encoder_entries("atom_node_embedding", "atom_node_embedding",
-                                  N_ATOM_FEATURES, True, old=use_old_atom_encoder)
+                                  N_ATOM_FEATURES, True, old=old)
     for name in ("lig_edge_embedding", "rec_edge_embedding", "atom_edge_embedding",
                  "lr_edge_embedding", "ar_edge_embedding", "la_edge_embedding"):
         ents += _seq_embedding_entries(name, name)

@@ -53,11 +53,28 @@ class AllAtomScoreModel(nn.Module):
             cfg.embedding_type, cfg.sigma_embed_dim, cfg.embedding_scale
         )
 
-        self.lig_node_embedding = AtomEncoder(ns, LIG_FEATURE_DIMS, cfg.sigma_embed_dim)
-        self.rec_node_embedding = AtomEncoder(
-            ns, REC_RESIDUE_FEATURE_DIMS, cfg.esm_embedding_dim + cfg.sigma_embed_dim
-        )
-        self.atom_node_embedding = AtomEncoder(ns, REC_ATOM_FEATURE_DIMS, cfg.sigma_embed_dim)
+        if cfg.use_old_atom_encoder:
+            # the shipped paper_confidence_model predates the
+            # use_old_atom_encoder flag and therefore uses this legacy
+            # variant (reference model_utils.py:62 defaults it to True)
+            from ..nn.basic import OldAtomEncoder
+
+            self.lig_node_embedding = OldAtomEncoder(
+                ns, LIG_FEATURE_DIMS, cfg.sigma_embed_dim, 0
+            )
+            self.rec_node_embedding = OldAtomEncoder(
+                ns, REC_RESIDUE_FEATURE_DIMS, cfg.sigma_embed_dim,
+                cfg.esm_embedding_dim,
+            )
+            self.atom_node_embedding = OldAtomEncoder(
+                ns, REC_ATOM_FEATURE_DIMS, cfg.sigma_embed_dim, 0
+            )
+        else:
+            self.lig_node_embedding = AtomEncoder(ns, LIG_FEATURE_DIMS, cfg.sigma_embed_dim)
+            self.rec_node_embedding = AtomEncoder(
+                ns, REC_RESIDUE_FEATURE_DIMS, cfg.esm_embedding_dim + cfg.sigma_embed_dim
+            )
+            self.atom_node_embedding = AtomEncoder(ns, REC_ATOM_FEATURE_DIMS, cfg.sigma_embed_dim)
         for name in ("lig", "rec", "atom", "lr", "ar", "la"):
             setattr(self, f"{name}_edge_embedding", FCBlock(ns, ns, 2, cfg.dropout))
 

@@ -32,6 +32,11 @@ class PretrainedScoreEncoder(nn.Module):
     latent_hidden_dim: int = 128
     latent_no_batchnorm: bool = False
     latent_dropout: float = 0.0
+    # reference quirk (pretrained_score_encoder.py:15,63-66): the predictor
+    # input slices the trunk scalars with the AR model's OWN ns, which may be
+    # smaller than the score model's (the shipped AR config uses ns=16 on the
+    # ns=24 trunk, taking the first/last 16 scalar channels).  None = score ns.
+    ns: "int | None" = None
 
     def setup(self):
         self.pretrained_score_model = TensorProductScoreModel(
@@ -74,8 +79,13 @@ class PretrainedScoreEncoder(nn.Module):
             use_running_average=use_running_average,
             shared_rec=shared_rec,
         )
-        s_lig = self.pretrained_score_model.scalar_features(lig_attr)
-        s_rec = self.pretrained_score_model.scalar_features(rec_attr)
+        ns = self.ns if self.ns is not None else self.score_cfg.ns
+        if self.score_cfg.num_conv_layers >= 3:
+            s_lig = jnp.concatenate([lig_attr[..., :ns], lig_attr[..., -ns:]], -1)
+            s_rec = jnp.concatenate([rec_attr[..., :ns], rec_attr[..., -ns:]], -1)
+        else:
+            s_lig = lig_attr[..., :ns]
+            s_rec = rec_attr[..., :ns]
         pl = self.latent_s_predictor(s_lig, batch.lig_mask, deterministic, use_running_average)
         pr = self.latent_r_predictor(s_rec, batch.rec_mask, deterministic, use_running_average)
         logits = jnp.swapaxes(jnp.concatenate([pl, pr], 1), 1, 2)  # (B, Ld, NL+NR)

@@ -93,14 +93,31 @@ class TensorProductScoreModel(nn.Module):
             cfg.embedding_type, cfg.sigma_embed_dim, cfg.embedding_scale
         )
 
-        self.lig_node_embedding = AtomEncoder(
-            ns, LIG_FEATURE_DIMS, cfg.sigma_embed_dim + lat
-        )
-        self.rec_node_embedding = AtomEncoder(
-            ns,
-            REC_RESIDUE_FEATURE_DIMS,
-            cfg.esm_embedding_dim + cfg.sigma_embed_dim + lat,
-        )
+        if cfg.use_old_atom_encoder:
+            # legacy variant: scalar linear added to the embedding sum, ESM
+            # fused through a late linear (models/layers.py:81-116).  The
+            # reference's OldAtomEncoder takes no latent features (its
+            # constructor predates latents) -- old-encoder checkpoints are
+            # latent-free.
+            assert lat == 0, "use_old_atom_encoder predates latent models"
+            from ..nn.basic import OldAtomEncoder
+
+            self.lig_node_embedding = OldAtomEncoder(
+                ns, LIG_FEATURE_DIMS, cfg.sigma_embed_dim, 0
+            )
+            self.rec_node_embedding = OldAtomEncoder(
+                ns, REC_RESIDUE_FEATURE_DIMS, cfg.sigma_embed_dim,
+                cfg.esm_embedding_dim,
+            )
+        else:
+            self.lig_node_embedding = AtomEncoder(
+                ns, LIG_FEATURE_DIMS, cfg.sigma_embed_dim + lat
+            )
+            self.rec_node_embedding = AtomEncoder(
+                ns,
+                REC_RESIDUE_FEATURE_DIMS,
+                cfg.esm_embedding_dim + cfg.sigma_embed_dim + lat,
+            )
         self.lig_edge_embedding = FCBlock(ns, ns, 2, cfg.dropout)
         self.rec_edge_embedding = FCBlock(ns, ns, 2, cfg.dropout)
         self.cross_edge_embedding = FCBlock(ns, ns, 2, cfg.dropout)

@@ -34,6 +34,20 @@ def load_run_configs(run_dir: str):
     return score_cfg, enc_cfg, caps
 
 
+def ar_kwargs_from_run(run_dir: str) -> dict:
+    """AR-specific PretrainedScoreEncoder kwargs stored in an AR run dir's
+    yml under the ``ar`` key (reference quirk: the AR model's own ns may
+    differ from the score trunk's, pretrained_score_encoder.py:15 -- the
+    shipped AR uses ns=16 on the ns=24 trunk).  Empty for pre-quirk runs."""
+    try:
+        cfg = load_config(run_dir)
+    except FileNotFoundError:
+        return {}
+    ar = cfg.get("ar") or {}
+    allowed = {"ns", "latent_hidden_dim", "latent_no_batchnorm", "latent_dropout"}
+    return {k: v for k, v in ar.items() if k in allowed and v is not None}
+
+
 def merge_matching(template, restored):
     """Non-strict parameter merge (reference ``non_strict_loading``,
     train.py:131-138): take restored leaves whose path and shape match the

@@ -191,6 +191,10 @@ def main(argv=None):
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--latent_dim", type=int, default=2)
+    p.add_argument("--ar_ns", type=int, default=None,
+                   help="AR model's own scalar width for the predictor input "
+                   "slice (reference train_ar ns flag; the shipped AR uses 16 "
+                   "on the ns=24 trunk).  Default: the score model's ns.")
     # val tracking + best selection (reference train_ar.py:46-53,219-260)
     p.add_argument("--main_metric", default="accuracy",
                    choices=["loss", "accuracy", "sequential_accuracy"])
@@ -293,7 +297,7 @@ def main(argv=None):
     # ---- phase 2
     model = PretrainedScoreEncoder(
         score_cfg=score_cfg, caps=caps, latent_dim=1,
-        input_latent_dim=args.latent_dim,
+        input_latent_dim=args.latent_dim, ns=args.ar_ns,
     )
     B, NL = batches[0].lig_x.shape[:2]
     NR = batches[0].rec_x.shape[1]
@@ -338,7 +342,8 @@ def main(argv=None):
         return encode_ar(apply_fn, batch, key, args.latent_dim, 1000.0)
 
     run_dir = f"{args.log_dir}/{args.run_name}"
-    save_config(run_dir, ar_model=score_cfg, caps=caps)
+    save_config(run_dir, ar_model=score_cfg, caps=caps,
+                ar={"ns": args.ar_ns})
     ckpt = CheckpointManager(run_dir)
 
     rng = np.random.RandomState(0)

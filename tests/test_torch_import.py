@@ -398,6 +398,25 @@ def test_roundtrip_ar():
     import_state_dict(sd2, "ar", score_cfg=scfg)
 
 
+def test_roundtrip_ar_ns_quirk():
+    """Reference quirk (pretrained_score_encoder.py:15,63-66): the AR model's
+    own ns (shipped: 16) slices the score trunk's wider scalars (shipped: 24).
+    The predictor input is 2*ar_ns, not 2*score_ns."""
+    from disco_diffdock_tpu.models.ar import PretrainedScoreEncoder
+
+    scfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=3, sh_lmax=1,
+                            esm_embedding_dim=6, dropout=0.0, latent_dim=2,
+                            latent_vocab=1, latent_droprate=0.1)
+    m = PretrainedScoreEncoder(score_cfg=scfg, caps=CAPS, latent_dim=1,
+                               input_latent_dim=2, ns=3)
+    lat = (jnp.zeros((2, 12, 2)), jnp.zeros((2, 16, 2)))
+    v = m.init(jax.random.PRNGKey(0), _batch(), lat, jnp.zeros((2,), jnp.int32))
+    k = v["params"]["latent_s_predictor"]["Dense_0"]["kernel"]
+    assert k.shape[0] == 2 * 3  # 2*ar_ns, not 2*score_ns
+    v = _randomized(v)
+    _assert_roundtrip(v, "ar", score_cfg=scfg)
+
+
 def test_roundtrip_all_atom_confidence():
     from disco_diffdock_tpu.models.all_atom_score_model import AllAtomScoreModel
 
@@ -418,6 +437,96 @@ def test_roundtrip_all_atom_confidence():
     sd2["conv_layers.26.fc.3.weight"] = np.zeros((1, 1), np.float32)
     import_state_dict(sd2, "all_atom", score_cfg=cfg)
     assert "atom_node_embedding.atom_embedding_list.3.weight" in sd
+
+
+def test_roundtrip_all_atom_old_encoder():
+    """The shipped paper_confidence_model predates use_old_atom_encoder, which
+    the reference then defaults to True (model_utils.py:62): OldAtomEncoder
+    with its scalar linear + late ESM fusion (models/layers.py:81-116)."""
+    from disco_diffdock_tpu.models.all_atom_score_model import AllAtomScoreModel
+
+    cfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=2, sh_lmax=2, dropout=0.0,
+                           esm_embedding_dim=6, latent_dim=0, latent_droprate=0.0,
+                           all_atoms=True, confidence_mode=True,
+                           use_old_atom_encoder=True)
+    m = AllAtomScoreModel(cfg=cfg, caps=CAPS)
+    b = make_complex_batch(seed=3, batch=2, n_lig=10, n_res=14, caps=CAPS,
+                           esm_dim=6, c_alpha_max_neighbors=6, all_atoms=True,
+                           atoms_per_res=1)
+    v = _randomized(m.init(jax.random.PRNGKey(0), b))
+    sd = _assert_roundtrip(v, "all_atom", score_cfg=cfg)
+    assert "rec_node_embedding.linear.weight" in sd
+    assert "rec_node_embedding.lm_embedding_layer.weight" in sd
+    assert "lig_node_embedding.linear.weight" in sd
+    assert "lig_node_embedding.additional_features_embedder.weight" not in sd
+
+
+def test_import_cli_end_to_end(tmp_path):
+    """scripts/import_reference_checkpoint.py: a reference-shaped .pt +
+    reference-style yml becomes a run dir that build_score_runtime loads and
+    runs, with outputs identical to the source parameters'."""
+    import torch
+
+    from disco_diffdock_tpu.models.wrapper import ModelWrapper
+    sys_path_root = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    import sys
+    sys.path.insert(0, str(sys_path_root) + "/scripts")
+    import import_reference_checkpoint as cli
+
+    scfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=5, sh_lmax=1,
+                            esm_embedding_dim=6, dropout=0.0, latent_dim=2,
+                            latent_vocab=1, latent_droprate=0.1)
+    ecfg = EncoderConfig(ns=4, nv=2, num_conv_layers=3, sh_lmax=1,
+                         esm_embedding_dim=6, dropout=0.0, latent_dim=2,
+                         latent_vocab=1)
+    m = ModelWrapper(score_cfg=scfg, encoder_cfg=ecfg, caps=CAPS,
+                     training_latent_temperature=1.0, latent_droprate=0.1)
+    batch = _batch()
+    v = _randomized(m.init({"params": jax.random.PRNGKey(0),
+                            "gumbel": jax.random.PRNGKey(1),
+                            "droprate": jax.random.PRNGKey(2)}, batch))
+    sd = export_state_dict(v, "wrapper", score_cfg=scfg, enc_cfg=ecfg)
+    # save like the reference does (DataParallel prefixes included)
+    ckpt = tmp_path / "best_ema_model.pt"
+    torch.save({f"module.{k}": torch.from_numpy(np.asarray(val))
+                for k, val in sd.items()}, ckpt)
+    ref_yml = {
+        "ns": 4, "nv": 2, "num_conv_layers": 5, "sh_lmax": 1,
+        "use_second_order_repr": False, "no_batch_norm": False, "dropout": 0.0,
+        "max_radius": 5.0, "cross_max_distance": 80, "dynamic_max_cross": True,
+        "latent_dim": 2, "latent_vocab": 1, "latent_droprate": 0.1,
+        "latent_cross_attention": False, "new_cross_attention": False,
+        "encoder_ns": 4, "encoder_nv": 2, "encoder_num_conv_layers": 3,
+        "encoder_cross_max_distance": 30, "encoder_no_esm": False,
+        "esm_embeddings_path": "data/esm.pt", "embedding_type": "sinusoidal",
+        "embedding_scale": 1000, "use_old_atom_encoder": False,
+        "scale_by_sigma": True, "no_torsion": False,
+    }
+    with open(tmp_path / "model_parameters.yml", "w") as f:
+        import yaml
+        yaml.safe_dump(ref_yml, f)
+    out_dir = tmp_path / "imported"
+    cli.main(["--checkpoint", str(ckpt), "--out_dir", str(out_dir)])
+
+    from disco_diffdock_tpu.train.loading import build_score_runtime, load_run_configs
+
+    score_cfg2, enc_cfg2, _ = load_run_configs(str(out_dir))
+    assert score_cfg2.ns == 4 and score_cfg2.esm_embedding_dim == 6
+    assert enc_cfg2 is not None and enc_cfg2.cross_max_distance == 30
+    view, variables, latent_fn, _, _ = build_score_runtime(str(out_dir), CAPS)
+    lat = latent_fn(batch, jax.random.PRNGKey(7))
+    out = view.apply(variables, batch, latent=lat,
+                     unconditional=jnp.zeros((2, 1)))
+    # identical to running the source parameter tree directly
+    ref_out = m.apply(
+        v, batch,
+        method=lambda mm, bb: mm.score_model(
+            bb, latent=lat, unconditional=jnp.zeros((2, 1)),
+            deterministic=True, use_running_average=True),
+    )
+    for a, b in zip(out, ref_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
 def test_strict_mode_flags_unknown_keys():
