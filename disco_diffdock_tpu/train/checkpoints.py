@@ -12,6 +12,8 @@ from __future__ import annotations
 import dataclasses
 import os
 
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 import yaml
 
@@ -52,9 +54,18 @@ class CheckpointManager:
     def restore_raw(self, tag: str) -> dict:
         """Restore without a template (raw pytree dict) -- lets downstream
         tools read {params, batch_stats, ema} without knowing the optimizer
-        the run was trained with (the opt_state structure differs by tx)."""
+        the run was trained with (the opt_state structure differs by tx).
+
+        Leaves come back as host numpy arrays: orbax would otherwise replay
+        the SAVED sharding, which fails when restoring on a different
+        platform (e.g. a TPU-trained run dir opened by the CPU-pinned
+        checkpoint conversion CLIs)."""
         with ocp.PyTreeCheckpointer() as ckptr:
-            return ckptr.restore(self._path(tag))
+            meta = ckptr.metadata(self._path(tag)).item_metadata
+            args = jax.tree_util.tree_map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta
+            )
+            return ckptr.restore(self._path(tag), restore_args=args)
 
     def exists(self, tag: str) -> bool:
         return os.path.exists(self._path(tag))

@@ -37,6 +37,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# pure host-side conversion: keep orbax saves off the (tunneled) TPU --
+# per-array device transfers carry ~28 ms RTT each on the axon platform
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import yaml
 

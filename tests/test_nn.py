@@ -288,3 +288,33 @@ class TestBasic:
         params = enc.init(jax.random.PRNGKey(0), x)
         y = enc.apply(params, x)
         assert y.shape == (2, 8)
+
+    def test_old_atom_encoder_torch_parity(self):
+        """OldAtomEncoder == reference models/layers.py:81-116 semantics:
+        categorical sum + scalar linear ADDED, ESM fused via a LATE linear
+        over [emb, lm] (vs the new encoder's single joint linear)."""
+        import torch
+
+        rng = np.random.RandomState(0)
+        cat_dims, scalar_dim, lm_dim, emb_dim, n = [5, 3], 4, 6, 8, 7
+        enc = basic.OldAtomEncoder(emb_dim=emb_dim, categorical_dims=cat_dims,
+                                   scalar_dim=scalar_dim, lm_embedding_dim=lm_dim)
+        codes = rng.randint(0, 3, size=(n, 2)).astype(np.float32)
+        extras = rng.randn(n, scalar_dim + lm_dim).astype(np.float32)
+        x = jnp.asarray(np.concatenate([codes, extras], -1))
+        v = enc.init(jax.random.PRNGKey(0), x)
+        ours = np.asarray(enc.apply(v, x))
+
+        p = v["params"]
+        emb = 0.0
+        for i in range(2):
+            table = torch.from_numpy(np.asarray(p[f"Embed_{i}"]["embedding"]))
+            emb = emb + table[torch.from_numpy(codes[:, i].astype(np.int64))]
+        lin_w = torch.from_numpy(np.asarray(p["Dense_0"]["kernel"]))
+        lin_b = torch.from_numpy(np.asarray(p["Dense_0"]["bias"]))
+        emb = emb + torch.from_numpy(extras[:, :scalar_dim]) @ lin_w + lin_b
+        lm_w = torch.from_numpy(np.asarray(p["Dense_1"]["kernel"]))
+        lm_b = torch.from_numpy(np.asarray(p["Dense_1"]["bias"]))
+        theirs = torch.cat(
+            [emb, torch.from_numpy(extras[:, scalar_dim:])], -1) @ lm_w + lm_b
+        np.testing.assert_allclose(ours, theirs.numpy(), atol=1e-5)

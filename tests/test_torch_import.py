@@ -529,6 +529,60 @@ def test_import_cli_end_to_end(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_export_cli_roundtrip(tmp_path):
+    """scripts/export_to_reference.py o scripts/import_reference_checkpoint.py
+    is the identity on a wrapper run dir: framework -> reference .pt + yml ->
+    framework, params bit-equal."""
+    import sys
+
+    root = __import__("os").path.dirname(__import__("os").path.dirname(
+        __import__("os").path.abspath(__file__)))
+    sys.path.insert(0, root + "/scripts")
+    import export_to_reference as exp_cli
+    import import_reference_checkpoint as imp_cli
+
+    from disco_diffdock_tpu.models.wrapper import ModelWrapper
+
+    scfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=5, sh_lmax=1,
+                            esm_embedding_dim=6, dropout=0.0, latent_dim=2,
+                            latent_vocab=1, latent_droprate=0.1,
+                            confidence_mode=False)
+    ecfg = EncoderConfig(ns=4, nv=2, num_conv_layers=3, sh_lmax=1,
+                         esm_embedding_dim=6, dropout=0.0, latent_dim=2,
+                         latent_vocab=1, cross_max_distance=30.0)
+    m = ModelWrapper(score_cfg=scfg, encoder_cfg=ecfg, caps=CAPS,
+                     training_latent_temperature=1.0, latent_droprate=0.1)
+    v = _randomized(m.init({"params": jax.random.PRNGKey(0),
+                            "gumbel": jax.random.PRNGKey(1),
+                            "droprate": jax.random.PRNGKey(2)}, _batch()))
+    run_dir = tmp_path / "run"
+    imp_cli.save_run_dir(str(run_dir), v,
+                         dict(score_model=scfg, encoder=ecfg))
+
+    out = tmp_path / "exported"
+    exp_cli.main(["--run_dir", str(run_dir), "--out_dir", str(out)])
+    assert (out / "best_ema_model.pt").exists()
+
+    back = tmp_path / "reimported"
+    imp_cli.main(["--checkpoint", str(out / "best_ema_model.pt"),
+                  "--out_dir", str(back)])
+
+    from disco_diffdock_tpu.train.loading import load_run_configs, restore_variables
+
+    scfg2, ecfg2, _ = load_run_configs(str(back))
+    assert scfg2 == scfg
+    assert ecfg2 == ecfg
+    v2 = restore_variables(str(back), "best", use_ema=False)
+    flat1 = jax.tree_util.tree_leaves_with_path(v["params"])
+    flat2 = jax.tree_util.tree_leaves_with_path(v2["params"])
+    assert len(flat1) == len(flat2)
+    for (p1, a1), (p2, a2) in zip(sorted(flat1, key=lambda t: str(t[0])),
+                                  sorted(flat2, key=lambda t: str(t[0]))):
+        assert str(p1) == str(p2)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2),
+                                      err_msg=str(p1))
+
+
 def test_strict_mode_flags_unknown_keys():
     cfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=2, esm_embedding_dim=6,
                            dropout=0.0, latent_dim=0, latent_droprate=0.0)
