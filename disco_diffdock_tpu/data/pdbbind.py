@@ -42,6 +42,9 @@ class PDBBindConfig:
     num_workers: int = 1
     limit_complexes: int = 0
     num_conformers: int = 1
+    # drop receptor chains with no CA within this distance of the ligand
+    # (reference confidence_train.py:66 --chain_cutoff); None keeps all
+    chain_cutoff: Optional[float] = None
 
     def cache_dir(self) -> str:
         key = json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
@@ -71,7 +74,8 @@ def _process_one(args) -> Optional[str]:
         lig0 = featurize.ligand_graph(mol)
         if cfg.max_lig_size and len(lig0["lig_pos"]) > cfg.max_lig_size:
             return None
-        receptor = featurize.receptor_from_pdb(rec_path, lig0["lig_pos"])
+        receptor = featurize.receptor_from_pdb(rec_path, lig0["lig_pos"],
+                                               chain_cutoff=cfg.chain_cutoff)
         rec = featurize.build_complex_record(
             mol, receptor, esm=esm,
             receptor_radius=cfg.receptor_radius,

@@ -49,8 +49,14 @@ def parse_args(argv=None):
     p.add_argument("--model_dir", required=True, help="trained score run dir")
     p.add_argument("--confidence_model_dir", default=None)
     p.add_argument("--ar_model_dir", default=None)
-    p.add_argument("--ckpt", default="best_ema_inference")
+    p.add_argument("--ckpt", "--ckpt_score", dest="ckpt",
+                   default="best_ema_inference")
+    p.add_argument("--ar_ckpt", default="best")
+    p.add_argument("--confidence_ckpt", default="best")
     p.add_argument("--samples_per_complex", type=int, default=10)
+    p.add_argument("--actual_steps", type=int, default=None)
+    p.add_argument("--ode", action="store_true")
+    p.add_argument("--no_random", action="store_true")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--out_dir", default="results/dock")
     p.add_argument("--name", default=None)
@@ -157,7 +163,8 @@ def dock(args):
         conf_cfg = cfg_from_dict(conf_run["confidence_model"], ScoreModelConfig)
         conf_model = AllAtomScoreModel(cfg=conf_cfg, caps=caps) if conf_cfg.all_atoms \
             else TensorProductScoreModel(cfg=conf_cfg, caps=caps)
-        conf_vars = restore_variables(args.confidence_model_dir, "best", use_ema=False)
+        conf_vars = restore_variables(args.confidence_model_dir,
+                                      args.confidence_ckpt, use_ema=False)
 
     if enc_cfg is not None and args.ar_model_dir:
         from ..train.loading import ar_kwargs_from_run
@@ -167,7 +174,7 @@ def dock(args):
             input_latent_dim=score_cfg.latent_dim,
             **ar_kwargs_from_run(args.ar_model_dir),
         )
-        ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
+        ar_vars = restore_variables(args.ar_model_dir, args.ar_ckpt, use_ema=False)
 
         def latent_fn(b, key):
             def apply_fn(bb, lat, dec):
@@ -181,6 +188,9 @@ def dock(args):
     sigma = SigmaSchedule()
     scfg = SamplerConfig(
         inference_steps=args.inference_steps,
+        actual_steps=args.actual_steps,
+        ode=args.ode,
+        no_random=args.no_random,
         no_final_step_noise=True,
         temp_sampling=tuple(args.temp_sampling),
         temp_psi=tuple(args.temp_psi),

@@ -30,6 +30,16 @@ from ..sampling import SamplerConfig, randomize_position, sampling
 from .metrics import aggregate, min_cross_distance, min_self_distance, symmetry_rmsd
 
 
+def enumerate_temp_flags():
+    """(flag-name, (triple-attr, component-index)) for the reference's nine
+    per-axis temperature spellings (evaluate.py:70-78)."""
+    out = []
+    for attr in ("temp_sampling", "temp_psi", "temp_sigma_data"):
+        for ci, comp in enumerate(("tr", "rot", "tor")):
+            out.append((f"{attr}_{comp}", (attr, ci)))
+    return out
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic", action="store_true")
@@ -40,19 +50,54 @@ def parse_args(argv=None):
     p.add_argument("--model_dir", default=None, help="score-model run dir")
     p.add_argument("--confidence_model_dir", default=None)
     p.add_argument("--ar_model_dir", default=None)
-    p.add_argument("--ckpt", default="best_ema_inference")
+    p.add_argument("--ckpt", "--ckpt_score", dest="ckpt",
+                   default="best_ema_inference")
+    p.add_argument("--ar_ckpt", default="best",
+                   help="checkpoint tag inside --ar_model_dir")
+    p.add_argument("--confidence_ckpt", default="best",
+                   help="checkpoint tag inside --confidence_model_dir")
     p.add_argument("--samples_per_complex", type=int, default=8)
+    p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--num_dataloader_workers", "--num_workers",
+                   dest="num_dataloader_workers", type=int, default=1)
     p.add_argument("--eval_batch_size", type=int, default=40,
                    help="total graphs per compiled program; complexes pack "
                         "together when samples_per_complex is smaller")
     p.add_argument("--inference_steps", type=int, default=20)
+    p.add_argument("--actual_steps", type=int, default=None,
+                   help="run only the first N steps of the schedule "
+                        "(reference evaluate.py:55)")
+    p.add_argument("--ode", action="store_true",
+                   help="probability-flow ODE updates (halved drift, no noise)")
+    p.add_argument("--no_random", action="store_true",
+                   help="no noise in the diffusion steps and no random "
+                        "initial translation")
+    p.add_argument("--no_model", action="store_true",
+                   help="score the randomized seed conformers without "
+                        "running the model (reference evaluate.py:44)")
     p.add_argument("--out_dir", default="results/eval")
     p.add_argument("--no_final_step_noise", action="store_true", default=True)
     p.add_argument("--temp_sampling", type=float, nargs=3, default=[1.0, 1.0, 1.0])
     p.add_argument("--temp_psi", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--temp_sigma_data", type=float, nargs=3, default=[0.5, 0.5, 0.5])
+    # per-axis scalar spellings (reference evaluate.py:70-78); when set they
+    # override the corresponding component of the triple above
+    for name, _ in enumerate_temp_flags():
+        p.add_argument(f"--{name}", type=float, default=None)
     p.add_argument("--classifier_free_guidance_weight", type=float, default=0.0)
-    p.add_argument("--softmax_latent_temperature", type=float, default=1.0)
+    p.add_argument("--cfg_start", type=float, default=None,
+                   help="apply CFG only while t <= cfg_start (reference :62)")
+    p.add_argument("--cfg_end", type=float, default=None)
+    p.add_argument("--softmax_latent_temperature", type=float, default=1.0,
+                   help="AR sequential-decode softmax temperature")
+    p.add_argument("--log_softmax_latent_temperature", type=float, default=None,
+                   help="log10 spelling of the AR decode temperature "
+                        "(reference README: -1.5); overrides the linear flag")
+    p.add_argument("--gumbel_latent_temperature", type=float, default=0.01,
+                   help="oracle-encoder gumbel temperature (evaluate.py:58)")
+    p.add_argument("--compute_ar_accuracy", action="store_true",
+                   help="report the AR prior's slot agreement with the "
+                        "oracle encoder (reference sampling.py:90-101)")
     p.add_argument("--esm_embeddings_path", default=None)
     p.add_argument("--no_overlap_names_path", default=None,
                    help="text file of test complex names with no receptor "
@@ -68,7 +113,15 @@ def parse_args(argv=None):
     from ..train.config_overlay import add_config_arg, apply_config_overlay
 
     add_config_arg(p)
-    return apply_config_overlay(p.parse_args(argv))
+    args = apply_config_overlay(p.parse_args(argv))
+    # scalar per-axis temperatures override the triple's component
+    for name, (attr, ci) in enumerate_temp_flags():
+        v = getattr(args, name)
+        if v is not None:
+            getattr(args, attr)[ci] = v
+    if args.log_softmax_latent_temperature is not None:
+        args.softmax_latent_temperature = 10.0 ** args.log_softmax_latent_temperature
+    return args
 
 
 def run_with_retries(run_fn, batch, key, limit_failures: int, tag=""):
@@ -107,6 +160,7 @@ def evaluate_complexes(
     mesh=None,
     limit_failures: int = 3,
     return_arrays: bool = False,
+    no_model: bool = False,
 ):
     """Run inference on a list of pose-replicated batches; return metrics.
 
@@ -164,7 +218,12 @@ def evaluate_complexes(
     def _run(batch, key):
         k1, k2, k3 = jax.random.split(key, 3)
         latent = latent_fn(batch, k3) if latent_fn is not None else None
-        rb = randomize_position(k1, batch, scfg.no_torsion, False, sigma.tr_sigma_max)
+        rb = randomize_position(k1, batch, scfg.no_torsion, scfg.no_random,
+                                sigma.tr_sigma_max)
+        if no_model:
+            # score the randomized seed conformers without running the model
+            # (reference --no_model, evaluate.py:44,261)
+            return rb, None, None
         return sampling(
             model, variables, rb, k2, scfg, sigma, latent=latent,
             confidence_model=confidence_model,
@@ -312,6 +371,8 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     ds = PDBBind(PDBBindConfig(
         data_dir=args.data_dir, split_path=args.split_path,
         cache_path=args.cache_path,
+        limit_complexes=getattr(args, "limit_complexes", 0),
+        num_workers=getattr(args, "num_dataloader_workers", 1),
         esm_embeddings_path=getattr(args, "esm_embeddings_path", None),
         all_atoms=args.confidence_model_dir is not None,
     ))
@@ -358,6 +419,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
 
         score_model_view, variables, latent_fn, _, _ = build_score_runtime(
             args.model_dir, caps, tag=args.ckpt,
+            latent_temperature=getattr(args, "gumbel_latent_temperature", 0.01),
         )
 
         conf_model = conf_vars = None
@@ -366,8 +428,8 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             conf_cfg = cfg_from_dict(conf_run["confidence_model"], ScoreModelConfig)
             conf_model = AllAtomScoreModel(cfg=conf_cfg, caps=caps) if conf_cfg.all_atoms \
                 else TensorProductScoreModel(cfg=conf_cfg, caps=caps)
-            conf_vars = restore_variables(args.confidence_model_dir, "best",
-                                          use_ema=False)
+            conf_vars = restore_variables(args.confidence_model_dir,
+                                          args.confidence_ckpt, use_ema=False)
 
         if enc_cfg is not None and args.ar_model_dir:
             # AR latents replace the oracle-encoder latents
@@ -378,7 +440,8 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 input_latent_dim=score_cfg.latent_dim,
                 **ar_kwargs_from_run(args.ar_model_dir),
             )
-            ar_vars = restore_variables(args.ar_model_dir, "best", use_ema=False)
+            ar_vars = restore_variables(args.ar_model_dir, args.ar_ckpt,
+                                        use_ema=False)
             single = all(len(p) == 1 for p in packs)
 
             def latent_fn(b, key):
@@ -389,6 +452,28 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                                           shared_rec=single)
                 return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
                                  getattr(args, "softmax_latent_temperature", 1.0))
+
+            if getattr(args, "compute_ar_accuracy", False):
+                # fraction of latent slots where the AR prior picks the same
+                # anchor node as the oracle encoder on the TRUE pose
+                # (reference utils/sampling.py:90-101 ar_accuracy)
+                oracle_fn = build_score_runtime(
+                    args.model_dir, caps, tag=args.ckpt,
+                    latent_temperature=getattr(
+                        args, "gumbel_latent_temperature", 0.01),
+                )[2]
+                hits = n_slots = 0
+                for bb in batches:
+                    k = jax.random.PRNGKey(17)
+                    o_l, o_r = oracle_fn(bb, k)
+                    a_l, a_r = latent_fn(bb, k)
+                    o = np.concatenate([np.asarray(o_l), np.asarray(o_r)], 1).argmax(1)
+                    a = np.concatenate([np.asarray(a_l), np.asarray(a_r)], 1).argmax(1)
+                    gm = np.asarray(bb.graph_mask, bool)
+                    hits += int((o[gm] == a[gm]).sum())
+                    n_slots += int(gm.sum() * o.shape[-1])
+                print(f"HAPPENING | ar_accuracy={hits / max(n_slots, 1):.3f} "
+                      f"(bucket {bi})")
 
         no_overlap = None
         if getattr(args, "no_overlap_names_path", None):
@@ -402,7 +487,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             save_visualisation=args.save_visualisation,
             batch_packs=packs, names=cnames, no_overlap_names=no_overlap,
             mesh=mesh, limit_failures=args.limit_failures,
-            return_arrays=True,
+            no_model=args.no_model, return_arrays=True,
         )
         m["n_complexes"] = len(idxs)
         all_metrics.append((m, arrays))
@@ -455,11 +540,16 @@ def main(argv=None):
     sigma = SigmaSchedule()
     scfg = SamplerConfig(
         inference_steps=args.inference_steps,
+        actual_steps=args.actual_steps,
+        ode=args.ode,
+        no_random=args.no_random,
         no_final_step_noise=args.no_final_step_noise,
         temp_sampling=tuple(args.temp_sampling),
         temp_psi=tuple(args.temp_psi),
         temp_sigma_data=tuple(args.temp_sigma_data),
         cfg_weight=args.classifier_free_guidance_weight,
+        **({"cfg_start": args.cfg_start} if args.cfg_start is not None else {}),
+        **({"cfg_end": args.cfg_end} if args.cfg_end is not None else {}),
         return_trajectory=args.save_visualisation,
     )
 
@@ -490,6 +580,7 @@ def main(argv=None):
             model, variables, batches, scfg, sigma, jax.random.PRNGKey(1),
             out_dir=args.out_dir, save_visualisation=args.save_visualisation,
             mesh=mesh, limit_failures=args.limit_failures,
+            no_model=args.no_model,
         )
     else:
         metrics = evaluate_real(args, scfg, sigma)

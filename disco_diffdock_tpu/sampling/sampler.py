@@ -47,6 +47,10 @@ from ..graphs.containers import ComplexBatch
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     inference_steps: int = 20
+    # run only the first N steps of the inference_steps schedule (the
+    # reference's --actual_steps, evaluate.py:269): the final executed step
+    # keeps its normal dt increment instead of jumping to t=0
+    actual_steps: "int | None" = None
     ode: bool = False
     no_random: bool = False
     no_final_step_noise: bool = True
@@ -142,6 +146,9 @@ def reverse_diffusion(
         t_schedule = get_t_schedule(steps)
     t = np.asarray(t_schedule, np.float32)
     dt = np.concatenate([t[:-1] - t[1:], [t[-1]]]).astype(np.float32)
+    if cfg.actual_steps and cfg.actual_steps < steps:
+        t, dt = t[: cfg.actual_steps], dt[: cfg.actual_steps]
+        steps = cfg.actual_steps
     noise_on = np.ones(steps, np.float32)
     if cfg.no_random:
         noise_on[:] = 0.0

@@ -28,14 +28,20 @@ def make_adam(lr: float, w_decay: float = 0.0) -> optax.GradientTransformation:
 
 
 def _inject_state(opt_state):
-    """The InjectHyperparamsState inside a make_adam() optimizer state."""
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+    """The InjectHyperparamsState inside a make_adam() optimizer state
+    (searched recursively so wrappers like optax.MultiSteps compose)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state
+    if hasattr(opt_state, "inner_opt_state"):  # optax.MultiStepsState
+        return _inject_state(opt_state.inner_opt_state)
+    if isinstance(opt_state, tuple):
         for part in opt_state:
-            if hasattr(part, "hyperparams"):
-                return part
-        raise ValueError("optimizer state has no injected hyperparams; "
-                         "build the optimizer with make_adam()")
-    return opt_state
+            try:
+                return _inject_state(part)
+            except ValueError:
+                continue
+    raise ValueError("optimizer state has no injected hyperparams; "
+                     "build the optimizer with make_adam()")
 
 
 def get_learning_rate(opt_state) -> float:
@@ -51,9 +57,18 @@ def set_learning_rate(opt_state, lr: float):
         **inject.hyperparams,
         "learning_rate": jnp.asarray(lr, dtype=old.dtype),
     })
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
-        return tuple(new_inject if part is inject else part for part in opt_state)
-    return new_inject
+
+    def rebuild(node):
+        if node is inject:
+            return new_inject
+        if hasattr(node, "inner_opt_state"):
+            return node._replace(inner_opt_state=rebuild(node.inner_opt_state))
+        if isinstance(node, tuple) and not hasattr(node, "hyperparams"):
+            parts = [rebuild(p) for p in node]
+            return type(node)(*parts) if hasattr(node, "_fields") else tuple(parts)
+        return node
+
+    return rebuild(opt_state)
 
 
 class ReduceLROnPlateau:

@@ -127,7 +127,8 @@ def make_eval_step(model, sigma: SigmaSchedule, no_torsion: bool = False) -> Cal
 
 
 def make_val_step(model, sigma: SigmaSchedule, wrapper: bool = False,
-                  no_torsion: bool = False) -> Callable:
+                  no_torsion: bool = False, tr_weight: float = 0.33,
+                  rot_weight: float = 0.33, tor_weight: float = 0.33) -> Callable:
     """Per-graph validation losses (test_epoch with apply_mean=False,
     reference utils/training.py:138-146): returns (per-graph aux, t,
     graph_mask) so the caller can aggregate and optionally bin by sigma
@@ -146,6 +147,7 @@ def make_val_step(model, sigma: SigmaSchedule, wrapper: bool = False,
         )
         _, aux = score_matching_loss(
             preds, targets, noised, tr_s, rot_s, apply_mean=False,
+            tr_weight=tr_weight, rot_weight=rot_weight, tor_weight=tor_weight,
             no_torsion=no_torsion,
         )
         return aux, t, batch.graph_mask

@@ -63,10 +63,13 @@ def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool,
             mutable=["batch_stats"], rngs={"dropout": drop_key},
         )
         lg = jnp.where(node_mask[:, None, :], logits, -1e9)[:, 0, :]  # (B, N)
-        per = optax.softmax_cross_entropy_with_integer_labels(lg, labels)
+        # labels are DISTRIBUTIONS over nodes: softmax of the oracle logits
+        # in no_sampling mode (dataset_ar.py:104), one-hot otherwise
+        per = optax.softmax_cross_entropy(lg, labels)
         gm = batch.graph_mask.astype(jnp.float32)
         loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
-        acc = jnp.sum((jnp.argmax(lg, -1) == labels) * gm) / (jnp.sum(gm) + 1e-12)
+        hit = jnp.argmax(lg, -1) == jnp.argmax(labels, -1)
+        acc = jnp.sum(hit * gm) / (jnp.sum(gm) + 1e-12)
         return loss, (acc, mut["batch_stats"])
 
     def step(state: TrainState, batch, input_latent, dec_idx, labels, node_mask, key):
@@ -108,20 +111,45 @@ def make_ar_eval_step(model):
             deterministic=True, use_running_average=True,
         )
         lg = jnp.where(node_mask[:, None, :], logits, -1e9)[:, 0, :]
-        per = optax.softmax_cross_entropy_with_integer_labels(lg, labels)
+        per = optax.softmax_cross_entropy(lg, labels)
         gm = batch.graph_mask.astype(jnp.float32)
         loss = jnp.sum(per * gm) / (jnp.sum(gm) + 1e-12)
-        acc = jnp.sum((jnp.argmax(lg, -1) == labels) * gm) / (jnp.sum(gm) + 1e-12)
+        hit = jnp.argmax(lg, -1) == jnp.argmax(labels, -1)
+        acc = jnp.sum(hit * gm) / (jnp.sum(gm) + 1e-12)
         return loss, acc
 
     return step
 
 
+def _masked_softmax(row: np.ndarray) -> np.ndarray:
+    """Softmax over the -inf-masked node axis (invalid slots -> prob 0)."""
+    m = row.max(-1, keepdims=True)
+    e = np.exp(row - m)
+    e[~np.isfinite(row)] = 0.0
+    return (e / np.maximum(e.sum(-1, keepdims=True), 1e-30)).astype(np.float32)
+
+
+def _label_vectors(soft: np.ndarray, dec_idx: np.ndarray,
+                   no_sampling: bool) -> np.ndarray:
+    """Per-graph CE target over nodes for the chosen decoding slot: the
+    softmax of the oracle logits in no_sampling mode (dataset_ar.py:104),
+    the argmax one-hot otherwise (dataset_ar.py:112-115)."""
+    B, _, N = soft.shape
+    rows = soft[np.arange(B), dec_idx]  # (B, N)
+    if no_sampling:
+        return _masked_softmax(rows)
+    out = np.zeros((B, N), np.float32)
+    out[np.arange(B), rows.argmax(-1)] = 1.0
+    return out
+
+
 def teacher_forced_inputs(batch, labels_soft, node_mask, input_latent_dim,
-                          dec_value: int):
+                          dec_value: int, no_sampling: bool = True):
     """Deterministic teacher-forced inputs for a FIXED decoding slot — used
     by the val pass to report per-idx accuracy (reference meter_all with
-    intervals=num_latents, train_ar.py:153)."""
+    intervals=num_latents, train_ar.py:153).  Inputs use the noise-free
+    argmax one-hots (the reference's val loader gumbel-samples; we keep the
+    val metric deterministic and epoch-comparable)."""
     B, NL = batch.lig_x.shape[:2]
     NR = batch.rec_x.shape[1]
     soft = np.where(np.asarray(node_mask)[:, None, :], np.asarray(labels_soft), -np.inf)
@@ -130,11 +158,11 @@ def teacher_forced_inputs(batch, labels_soft, node_mask, input_latent_dim,
     for b in range(B):
         for j in range(dec_value):
             lat[b, hard[b, j], j] = 1.0
-    labels = hard[:, dec_value]
+    labels = _label_vectors(soft, np.full(B, dec_value), no_sampling)
     return (
         (jnp.asarray(lat[:, :NL]), jnp.asarray(lat[:, NL:])),
         jnp.full((B,), dec_value, jnp.int32),
-        jnp.asarray(labels, jnp.int32),
+        jnp.asarray(labels),
     )
 
 
@@ -147,29 +175,52 @@ def rotate_ligand(batch, key):
     return batch.replace(lig_pos=jnp.einsum("bni,bji->bnj", pos - center, R))
 
 
-def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key):
-    """Random decoding slot, teacher-forced input one-hots, hard labels."""
+def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key,
+                      no_sampling: bool = True, no_randomness: bool = True,
+                      tr_sigma_max: float = 19.0):
+    """Random decoding slot + teacher-forced inputs + CE target vectors.
+
+    no_sampling (shipped recipe, dataset_ar.py:98-108): inputs are one-hots
+    of argmax(logits + gumbel noise) per slot, target is the SOFTMAX of the
+    oracle logits.  Otherwise (dataset_ar.py:110-119): inputs are the raw
+    oracle logit fields themselves, target the argmax one-hot.
+    Slots >= dec_idx are zeroed in the input either way.
+    """
     B, NL = batch.lig_x.shape[:2]
     NR = batch.rec_x.shape[1]
     # mask padded node slots before the argmax -- otherwise a padding node can
     # become the label and the CE explodes against the -1e9 masked logit
     soft = np.where(np.asarray(node_mask)[:, None, :], np.asarray(labels_soft), -np.inf)
-    hard = soft.argmax(-1)  # (B, Ld) node index per slot
     dec_idx = rng.randint(0, input_latent_dim, B)
-    lat = np.zeros((B, NL + NR, input_latent_dim), np.float32)
-    for b in range(B):
-        for j in range(dec_idx[b]):
-            lat[b, hard[b, j], j] = 1.0
-    labels = hard[np.arange(B), dec_idx]
-    # ligand at a randomly rotated generated conformer: lig_pos holds the
-    # matched/generated conformer, NOT the oracle pose the encoder labels
-    # were produced from
-    b2 = rotate_ligand(batch, key)
+    if no_sampling:
+        # argmax of gumbel-perturbed logits == a categorical sample
+        # (the reference's gumbel_softmax(..., 0.01) + argmax)
+        u = rng.uniform(1e-12, 1.0, soft.shape)
+        hard = (soft - np.log(-np.log(u))).argmax(-1)  # (B, Ld)
+        lat = np.zeros((B, NL + NR, input_latent_dim), np.float32)
+        for b in range(B):
+            for j in range(dec_idx[b]):
+                lat[b, hard[b, j], j] = 1.0
+    else:
+        lat = np.where(np.isfinite(soft), soft, 0.0).transpose(0, 2, 1).astype(np.float32)
+        for b in range(B):
+            lat[b, :, dec_idx[b]:] = 0.0
+    labels = _label_vectors(soft, dec_idx, no_sampling)
+    # ligand at the generated conformer: lig_pos holds the matched/generated
+    # conformer, NOT the oracle pose the encoder labels came from.
+    # no_randomness: random rigid rotation only (sampling.py:36-43); else the
+    # full torsion+rotation+translation randomization (sampling.py:12-34)
+    if no_randomness:
+        b2 = rotate_ligand(batch, key)
+    else:
+        from ..sampling import randomize_position
+
+        b2 = randomize_position(key, batch, False, False, tr_sigma_max)
     return (
         b2,
         (jnp.asarray(lat[:, :NL]), jnp.asarray(lat[:, NL:])),
         jnp.asarray(dec_idx, jnp.int32),
-        jnp.asarray(labels, jnp.int32),
+        jnp.asarray(labels),
     )
 
 
@@ -187,9 +238,49 @@ def main(argv=None):
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--epochs", "--n_epochs", dest="epochs", type=int, default=2)
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--w_decay", type=float, default=0.0)
+    p.add_argument("--num_accumulation_steps", type=int, default=1,
+                   help="gradient accumulation (reference train_ar.py:55)")
+    p.add_argument("--no_sampling", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="soft-CE labels + gumbel-sampled input one-hots "
+                        "(dataset_ar.py:98-108; the shipped AR recipe).  "
+                        "--no-no_sampling: raw logit inputs + argmax labels")
+    p.add_argument("--no_randomness", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="random rigid rotation only (shipped recipe); "
+                        "--no-no_randomness adds torsion+translation noise")
+    p.add_argument("--use_pretrained_score",
+                   action=argparse.BooleanOptionalAction, default=True,
+                   help="warm-start the trunk from the trained score model "
+                        "(reference train_ar.py:99,309-313)")
+    p.add_argument("--overfit", action="store_true",
+                   help="train and validate on the first batch only")
+    p.add_argument("--train_multiplicity", type=int, default=1)
+    p.add_argument("--val_multiplicity", type=int, default=1)
+    p.add_argument("--restart_dir", default=None,
+                   help="warm-start params from another AR run dir")
+    p.add_argument("--model_save_frequency", type=int, default=0)
+    p.add_argument("--best_model_save_frequency", type=int, default=0)
+    p.add_argument("--latent_hidden_dim", type=int, default=128)
+    p.add_argument("--latent_no_batchnorm", action="store_true")
+    p.add_argument("--latent_dropout", type=float, default=0.0)
+    # ---- featurization (reference parsing names; shipped-yml defaults)
+    p.add_argument("--esm_embeddings_path", default=None)
+    p.add_argument("--num_dataloader_workers", "--num_workers",
+                   dest="num_dataloader_workers", type=int, default=1)
+    p.add_argument("--receptor_radius", type=float, default=15.0)
+    p.add_argument("--c_alpha_max_neighbors", type=int, default=24)
+    p.add_argument("--matching_popsize", type=int, default=15)
+    p.add_argument("--matching_maxiter", type=int, default=15)
+    p.add_argument("--max_lig_size", type=int, default=None)
+    p.add_argument("--remove_hs", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--num_conformers", type=int, default=1)
+    p.add_argument("--chain_cutoff", type=float, default=None)
     p.add_argument("--latent_dim", type=int, default=2)
     p.add_argument("--ar_ns", type=int, default=None,
                    help="AR model's own scalar width for the predictor input "
@@ -246,14 +337,19 @@ def main(argv=None):
         from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
         from .loading import load_run_configs, restore_variables
 
-        ds = PDBBind(PDBBindConfig(
-            data_dir=args.data_dir, split_path=args.split_train,
+        ds_cfg = dict(
+            data_dir=args.data_dir,
             cache_path=args.cache_path, limit_complexes=args.limit_complexes,
-        ))
-        ds_val = PDBBind(PDBBindConfig(
-            data_dir=args.data_dir, split_path=args.split_val,
-            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
-        ))
+            num_workers=args.num_dataloader_workers,
+            esm_embeddings_path=args.esm_embeddings_path,
+            receptor_radius=args.receptor_radius,
+            c_alpha_max_neighbors=args.c_alpha_max_neighbors,
+            popsize=args.matching_popsize, maxiter=args.matching_maxiter,
+            max_lig_size=args.max_lig_size, remove_hs=args.remove_hs,
+            num_conformers=args.num_conformers, chain_cutoff=args.chain_cutoff,
+        )
+        ds = PDBBind(PDBBindConfig(split_path=args.split_train, **ds_cfg))
+        ds_val = PDBBind(PDBBindConfig(split_path=args.split_val, **ds_cfg))
         caps = caps_from_datasets([ds, ds_val])
         score_cfg, enc_cfg, _ = load_run_configs(args.original_model_dir)
         assert enc_cfg is not None, (
@@ -294,10 +390,17 @@ def main(argv=None):
     print(f"phase 1 done: {len(labels)} train + {len(val_labels)} val label "
           f"batches, logits {labels[0][0].shape}")
 
+    if args.overfit:
+        batches, labels = batches[:1], labels[:1]
+        val_batches, val_labels = batches, labels
+
     # ---- phase 2
     model = PretrainedScoreEncoder(
         score_cfg=score_cfg, caps=caps, latent_dim=1,
         input_latent_dim=args.latent_dim, ns=args.ar_ns,
+        latent_hidden_dim=args.latent_hidden_dim,
+        latent_no_batchnorm=args.latent_no_batchnorm,
+        latent_dropout=args.latent_dropout,
     )
     B, NL = batches[0].lig_x.shape[:2]
     NR = batches[0].rec_x.shape[1]
@@ -305,7 +408,7 @@ def main(argv=None):
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(2), b, lat0, jnp.zeros((B,), jnp.int32))
     )(batches[0])
-    if warm_score_params is not None:
+    if warm_score_params is not None and args.use_pretrained_score:
         params = dict(variables["params"])
         params["pretrained_score_model"] = warm_score_params
         variables = {**variables, "params": params}
@@ -315,8 +418,21 @@ def main(argv=None):
             variables = {**variables, "batch_stats": stats}
     from .plateau import ReduceLROnPlateau, make_adam
 
-    tx = make_adam(args.lr)
+    tx = make_adam(args.lr, args.w_decay)
+    if args.num_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, args.num_accumulation_steps)
     state = TrainState.create(variables, tx)
+    if args.restart_dir:
+        from .loading import merge_matching
+        from .loading import restore_variables as _restore
+
+        raw = _restore(args.restart_dir, "last", use_ema=False)
+        state = state.replace(
+            params=merge_matching(state.params, raw["params"]),
+            batch_stats=merge_matching(state.batch_stats,
+                                       raw.get("batch_stats") or {}),
+        )
+        print(f"warm-started from {args.restart_dir}")
     mesh = None
     if args.n_devices > 1:
         from ..parallel import make_mesh, replicate, shard_batch, shard_step
@@ -343,7 +459,10 @@ def main(argv=None):
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, ar_model=score_cfg, caps=caps,
-                ar={"ns": args.ar_ns})
+                ar={"ns": args.ar_ns,
+                    "latent_hidden_dim": args.latent_hidden_dim,
+                    "latent_no_batchnorm": args.latent_no_batchnorm,
+                    "latent_dropout": args.latent_dropout})
     ckpt = CheckpointManager(run_dir)
 
     rng = np.random.RandomState(0)
@@ -366,9 +485,11 @@ def main(argv=None):
                     patience=args.scheduler_patience, min_lr=args.lr / 100)
         step_fn = frozen_step if epoch < args.warmup_epochs else free_step
         ms = []
-        for batch, (soft, node_mask) in zip(batches, labels):
+        for batch, (soft, node_mask) in list(zip(batches, labels)) * max(1, args.train_multiplicity):
             key, k1, k2 = jax.random.split(key, 3)
-            b2, lat, dec, lab = prepare_ar_sample(rng, batch, soft, node_mask, args.latent_dim, k1)
+            b2, lat, dec, lab = prepare_ar_sample(
+                rng, batch, soft, node_mask, args.latent_dim, k1,
+                no_sampling=args.no_sampling, no_randomness=args.no_randomness)
             nm = jnp.asarray(node_mask)
             if mesh is not None:
                 b2, lat, dec, lab, nm = (
@@ -385,12 +506,14 @@ def main(argv=None):
         vloss, vacc = [], []
         per_idx = {d: [] for d in range(args.latent_dim)}
         seq_hits, seq_n = 0, 0
-        for vi, (batch, (soft, node_mask)) in enumerate(zip(val_batches, val_labels)):
+        for vi, (batch, (soft, node_mask)) in enumerate(
+                list(zip(val_batches, val_labels)) * max(1, args.val_multiplicity)):
             # fixed rotation per batch so the metric is epoch-comparable
             vb = rotate_ligand(batch, jax.random.fold_in(jax.random.PRNGKey(11), vi))
             for d in range(args.latent_dim):
                 lat, dec, lab = teacher_forced_inputs(
-                    batch, soft, node_mask, args.latent_dim, d)
+                    batch, soft, node_mask, args.latent_dim, d,
+                    no_sampling=args.no_sampling)
                 lo, ac = eval_fn(variables_now, vb, lat, dec, lab,
                                  jnp.asarray(node_mask))
                 vloss.append(float(lo))
@@ -422,6 +545,11 @@ def main(argv=None):
                            **{f"val_{k3}": v for k3, v in val.items()}},
                           step=epoch)
         ckpt.save("last", state)
+        if args.model_save_frequency and (epoch + 1) % args.model_save_frequency == 0:
+            ckpt.save(f"epoch{epoch + 1}", state)
+        if args.best_model_save_frequency and \
+                (epoch + 1) % args.best_model_save_frequency == 0:
+            ckpt.save(f"best_epoch{epoch + 1}", state)
         if val["accuracy"] >= best["accuracy"]:
             best["accuracy"] = val["accuracy"]
             ckpt.save("best", state)

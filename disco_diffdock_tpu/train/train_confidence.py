@@ -164,8 +164,29 @@ def main(argv=None):
     p.add_argument("--limit_complexes", type=int, default=0)
     p.add_argument("--samples_per_complex", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=4)
-    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--epochs", "--n_epochs", dest="epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--w_decay", type=float, default=0.0)
+    p.add_argument("--multiplicity", type=int, default=1,
+                   help="training passes per epoch with fresh pose draws "
+                        "(reference confidence_train.py:37)")
+    p.add_argument("--transfer_weights", action="store_true",
+                   help="build the confidence trunk with the ORIGINAL score "
+                        "run's hyperparameters and warm-start every matching "
+                        "parameter from its checkpoint "
+                        "(reference confidence_train.py:285-294)")
+    p.add_argument("--restart_dir", default=None,
+                   help="warm-start params from another confidence run dir")
+    p.add_argument("--cache_ids_to_combine", nargs="+", default=None,
+                   help="pose-cache ids whose poses are concatenated per "
+                        "complex (confidence/dataset.py:100-124); missing "
+                        "ids are generated")
+    p.add_argument("--model_save_frequency", type=int, default=0,
+                   help="additionally keep an epoch-tagged checkpoint every "
+                        "N epochs (0 disables)")
+    p.add_argument("--best_model_save_frequency", type=int, default=0,
+                   help="additionally snapshot the current best every N "
+                        "epochs (0 disables)")
     # val tracking + best-model selection (confidence_train.py:52-53,149-200)
     p.add_argument("--main_metric", default="accuracy",
                    choices=["loss", "accuracy", "auc"])
@@ -177,15 +198,52 @@ def main(argv=None):
                         "(samples_per_complex must divide it)")
     p.add_argument("--rmsd_classification_cutoff", type=float, nargs="*", default=None)
     p.add_argument("--rmsd_prediction", action="store_true")
-    p.add_argument("--balanced", action="store_true")
+    p.add_argument("--balanced", "--balance", dest="balanced", action="store_true")
     p.add_argument("--cache_dir", default=None)
     p.add_argument("--cache_creation_id", type=int, default=0)
     # confidence-model scale (defaults = shipped all-atom confidence model)
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
+    # ---- confidence-model hyperparameters (reference parsing names;
+    # defaults = the shipped paper_confidence_model yml)
     p.add_argument("--ns", type=int, default=24)
     p.add_argument("--nv", type=int, default=6)
     p.add_argument("--num_conv_layers", type=int, default=5)
+    p.add_argument("--sh_lmax", type=int, default=2)
+    p.add_argument("--dropout", type=float, default=0.0)
+    p.add_argument("--confidence_dropout", type=float, default=0.0)
+    p.add_argument("--confidence_no_batchnorm", action="store_true")
+    p.add_argument("--no_batch_norm", action="store_true")
+    p.add_argument("--use_second_order_repr", action="store_true")
+    p.add_argument("--sigma_embed_dim", type=int, default=32)
+    p.add_argument("--distance_embed_dim", type=int, default=32)
+    p.add_argument("--cross_distance_embed_dim", type=int, default=32)
+    p.add_argument("--max_radius", type=float, default=5.0)
+    p.add_argument("--cross_max_distance", type=float, default=80.0)
+    p.add_argument("--dynamic_max_cross", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--scale_by_sigma", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--embedding_type", default="sinusoidal")
+    p.add_argument("--embedding_scale", type=float, default=1000.0)
+    p.add_argument("--use_old_atom_encoder", action="store_true")
+    # ---- featurization (reference parsing names; shipped-yml defaults)
+    p.add_argument("--esm_embeddings_path", default=None)
+    p.add_argument("--num_dataloader_workers", "--num_workers",
+                   dest="num_dataloader_workers", type=int, default=1)
+    p.add_argument("--receptor_radius", type=float, default=15.0)
+    p.add_argument("--c_alpha_max_neighbors", type=int, default=24)
+    p.add_argument("--atom_radius", type=float, default=5.0)
+    p.add_argument("--atom_max_neighbors", type=int, default=8)
+    p.add_argument("--matching_popsize", type=int, default=15)
+    p.add_argument("--matching_maxiter", type=int, default=15)
+    p.add_argument("--max_lig_size", type=int, default=None)
+    p.add_argument("--remove_hs", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--num_conformers", type=int, default=1)
+    p.add_argument("--chain_cutoff", type=float, default=None,
+                   help="drop receptor chains with no CA within this "
+                        "distance of the ligand (reference default 10)")
     from .config_overlay import add_config_arg, apply_config_overlay
 
     add_config_arg(p)
@@ -233,16 +291,22 @@ def main(argv=None):
         from ..data.pdbbind import PDBBind, PDBBindConfig
         from .loading import build_score_runtime
 
-        ds = PDBBind(PDBBindConfig(
-            data_dir=args.data_dir, split_path=args.split_train,
+        ds_cfg = dict(
+            data_dir=args.data_dir,
             cache_path=args.cache_path, limit_complexes=args.limit_complexes,
-            all_atoms=True,
-        ))
-        ds_val = PDBBind(PDBBindConfig(
-            data_dir=args.data_dir, split_path=args.split_val,
-            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
-            all_atoms=True,
-        ))
+            num_workers=args.num_dataloader_workers,
+            esm_embeddings_path=args.esm_embeddings_path,
+            receptor_radius=args.receptor_radius,
+            c_alpha_max_neighbors=args.c_alpha_max_neighbors,
+            popsize=args.matching_popsize, maxiter=args.matching_maxiter,
+            max_lig_size=args.max_lig_size, remove_hs=args.remove_hs,
+            num_conformers=args.num_conformers,
+            chain_cutoff=args.chain_cutoff, all_atoms=True,
+            atom_radius=args.atom_radius,
+            atom_max_neighbors=args.atom_max_neighbors,
+        )
+        ds = PDBBind(PDBBindConfig(split_path=args.split_train, **ds_cfg))
+        ds_val = PDBBind(PDBBindConfig(split_path=args.split_val, **ds_cfg))
         caps = caps_from_datasets([ds, ds_val], all_atoms=True)
         print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes, "
               f"fitted caps: {caps}")
@@ -266,25 +330,48 @@ def main(argv=None):
         score_model, score_vars, latent_fn, score_cfg, _ = build_score_runtime(
             args.original_model_dir, caps, tag=args.ckpt,
         )
-        conf_ns, conf_nv, conf_layers = args.ns, args.nv, args.num_conv_layers
+        if args.transfer_weights:
+            # confidence trunk takes the ORIGINAL score run's architecture so
+            # its weights transfer key-for-key (confidence_train.py:285-294)
+            conf_ns, conf_nv, conf_layers = (
+                trained_score_cfg.ns, trained_score_cfg.nv,
+                trained_score_cfg.num_conv_layers)
+            args.sh_lmax = trained_score_cfg.sh_lmax
+        else:
+            conf_ns, conf_nv, conf_layers = args.ns, args.nv, args.num_conv_layers
 
     # ---- phase 1
     scfg = SamplerConfig(inference_steps=args.inference_steps)
     cache_dir = args.cache_dir
     if cache_dir is None and not args.synthetic:
         cache_dir = os.path.join(args.log_dir, args.run_name, "pose_cache")
-    data = generate_confidence_dataset(
-        score_model, score_vars, batches, scfg, sigma, jax.random.PRNGKey(1),
-        cache_dir=cache_dir, cache_id=args.cache_creation_id,
-        latent_fn=latent_fn, names=names,
-    )
+    cache_ids = ([str(i) for i in args.cache_ids_to_combine]
+                 if args.cache_ids_to_combine else [str(args.cache_creation_id)])
+
+    def gen(bs, base_key, nm):
+        # one dataset per cache id, poses concatenated per complex
+        # (confidence/dataset.py:100-124)
+        per_id = [
+            generate_confidence_dataset(
+                score_model, score_vars, bs, scfg, sigma,
+                jax.random.fold_in(base_key, j),
+                cache_dir=cache_dir, cache_id=cid, latent_fn=latent_fn,
+                names=nm,
+            )
+            for j, cid in enumerate(cache_ids)
+        ]
+        return [
+            (np.concatenate([d[ci][0] for d in per_id]),
+             np.concatenate([d[ci][1] for d in per_id]))
+            for ci in range(len(bs))
+        ]
+
+    data = gen(batches, jax.random.PRNGKey(1), names)
     # the reference generates a ConfidenceDataset for the val loader too
     # (confidence_train.py:297-307): held-out poses for per-epoch val metrics
-    val_data = generate_confidence_dataset(
-        score_model, score_vars, val_batches, scfg, sigma, jax.random.PRNGKey(7),
-        cache_dir=cache_dir, cache_id=args.cache_creation_id,
-        latent_fn=latent_fn,
-        names=val_names if val_names is not None
+    val_data = gen(
+        val_batches, jax.random.PRNGKey(7),
+        val_names if val_names is not None
         else [f"valcomplex{i}" for i in range(len(val_batches))],
     )
     print(f"phase 1 done: {len(data)} train + {len(val_data)} val complexes "
@@ -297,9 +384,24 @@ def main(argv=None):
     )
     n_out = (len(args.rmsd_classification_cutoff) + 1) if args.rmsd_classification_cutoff else 1
     conf_cfg = ScoreModelConfig(
-        ns=conf_ns, nv=conf_nv, num_conv_layers=conf_layers, sh_lmax=2,
+        ns=conf_ns, nv=conf_nv, num_conv_layers=conf_layers,
+        sh_lmax=args.sh_lmax, sigma_embed_dim=args.sigma_embed_dim,
+        distance_embed_dim=args.distance_embed_dim,
+        cross_distance_embed_dim=args.cross_distance_embed_dim,
+        lig_max_radius=args.max_radius,
+        cross_max_distance=args.cross_max_distance,
+        dynamic_max_cross=args.dynamic_max_cross,
+        use_second_order_repr=args.use_second_order_repr,
+        batch_norm=not args.no_batch_norm,
+        scale_by_sigma=args.scale_by_sigma,
+        embedding_type=args.embedding_type,
+        embedding_scale=args.embedding_scale,
+        use_old_atom_encoder=args.use_old_atom_encoder,
         esm_embedding_dim=esm_dim,
-        dropout=0.0, confidence_mode=True, num_confidence_outputs=n_out,
+        dropout=args.dropout, confidence_mode=True,
+        confidence_dropout=args.confidence_dropout,
+        confidence_no_batchnorm=args.confidence_no_batchnorm,
+        num_confidence_outputs=n_out,
         all_atoms=True, latent_dim=0, latent_droprate=0.0,
     )
     from .plateau import ReduceLROnPlateau, make_adam
@@ -307,8 +409,28 @@ def main(argv=None):
     model = AllAtomScoreModel(cfg=conf_cfg, caps=caps)
     b0 = batches[0].set_time(0.0, 0.0, 0.0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(2), b0)
-    tx = make_adam(args.lr)
+    if args.transfer_weights and not args.synthetic:
+        from .loading import merge_matching
+
+        variables = dict(variables)
+        variables["params"] = merge_matching(variables["params"],
+                                             score_vars["params"])
+        variables["batch_stats"] = merge_matching(
+            variables.get("batch_stats", {}),
+            score_vars.get("batch_stats") or {})
+        print("HAPPENING | transferred matching trunk weights from the score run")
+    tx = make_adam(args.lr, args.w_decay)
     state = TrainState.create(variables, tx)
+    if args.restart_dir:
+        from .loading import merge_matching, restore_variables
+
+        raw = restore_variables(args.restart_dir, "last", use_ema=False)
+        state = state.replace(
+            params=merge_matching(state.params, raw["params"]),
+            batch_stats=merge_matching(state.batch_stats,
+                                       raw.get("batch_stats") or {}),
+        )
+        print(f"warm-started from {args.restart_dir}")
     mesh = None
     if args.n_devices > 1:
         from ..parallel import make_mesh, replicate, shard_batch, shard_step
@@ -339,7 +461,7 @@ def main(argv=None):
                  if args.scheduler == "plateau" else None)
     for epoch in range(args.epochs):
         metrics = []
-        for batch, (pos, rmsd) in zip(batches, data):
+        for batch, (pos, rmsd) in list(zip(batches, data)) * max(1, args.multiplicity):
             # one cached pose per complex copy (dataset.py:160-166), with
             # optional balanced resampling of positives/negatives
             idx = rng.randint(0, len(rmsd), batch.num_graphs)
@@ -391,12 +513,17 @@ def main(argv=None):
                            **{f"val_{k2}": v for k2, v in val.items()}},
                           step=epoch)
         ckpt.save("last", state)
+        if args.model_save_frequency and (epoch + 1) % args.model_save_frequency == 0:
+            ckpt.save(f"epoch{epoch + 1}", state)
         tracked = val[args.main_metric]
         improved = (tracked <= best_val if args.main_metric_goal == "min"
                     else tracked >= best_val)
         if np.isfinite(tracked) and improved or best_epoch < 0:
             best_val, best_epoch = tracked, epoch
             ckpt.save("best", state)
+        if args.best_model_save_frequency and \
+                (epoch + 1) % args.best_model_save_frequency == 0:
+            ckpt.save(f"best_epoch{epoch + 1}", state)
         if scheduler is not None and np.isfinite(tracked):
             new_opt = scheduler.step(tracked, state.opt_state)
             if new_opt is not state.opt_state:

@@ -32,16 +32,23 @@ from .losses import score_matching_loss
 from .steps import TrainState, make_train_step, make_val_step
 
 
-def build_model(score_cfg, enc_cfg, caps):
+def build_model(score_cfg, enc_cfg, caps, training_latent_temperature=1.0):
     if enc_cfg is not None:
         return ModelWrapper(
             score_cfg=score_cfg, encoder_cfg=enc_cfg, caps=caps,
             latent_droprate=score_cfg.latent_droprate,
+            training_latent_temperature=training_latent_temperature,
         )
+    if score_cfg.all_atoms:
+        from ..models.all_atom_score_model import AllAtomScoreModel
+
+        return AllAtomScoreModel(cfg=score_cfg, caps=caps)
     return TensorProductScoreModel(cfg=score_cfg, caps=caps)
 
 
-def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None):
+def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None,
+                            tr_weight=0.33, rot_weight=0.33, tor_weight=0.33,
+                            no_torsion=False):
     """Train step for the joint encoder+score wrapper (extra rng streams)."""
 
     def loss_fn(params, batch_stats, noised, targets, tr_s, rot_s, rngs):
@@ -51,7 +58,8 @@ def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None):
             mutable=["batch_stats"], rngs=rngs,
         )
         loss, aux = score_matching_loss(preds, targets, noised, tr_s, rot_s,
-                                        axis_name=axis_name)
+                                        tr_weight, rot_weight, tor_weight,
+                                        no_torsion, axis_name=axis_name)
         return loss, (aux, mut["batch_stats"])
 
     def step(state: TrainState, batch, key):
@@ -63,7 +71,7 @@ def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None):
             k_drop, k_gum, k_rate = (
                 jax.random.fold_in(k, idx) for k in (k_drop, k_gum, k_rate))
         noised, targets = apply_noise(
-            k_noise, batch, sigma, alpha, beta, graph_ids=ids)
+            k_noise, batch, sigma, alpha, beta, no_torsion, graph_ids=ids)
         t = noised.complex_t["tr"]
         tr_s, rot_s, _ = sigma.t_to_sigma(t, t, t)
         rngs = {"dropout": k_drop, "gumbel": k_gum, "droprate": k_rate}
@@ -140,17 +148,92 @@ def main(argv=None):
     p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--limit_complexes", type=int, default=0)
-    p.add_argument("--num_dataloader_workers", type=int, default=1)
+    p.add_argument("--num_dataloader_workers", "--num_workers",
+                   dest="num_dataloader_workers", type=int, default=1,
+                   help="host preprocessing Pool size (reference --num_workers)")
     p.add_argument("--esm_embeddings_path", default=None)
-    # model-scale flags (defaults = the shipped DisCo-DiffDock-S score model)
+    # ---- model hyperparameters (reference utils/parsing.py:70-112 names;
+    # defaults = the shipped DisCo-DiffDock-S score model yml, not the
+    # reference parser's defaults)
     p.add_argument("--ns", type=int, default=24)
     p.add_argument("--nv", type=int, default=6)
     p.add_argument("--num_conv_layers", type=int, default=5)
+    p.add_argument("--sh_lmax", type=int, default=1)
     p.add_argument("--dropout", type=float, default=0.1)
-    p.add_argument("--esm_embedding_dim", type=int, default=1280)
-    p.add_argument("--enc_ns", type=int, default=24)
-    p.add_argument("--enc_nv", type=int, default=4)
-    p.add_argument("--enc_num_conv_layers", type=int, default=3)
+    p.add_argument("--no_batch_norm", action="store_true")
+    p.add_argument("--use_second_order_repr", action="store_true")
+    p.add_argument("--sigma_embed_dim", type=int, default=32)
+    p.add_argument("--distance_embed_dim", type=int, default=32)
+    p.add_argument("--cross_distance_embed_dim", type=int, default=32)
+    p.add_argument("--max_radius", type=float, default=5.0,
+                   help="ligand radius-graph cutoff")
+    p.add_argument("--cross_max_distance", type=float, default=80.0)
+    p.add_argument("--dynamic_max_cross", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--scale_by_sigma", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--no_torsion", action="store_true")
+    p.add_argument("--embedding_type", default="sinusoidal")
+    p.add_argument("--embedding_scale", type=float, default=1000.0)
+    p.add_argument("--use_old_atom_encoder", action="store_true",
+                   help="legacy AtomEncoder variant (models/layers.py:81-116)")
+    p.add_argument("--esm_embedding_dim", type=int, default=1280,
+                   help="width of the --esm_embeddings_path vectors (the "
+                        "reference hardcodes esm2 650M's 1280)")
+    p.add_argument("--all_atoms", action="store_true",
+                   help="train the all-atom score model "
+                        "(reference model_utils.py:26-27); no latents")
+    # ---- discrete latents (reference parsing.py:89-112)
+    p.add_argument("--latent_dim", type=int, default=2)
+    p.add_argument("--latent_vocab", type=int, default=1)
+    p.add_argument("--latent_droprate", type=float, default=0.1)
+    p.add_argument("--latent_cross_attention", action="store_true")
+    p.add_argument("--new_cross_attention", action="store_true")
+    p.add_argument("--cross_attention_heads", type=int, default=1)
+    p.add_argument("--cross_attention_dim", type=int, default=64)
+    p.add_argument("--latent_no_batchnorm", action="store_true")
+    p.add_argument("--latent_dropout", type=float, default=0.0)
+    p.add_argument("--latent_hidden_dim", type=int, default=128)
+    p.add_argument("--latent_virtual_nodes", action="store_true")
+    p.add_argument("--latent_nodes_residual", action="store_true")
+    p.add_argument("--training_latent_temperature", type=float, default=1.0)
+    p.add_argument("--sampling_latent_temperature", type=float, default=0.01)
+    # ---- latent encoder (reference encoder_* names; --enc_* kept as aliases)
+    p.add_argument("--encoder_ns", "--enc_ns", dest="encoder_ns",
+                   type=int, default=24)
+    p.add_argument("--encoder_nv", "--enc_nv", dest="encoder_nv",
+                   type=int, default=4)
+    p.add_argument("--encoder_num_conv_layers", "--enc_num_conv_layers",
+                   dest="encoder_num_conv_layers", type=int, default=3)
+    p.add_argument("--encoder_cross_max_distance", type=float, default=30.0)
+    p.add_argument("--encoder_no_esm", action="store_true")
+    # ---- sigma schedule (reference parsing.py:61-66; defaults = shipped yml)
+    p.add_argument("--tr_sigma_min", type=float, default=0.1)
+    p.add_argument("--tr_sigma_max", type=float, default=19.0)
+    p.add_argument("--rot_sigma_min", type=float, default=0.03)
+    p.add_argument("--rot_sigma_max", type=float, default=1.55)
+    p.add_argument("--tor_sigma_min", type=float, default=0.03)
+    p.add_argument("--tor_sigma_max", type=float, default=3.14)
+    # ---- loss weights (reference parsing.py:58-60)
+    p.add_argument("--tr_weight", type=float, default=0.33)
+    p.add_argument("--rot_weight", type=float, default=0.33)
+    p.add_argument("--tor_weight", type=float, default=0.33)
+    # ---- featurization / matching (reference parsing.py:44-54; defaults =
+    # the shipped score run's yml)
+    p.add_argument("--receptor_radius", type=float, default=15.0)
+    p.add_argument("--c_alpha_max_neighbors", type=int, default=24)
+    p.add_argument("--atom_radius", type=float, default=5.0)
+    p.add_argument("--atom_max_neighbors", type=int, default=8)
+    p.add_argument("--matching_popsize", type=int, default=15)
+    p.add_argument("--matching_maxiter", type=int, default=15)
+    p.add_argument("--max_lig_size", type=int, default=None)
+    p.add_argument("--remove_hs", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--num_conformers", type=int, default=1)
+    p.add_argument("--train_multiplicity", type=int, default=1,
+                   help="passes over the train set per epoch (fresh noise "
+                        "each pass; reference parsing.py:94)")
+    p.add_argument("--val_multiplicity", type=int, default=1)
     # bf16 is the training default (validated: overfit-then-sample converges
     # identically, final RMSD 1.93A bf16 vs 2.01A f32; geometry stays f32 via
     # pinned-precision einsums in geom/)
@@ -168,12 +251,28 @@ def main(argv=None):
     p.add_argument("--scheduler", default="plateau", choices=["plateau", "none"])
     p.add_argument("--scheduler_patience", type=int, default=30)
     p.add_argument("--val_inference_freq", type=int, default=5)
+    p.add_argument("--train_inference_freq", type=int, default=None,
+                   help="also run the real-sampler epoch on train complexes "
+                        "every N epochs (reference parsing.py:17)")
+    p.add_argument("--inference_earlystop_metric", default="valinf_rmsds_lt2",
+                   choices=["valinf_rmsds_lt2", "valinf_rmsds_lt5"])
+    p.add_argument("--inference_earlystop_goal", default="max",
+                   choices=["max", "min"])
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="run the periodic-inference epoch (and its best "
+                        "checkpoint) on the EMA weights (reference "
+                        "utils/training.py ema handling)")
     p.add_argument("--test_sigma_intervals", action="store_true",
                    help="bin validation losses into 10 sigma intervals "
                         "(reference utils/training.py:143-146)")
     p.add_argument("--inference_steps", type=int, default=20)
     p.add_argument("--num_inference_complexes", type=int, default=500)
     p.add_argument("--restart", action="store_true")
+    p.add_argument("--restart_dir", default=None,
+                   help="warm-start params/EMA from ANOTHER run dir's last "
+                        "checkpoint (reference train.py:126-139); combine "
+                        "with --non_strict_loading for architecture tweaks")
     p.add_argument("--restart_lr", type=float, default=None,
                    help="override the learning rate when restarting")
     p.add_argument("--non_strict_loading", action="store_true",
@@ -196,58 +295,106 @@ def main(argv=None):
     add_config_arg(p)
     args = apply_config_overlay(p.parse_args(argv))
 
-    sigma = SigmaSchedule()
+    # reference semantics: latents iff latent_dim > 0 (train.py:36); the
+    # all-atom model takes none (all_atom_score_model asserts latent_dim==0)
+    use_latents = args.use_latents and args.latent_dim > 0 and not args.all_atoms
+    sigma = SigmaSchedule(
+        tr_sigma_min=args.tr_sigma_min, tr_sigma_max=args.tr_sigma_max,
+        rot_sigma_min=args.rot_sigma_min, rot_sigma_max=args.rot_sigma_max,
+        tor_sigma_min=args.tor_sigma_min, tor_sigma_max=args.tor_sigma_max,
+    )
     if args.synthetic:
         caps = GraphCaps(
             max_lig=16, max_rec=32, lig_bond_cap=36, lig_radius_cap=96,
             rec_edge_cap=32 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+            **({"max_atoms": 64, "atom_edge_cap": 512, "la_cap": 1024}
+               if args.all_atoms else {}),
         )
         score_cfg = ScoreModelConfig(
             ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
-            latent_dim=2 if args.use_latents else 0, latent_vocab=1,
-            latent_droprate=0.1 if args.use_latents else 0.0,
+            latent_dim=2 if use_latents else 0, latent_vocab=1,
+            latent_droprate=0.1 if use_latents else 0.0,
+            all_atoms=args.all_atoms, no_torsion=args.no_torsion,
             compute_dtype=args.compute_dtype,
         )
         enc_cfg = (
             EncoderConfig(ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0)
-            if args.use_latents else None
+            if use_latents else None
         )
         sb = max(4, args.n_devices)  # synthetic batch divisible by the mesh
         train_batches = [
             make_complex_batch(seed=s, batch=sb, n_lig=10, n_res=24, caps=caps,
-                               esm_dim=16, c_alpha_max_neighbors=8)
+                               esm_dim=16, c_alpha_max_neighbors=8,
+                               all_atoms=args.all_atoms, atoms_per_res=2)
             for s in range(2)
         ]
         val_batches = train_batches[:1]
         inf_batches = val_batches
+        traininf_batches = train_batches[:1]
     else:
         from ..data.collate import caps_from_datasets
         from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
 
+        esm_dim = args.esm_embedding_dim if args.esm_embeddings_path else 0
         score_cfg = ScoreModelConfig(
             ns=args.ns, nv=args.nv, num_conv_layers=args.num_conv_layers,
-            dropout=args.dropout, esm_embedding_dim=args.esm_embedding_dim,
-            latent_dim=2 if args.use_latents else 0,
-            latent_droprate=0.1 if args.use_latents else 0.0,
+            sh_lmax=args.sh_lmax, sigma_embed_dim=args.sigma_embed_dim,
+            distance_embed_dim=args.distance_embed_dim,
+            cross_distance_embed_dim=args.cross_distance_embed_dim,
+            lig_max_radius=args.max_radius,
+            cross_max_distance=args.cross_max_distance,
+            dynamic_max_cross=args.dynamic_max_cross,
+            use_second_order_repr=args.use_second_order_repr,
+            batch_norm=not args.no_batch_norm,
+            dropout=args.dropout, esm_embedding_dim=esm_dim,
+            scale_by_sigma=args.scale_by_sigma, no_torsion=args.no_torsion,
+            embedding_type=args.embedding_type,
+            embedding_scale=args.embedding_scale,
+            use_old_atom_encoder=args.use_old_atom_encoder,
+            all_atoms=args.all_atoms,
+            latent_dim=args.latent_dim if use_latents else 0,
+            latent_vocab=args.latent_vocab if use_latents else 1,
+            latent_droprate=args.latent_droprate if use_latents else 0.0,
+            latent_cross_attention=args.latent_cross_attention,
+            new_cross_attention=args.new_cross_attention,
+            cross_attention_heads=args.cross_attention_heads,
+            cross_attention_dim=args.cross_attention_dim,
             compute_dtype=args.compute_dtype,
         )
         enc_cfg = EncoderConfig(
-            ns=args.enc_ns, nv=args.enc_nv,
-            num_conv_layers=args.enc_num_conv_layers,
-            dropout=args.dropout, esm_embedding_dim=args.esm_embedding_dim,
-        ) if args.use_latents else None
-        ds_train = PDBBind(PDBBindConfig(
-            data_dir=args.data_dir, split_path=args.split_train,
+            ns=args.encoder_ns, nv=args.encoder_nv,
+            num_conv_layers=args.encoder_num_conv_layers,
+            sh_lmax=args.sh_lmax,
+            distance_embed_dim=args.distance_embed_dim,
+            cross_distance_embed_dim=args.cross_distance_embed_dim,
+            lig_max_radius=args.max_radius,
+            cross_max_distance=args.encoder_cross_max_distance,
+            use_second_order_repr=args.use_second_order_repr,
+            batch_norm=not args.no_batch_norm,
+            dropout=args.dropout,
+            esm_embedding_dim=0 if args.encoder_no_esm else esm_dim,
+            latent_dim=args.latent_dim, latent_vocab=args.latent_vocab,
+            latent_no_batchnorm=args.latent_no_batchnorm,
+            latent_dropout=args.latent_dropout,
+            latent_hidden_dim=args.latent_hidden_dim,
+            latent_virtual_nodes=args.latent_virtual_nodes,
+            latent_nodes_residual=args.latent_nodes_residual,
+        ) if use_latents else None
+        ds_cfg = dict(
+            data_dir=args.data_dir,
             cache_path=args.cache_path, limit_complexes=args.limit_complexes,
             num_workers=args.num_dataloader_workers,
             esm_embeddings_path=args.esm_embeddings_path,
-        ))
-        ds_val = PDBBind(PDBBindConfig(
-            data_dir=args.data_dir, split_path=args.split_val,
-            cache_path=args.cache_path, limit_complexes=args.limit_complexes,
-            num_workers=args.num_dataloader_workers,
-            esm_embeddings_path=args.esm_embeddings_path,
-        ))
+            receptor_radius=args.receptor_radius,
+            c_alpha_max_neighbors=args.c_alpha_max_neighbors,
+            popsize=args.matching_popsize, maxiter=args.matching_maxiter,
+            max_lig_size=args.max_lig_size, remove_hs=args.remove_hs,
+            num_conformers=args.num_conformers, all_atoms=args.all_atoms,
+            atom_radius=args.atom_radius,
+            atom_max_neighbors=args.atom_max_neighbors,
+        )
+        ds_train = PDBBind(PDBBindConfig(split_path=args.split_train, **ds_cfg))
+        ds_val = PDBBind(PDBBindConfig(split_path=args.split_val, **ds_cfg))
         # one exact-fit capacity profile over train+val: no edge slot can
         # overflow, and the whole run compiles one train program
         caps = caps_from_datasets([ds_train, ds_val])
@@ -262,6 +409,11 @@ def main(argv=None):
         # capped at num_inference_complexes (train.py:48-53)
         n_keep = max(1, args.num_inference_complexes // args.batch_size)
         inf_batches = val_batches[:n_keep]
+        traininf_batches = list(bucketed_batches(
+            ds_train, args.batch_size, np.random.RandomState(0),
+            buckets=(caps,), esm_dim=score_cfg.esm_embedding_dim,
+            shuffle=False, drop_remainder=False,
+        ))[:n_keep] if args.train_inference_freq else []
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, score_model=score_cfg,
@@ -269,7 +421,8 @@ def main(argv=None):
                 **({"caps": caps} if caps else {}))
     ckpt = CheckpointManager(run_dir)
 
-    model = build_model(score_cfg, enc_cfg, caps)
+    model = build_model(score_cfg, enc_cfg, caps,
+                        training_latent_temperature=args.training_latent_temperature)
     init_rngs = {
         "params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1),
         "droprate": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
@@ -312,6 +465,38 @@ def main(argv=None):
             # fresh optimizer at the overridden LR (train.py:121-124)
             tx = make_adam(args.restart_lr, args.w_decay)
             state = state.replace(opt_state=tx.init(state.params))
+    elif args.restart_dir:
+        # warm start from ANOTHER run's last checkpoint (train.py:126-139):
+        # params/batch_stats/EMA transfer, optimizer state starts fresh
+        from .loading import merge_matching
+
+        src = CheckpointManager(args.restart_dir)
+        for t in ("last", "best", "best_ema"):
+            if src.exists(t):
+                raw = src.restore_raw(t)
+                break
+        else:
+            raise SystemExit(f"--restart_dir: no checkpoint in {args.restart_dir}")
+        if not args.non_strict_loading:
+            mismatch = jax.tree_util.tree_structure(state.params) != \
+                jax.tree_util.tree_structure(
+                    jax.tree_util.tree_map(lambda x: 0, raw.get("params", {})))
+            if mismatch:
+                raise SystemExit(
+                    "--restart_dir: parameter tree differs from this model; "
+                    "pass --non_strict_loading to merge matching leaves only")
+        state = state.replace(
+            params=merge_matching(state.params, raw.get("params", {})),
+            batch_stats=merge_matching(state.batch_stats,
+                                       raw.get("batch_stats") or {}),
+            ema=state.ema.replace(
+                shadow=merge_matching(state.ema.shadow,
+                                      (raw.get("ema") or {}).get("shadow", {}))),
+        )
+        print(f"warm-started from {args.restart_dir} ({t})")
+        if args.restart_lr is not None:
+            tx = make_adam(args.restart_lr, args.w_decay)
+            state = state.replace(opt_state=tx.init(state.params))
 
     wandb_run = None
     if args.wandb:
@@ -331,29 +516,34 @@ def main(argv=None):
         assert args.batch_size % args.n_devices == 0 or args.synthetic, (
             "--batch_size must divide --n_devices")
     axis = "data" if mesh is not None else None
+    lw = dict(tr_weight=args.tr_weight, rot_weight=args.rot_weight,
+              tor_weight=args.tor_weight, no_torsion=args.no_torsion)
     if enc_cfg is not None:
         raw_step = make_wrapper_train_step(
             model, tx, sigma, args.sampling_alpha, args.sampling_beta,
-            axis_name=axis)
+            axis_name=axis, **lw)
     else:
         raw_step = make_train_step(
             model, tx, sigma, args.sampling_alpha, args.sampling_beta,
-            axis_name=axis)
+            axis_name=axis, **lw)
     if mesh is not None:
         step_fn = shard_train_step(raw_step, mesh)
         state = replicate(state, mesh)
     else:
         step_fn = jax.jit(raw_step)
-    val_fn = jax.jit(make_val_step(model, sigma, wrapper=enc_cfg is not None))
+    val_fn = jax.jit(make_val_step(model, sigma, wrapper=enc_cfg is not None,
+                                   **lw))
 
     key = jax.random.PRNGKey(42)
-    best_loss, best_inf = np.inf, -np.inf
+    best_loss = np.inf
+    best_inf = -np.inf if args.inference_earlystop_goal == "max" else np.inf
     scheduler = None
     if args.scheduler == "plateau":
         # mode follows the stepped metric: the running-best inference metric
-        # (goal max) when periodic inference runs, else val loss (goal min)
+        # (configurable goal) when periodic inference runs, else val loss
         scheduler = ReduceLROnPlateau(
-            mode="max" if args.val_inference_freq else "min",
+            mode=(args.inference_earlystop_goal if args.val_inference_freq
+                  else "min"),
             patience=args.scheduler_patience, min_lr=args.lr / 100,
         )
     n_epochs = 1 if args.synthetic else args.n_epochs
@@ -362,12 +552,15 @@ def main(argv=None):
         losses = []
         steps = args.steps if args.synthetic else None
         it = 0
-        batches = train_batches if args.synthetic else bucketed_batches(
-            ds_train, args.batch_size, np.random.RandomState(epoch),
-            buckets=(caps,), esm_dim=score_cfg.esm_embedding_dim,
-            drop_remainder=len(ds_train) >= args.batch_size,
-        )
-        while True:
+        # train_multiplicity: extra passes over the set with fresh noise
+        # draws per pass (reference parsing.py:94 / pdbbind multiplicity)
+        for rep in range(max(1, args.train_multiplicity)):
+            batches = train_batches if args.synthetic else bucketed_batches(
+                ds_train, args.batch_size,
+                np.random.RandomState(epoch * 131 + rep),
+                buckets=(caps,), esm_dim=score_cfg.esm_embedding_dim,
+                drop_remainder=len(ds_train) >= args.batch_size,
+            )
             for batch in batches:
                 key, k = jax.random.split(key)
                 if mesh is not None:
@@ -377,7 +570,7 @@ def main(argv=None):
                 it += 1
                 if steps and it >= steps:
                     break
-            if not steps or it >= steps:
+            if steps and it >= steps:
                 break
         mean_loss = float(np.mean(losses))
         print(f"epoch {epoch}: train_loss={mean_loss:.4f} ({time.time() - t0:.1f}s, {it} steps)")
@@ -392,19 +585,23 @@ def main(argv=None):
         meter = AverageMeter(
             ["loss", "tr_loss", "rot_loss", "tor_loss"], intervals=intervals)
         vloss_sum = vloss_n = 0.0
-        for vb in val_batches:
-            key, k = jax.random.split(key)
-            aux, tvals, gmask = val_fn(
-                state.variables(), vb, k, ema_params=state.ema.shadow)
-            gm = np.asarray(gmask)
-            tvals = np.asarray(tvals)[gm]
-            per = {k2: np.asarray(v)[gm] for k2, v in aux.items()}
-            vloss_sum += float(per["loss"].sum())
-            vloss_n += len(per["loss"])
-            if intervals > 1:
-                idx = sigma_interval_index(tvals, intervals)
-                meter.add([per["loss"], per["tr_loss"], per["rot_loss"],
-                           per["tor_loss"]], interval_idx=[idx] * 4)
+        # use_ema: validation + inference on the EMA weights (reference
+        # train.py:41-42 copies EMA into the model before both epochs)
+        eval_params = state.ema.shadow if args.use_ema else None
+        for _ in range(max(1, args.val_multiplicity)):
+            for vb in val_batches:
+                key, k = jax.random.split(key)
+                aux, tvals, gmask = val_fn(
+                    state.variables(), vb, k, ema_params=eval_params)
+                gm = np.asarray(gmask)
+                tvals = np.asarray(tvals)[gm]
+                per = {k2: np.asarray(v)[gm] for k2, v in aux.items()}
+                vloss_sum += float(per["loss"].sum())
+                vloss_n += len(per["loss"])
+                if intervals > 1:
+                    idx = sigma_interval_index(tvals, intervals)
+                    meter.add([per["loss"], per["tr_loss"], per["rot_loss"],
+                               per["tor_loss"]], interval_idx=[idx] * 4)
         val_loss = vloss_sum / max(vloss_n, 1)
         print(f"epoch {epoch}: val_loss={val_loss:.4f}")
         if intervals > 1:
@@ -418,11 +615,12 @@ def main(argv=None):
             ckpt.save("best", state)
             ckpt.save("best_ema", state.replace(params=state.ema.shadow))
 
+        inf_params = state.ema.shadow if args.use_ema else state.params
         if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0 or args.synthetic:
             key, k = jax.random.split(key)
             metrics = inference_epoch(
                 model,
-                {"params": state.ema.shadow, "batch_stats": state.batch_stats},
+                {"params": inf_params, "batch_stats": state.batch_stats},
                 inf_batches,
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
@@ -430,10 +628,29 @@ def main(argv=None):
             print(f"epoch {epoch}: {metrics}")
             if wandb_run:
                 wandb_run.log(metrics, step=epoch)
-            if metrics["valinf_rmsds_lt2"] >= best_inf:
-                best_inf = metrics["valinf_rmsds_lt2"]
+            cur = metrics[args.inference_earlystop_metric]
+            better = (cur >= best_inf if args.inference_earlystop_goal == "max"
+                      else cur <= best_inf)
+            if better:
+                best_inf = cur
                 ckpt.save("best_inference", state)
                 ckpt.save("best_ema_inference", state.replace(params=state.ema.shadow))
+
+        if args.train_inference_freq and (epoch + 1) % args.train_inference_freq == 0 \
+                and traininf_batches:
+            key, k = jax.random.split(key)
+            tmetrics = inference_epoch(
+                model,
+                {"params": inf_params, "batch_stats": state.batch_stats},
+                traininf_batches,
+                sigma, k, steps=args.inference_steps,
+                is_wrapper=enc_cfg is not None,
+            )
+            tmetrics = {k2.replace("valinf_", "traininf_"): v
+                        for k2, v in tmetrics.items()}
+            print(f"epoch {epoch}: {tmetrics}")
+            if wandb_run:
+                wandb_run.log(tmetrics, step=epoch)
 
         if scheduler is not None:
             # reference train.py:79-83: step on the running-best inference

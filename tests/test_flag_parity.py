@@ -1,0 +1,171 @@
+"""Reference-flag-surface tests: the CLIs expose the reference's knobs and
+wire them to real behavior (utils/parsing.py, evaluate.py:27-78,
+confidence_train.py, train_ar.py parsers)."""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+
+def test_eval_scalar_temp_flags_override_triples():
+    from disco_diffdock_tpu.eval.evaluate import parse_args
+
+    args = parse_args([
+        "--temp_sampling", "2.0", "3.0", "4.0",
+        "--temp_sampling_rot", "7.5", "--temp_psi_tor", "0.9",
+    ])
+    assert args.temp_sampling == [2.0, 7.5, 4.0]
+    assert args.temp_psi == [0.0, 0.0, 0.9]
+    assert args.temp_sigma_data == [0.5, 0.5, 0.5]
+
+
+def test_eval_log_softmax_latent_temperature():
+    from disco_diffdock_tpu.eval.evaluate import parse_args
+
+    args = parse_args(["--log_softmax_latent_temperature", "-1.5"])
+    np.testing.assert_allclose(args.softmax_latent_temperature, 10 ** -1.5)
+
+
+def test_actual_steps_truncates_schedule():
+    """actual_steps keeps the normal dt on the last executed step instead of
+    the jump to t=0 (reference utils/sampling.py:107 with evaluate.py:269)."""
+    from disco_diffdock_tpu.geom.diffusion import get_t_schedule
+
+    t = np.asarray(get_t_schedule(5), np.float32)
+    dt = np.concatenate([t[:-1] - t[1:], [t[-1]]])
+    # the sampler's truncation logic
+    actual = 3
+    t2, dt2 = t[:actual], dt[:actual]
+    assert len(t2) == 3
+    np.testing.assert_allclose(dt2[-1], t[2] - t[3])
+
+
+def test_train_score_sigma_and_weight_flags():
+    """--tr_sigma_max etc. build the SigmaSchedule; loss weights reach the
+    loss (weights (1,0,0) ≡ pure translation loss)."""
+    from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
+    from disco_diffdock_tpu.train.losses import score_matching_loss
+
+    s = SigmaSchedule(tr_sigma_max=30.0, rot_sigma_min=0.1)
+    assert s.tr_sigma_max == 30.0 and s.rot_sigma_min == 0.1
+
+    B, R = 2, 3
+    preds = (jnp.ones((B, 3)), jnp.zeros((B, 3)), jnp.zeros((B, R)))
+    targets = {
+        "tr_score": jnp.zeros((B, 3)), "rot_score": jnp.zeros((B, 3)) + 0.1,
+        "tor_score": jnp.zeros((B, R)), "tor_sigma": jnp.ones((B,)),
+    }
+
+    class _B:
+        graph_mask = jnp.ones((B,), bool)
+        tor_mask = jnp.ones((B, R), bool)
+
+    tr_s = rot_s = jnp.ones((B,))
+    l_all, _ = score_matching_loss(preds, targets, _B, tr_s, rot_s,
+                                   0.33, 0.33, 0.33)
+    l_tr, _ = score_matching_loss(preds, targets, _B, tr_s, rot_s,
+                                  1.0, 0.0, 0.0)
+    assert not np.isclose(float(l_all), float(l_tr))
+
+
+def test_plateau_lr_through_multisteps():
+    """get/set_learning_rate reach inside optax.MultiSteps (gradient
+    accumulation, reference train_ar.py:55)."""
+    from disco_diffdock_tpu.train.plateau import (
+        get_learning_rate, make_adam, set_learning_rate,
+    )
+
+    tx = optax.MultiSteps(make_adam(1e-3), 2)
+    params = {"w": jnp.zeros((3,))}
+    st = tx.init(params)
+    assert np.isclose(get_learning_rate(st), 1e-3)
+    st2 = set_learning_rate(st, 7e-4)
+    assert np.isclose(get_learning_rate(st2), 7e-4)
+    # the updated state still drives the optimizer
+    g = {"w": jnp.ones((3,))}
+    _, st3 = tx.update(g, st2, params)
+    assert np.isclose(get_learning_rate(st3), 7e-4)
+
+
+def test_ar_label_modes():
+    """no_sampling -> softmax target vectors; sampling -> argmax one-hots
+    with raw-logit inputs (dataset_ar.py:98-119)."""
+    from disco_diffdock_tpu.config import GraphCaps
+    from disco_diffdock_tpu.data.synthetic import make_complex_batch
+    from disco_diffdock_tpu.train.train_ar import prepare_ar_sample
+
+    caps = GraphCaps(max_lig=16, max_rec=24, lig_bond_cap=36,
+                     lig_radius_cap=96, rec_edge_cap=24 * 8, cross_cap=128,
+                     tor_cap=4, tor_edge_cap=48)
+    batch = make_complex_batch(seed=0, batch=3, n_lig=10, n_res=16, caps=caps,
+                               esm_dim=16, c_alpha_max_neighbors=8)
+    N = 16 + 24
+    rng0 = np.random.RandomState(0)
+    soft = rng0.randn(3, 2, N).astype(np.float32)
+    mask = np.zeros((3, N), bool)
+    mask[:, :10] = True
+    mask[:, 16 : 16 + 16] = True
+
+    rng = np.random.RandomState(1)
+    _, lat, dec, lab = prepare_ar_sample(
+        rng, batch, soft, mask, 2, jax.random.PRNGKey(0), no_sampling=True)
+    lab = np.asarray(lab)
+    assert lab.shape == (3, N)
+    np.testing.assert_allclose(lab.sum(-1), 1.0, atol=1e-5)
+    assert (lab[~mask.astype(bool)] == 0).all()  # padded slots prob 0
+    assert (np.asarray(lab) > 0).sum() > 3  # genuinely soft
+
+    rng = np.random.RandomState(1)
+    _, lat2, dec2, lab2 = prepare_ar_sample(
+        rng, batch, soft, mask, 2, jax.random.PRNGKey(0), no_sampling=False)
+    lab2 = np.asarray(lab2)
+    assert set(np.unique(lab2)) <= {0.0, 1.0}
+    np.testing.assert_allclose(lab2.sum(-1), 1.0)
+    # raw-logit inputs, zeroed at slots >= dec_idx
+    l_lig = np.asarray(lat2[0])
+    d = np.asarray(dec2)
+    for b in range(3):
+        assert (l_lig[b, :, d[b]:] == 0).all()
+
+
+def test_train_score_parser_accepts_reference_flags():
+    import disco_diffdock_tpu.train.train_score as ts
+
+    p_argv = [
+        "--synthetic", "--ns", "4", "--sh_lmax", "2", "--no_batch_norm",
+        "--tr_weight", "0.5", "--tr_sigma_max", "30", "--receptor_radius",
+        "30", "--c_alpha_max_neighbors", "10", "--matching_popsize", "20",
+        "--train_multiplicity", "2", "--use_old_atom_encoder",
+        "--encoder_ns", "4", "--enc_nv", "2", "--restart_dir", "/tmp/x",
+        "--inference_earlystop_metric", "valinf_rmsds_lt5",
+        "--no-use_ema", "--no-dynamic_max_cross", "--all_atoms",
+    ]
+    # parse-only: pull the parser out of main by monkeypatching parse to stop
+    import argparse
+
+    real = argparse.ArgumentParser.parse_args
+    captured = {}
+
+    def fake(self, argv=None):
+        ns = real(self, argv)
+        captured.update(vars(ns))
+        raise SystemExit(0)
+
+    argparse.ArgumentParser.parse_args = fake
+    try:
+        with pytest.raises(SystemExit):
+            ts.main(p_argv)
+    finally:
+        argparse.ArgumentParser.parse_args = real
+    assert captured["sh_lmax"] == 2
+    assert captured["no_batch_norm"] is True
+    assert captured["tr_weight"] == 0.5
+    assert captured["encoder_ns"] == 4 and captured["encoder_nv"] == 2
+    assert captured["use_ema"] is False
+    assert captured["dynamic_max_cross"] is False
+    assert captured["inference_earlystop_metric"] == "valinf_rmsds_lt5"
+    assert captured["all_atoms"] is True
