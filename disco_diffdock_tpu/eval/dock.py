@@ -141,7 +141,8 @@ def dock(args):
     rec = record_from_paths(
         args.protein, args.ligand, esm=esm, name=name,
         keep_local_structures=args.keep_local_structures,
-        all_atoms=args.confidence_model_dir is not None,
+        all_atoms=(args.confidence_model_dir is not None
+                   or score_cfg.all_atoms),
         protein_sequence=args.protein_sequence, out_dir=args.out_dir,
         seed=args.seed,
     )

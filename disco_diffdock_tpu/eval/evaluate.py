@@ -98,6 +98,10 @@ def parse_args(argv=None):
     p.add_argument("--compute_ar_accuracy", action="store_true",
                    help="report the AR prior's slot agreement with the "
                         "oracle encoder (reference sampling.py:90-101)")
+    p.add_argument("--oracle", action="store_true",
+                   help="keep oracle-encoder latents even when "
+                        "--ar_model_dir is given (reference evaluate.py:281 "
+                        "passes ar_model=None under --oracle)")
     p.add_argument("--esm_embeddings_path", default=None)
     p.add_argument("--no_overlap_names_path", default=None,
                    help="text file of test complex names with no receptor "
@@ -374,7 +378,8 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
         limit_complexes=getattr(args, "limit_complexes", 0),
         num_workers=getattr(args, "num_dataloader_workers", 1),
         esm_embeddings_path=getattr(args, "esm_embeddings_path", None),
-        all_atoms=args.confidence_model_dir is not None,
+        all_atoms=(args.confidence_model_dir is not None
+                   or score_cfg.all_atoms),
     ))
     print(f"HAPPENING | evaluating {len(ds)} complexes from {args.split_path}")
 
@@ -443,8 +448,9 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
             ar_vars = restore_variables(args.ar_model_dir, args.ar_ckpt,
                                         use_ema=False)
             single = all(len(p) == 1 for p in packs)
+            oracle_latent_fn = latent_fn
 
-            def latent_fn(b, key):
+            def ar_latent_fn(b, key):
                 def apply_fn(bb, lat, dec):
                     return ar_model.apply(ar_vars, bb, lat, dec,
                                           deterministic=True,
@@ -453,20 +459,20 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
                                  getattr(args, "softmax_latent_temperature", 1.0))
 
+            # --oracle keeps encoder latents; the AR model is still loaded
+            # for --compute_ar_accuracy (reference evaluate.py:281)
+            if not getattr(args, "oracle", False):
+                latent_fn = ar_latent_fn
+
             if getattr(args, "compute_ar_accuracy", False):
                 # fraction of latent slots where the AR prior picks the same
                 # anchor node as the oracle encoder on the TRUE pose
                 # (reference utils/sampling.py:90-101 ar_accuracy)
-                oracle_fn = build_score_runtime(
-                    args.model_dir, caps, tag=args.ckpt,
-                    latent_temperature=getattr(
-                        args, "gumbel_latent_temperature", 0.01),
-                )[2]
                 hits = n_slots = 0
                 for bb in batches:
                     k = jax.random.PRNGKey(17)
-                    o_l, o_r = oracle_fn(bb, k)
-                    a_l, a_r = latent_fn(bb, k)
+                    o_l, o_r = oracle_latent_fn(bb, k)
+                    a_l, a_r = ar_latent_fn(bb, k)
                     o = np.concatenate([np.asarray(o_l), np.asarray(o_r)], 1).argmax(1)
                     a = np.concatenate([np.asarray(a_l), np.asarray(a_r)], 1).argmax(1)
                     gm = np.asarray(bb.graph_mask, bool)

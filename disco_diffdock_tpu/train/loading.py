@@ -136,6 +136,12 @@ def build_score_runtime(
 
         return _ScoreView, variables, latent_fn, score_cfg, enc_cfg
 
-    model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
+    if score_cfg.all_atoms:
+        # all-atom SCORE run (train_score --all_atoms, model_utils.py:26-27)
+        from ..models.all_atom_score_model import AllAtomScoreModel
+
+        model = AllAtomScoreModel(cfg=score_cfg, caps=caps)
+    else:
+        model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
     variables = restore_variables(run_dir, tag, use_ema)
     return model, variables, None, score_cfg, None

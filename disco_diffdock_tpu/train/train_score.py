@@ -92,7 +92,8 @@ def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None,
     return step
 
 
-def inference_epoch(model, variables, batches, sigma, key, steps=20, is_wrapper=False):
+def inference_epoch(model, variables, batches, sigma, key, steps=20,
+                    is_wrapper=False, latent_temperature=0.01):
     """Real-sampler validation (utils/training.py:180-231): one pose per
     complex, plain RMSD vs the crystal pose, %<2A and %<5A."""
     scfg = SamplerConfig(inference_steps=steps)
@@ -103,7 +104,7 @@ def inference_epoch(model, variables, batches, sigma, key, steps=20, is_wrapper=
             latent = model.apply(
                 variables, batch,
                 method=lambda m, b: m.encoder(
-                    b, latent_temperature=0.01, apply_gumbel=True,
+                    b, latent_temperature=latent_temperature, apply_gumbel=True,
                     deterministic=True, use_running_average=True,
                 ),
                 rngs={"gumbel": k3},
@@ -624,6 +625,7 @@ def main(argv=None):
                 inf_batches,
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
+                latent_temperature=args.sampling_latent_temperature,
             )
             print(f"epoch {epoch}: {metrics}")
             if wandb_run:
@@ -645,6 +647,7 @@ def main(argv=None):
                 traininf_batches,
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
+                latent_temperature=args.sampling_latent_temperature,
             )
             tmetrics = {k2.replace("valinf_", "traininf_"): v
                         for k2, v in tmetrics.items()}

@@ -169,3 +169,29 @@ def test_train_score_parser_accepts_reference_flags():
     assert captured["dynamic_max_cross"] is False
     assert captured["inference_earlystop_metric"] == "valinf_rmsds_lt5"
     assert captured["all_atoms"] is True
+
+
+def test_all_atom_score_run_roundtrip(tmp_path):
+    """train_score --all_atoms produces a run dir that build_score_runtime
+    loads as an AllAtomScoreModel and runs (the reference trains all-atom
+    score models through the same train.py, model_utils.py:26-27)."""
+    from disco_diffdock_tpu.models.all_atom_score_model import AllAtomScoreModel
+    from disco_diffdock_tpu.train.loading import build_score_runtime, load_run_configs
+    from disco_diffdock_tpu.train.train_score import main
+
+    main(["--synthetic", "--steps", "1", "--all_atoms",
+          "--run_name", "aa", "--log_dir", str(tmp_path)])
+    run = str(tmp_path / "aa")
+    score_cfg, enc_cfg, caps = load_run_configs(run)
+    assert score_cfg.all_atoms and enc_cfg is None
+    model, variables, latent_fn, _, _ = build_score_runtime(run, caps)
+    assert isinstance(model, AllAtomScoreModel) and latent_fn is None
+    from disco_diffdock_tpu.data.synthetic import make_complex_batch
+
+    b = make_complex_batch(seed=5, batch=4, n_lig=10, n_res=24, caps=caps,
+                           esm_dim=16, c_alpha_max_neighbors=8,
+                           all_atoms=True, atoms_per_res=2).set_time(0.5, 0.5, 0.5)
+    tr, rot, tor = model.apply(variables, b, deterministic=True,
+                               use_running_average=True)
+    assert tr.shape == (4, 3) and rot.shape == (4, 3)
+    assert np.isfinite(np.asarray(tr)).all()
