@@ -44,6 +44,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--n_complexes", type=int, default=3, help="synthetic mode")
+    p.add_argument("--all_atoms", action="store_true",
+                   help="synthetic mode: drive the all-atom score model "
+                        "through the sampler (real runs read all_atoms from "
+                        "the run config)")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split_path", default="data/splits/timesplit_test")
     p.add_argument("--cache_path", default="data/cache_tpu")
@@ -562,17 +566,30 @@ def main(argv=None):
     if args.synthetic:
         caps = GraphCaps(
             max_lig=16, max_rec=32, lig_bond_cap=36, lig_radius_cap=96,
-            rec_edge_cap=32 * 8, cross_cap=128, tor_cap=4, tor_edge_cap=48,
+            rec_edge_cap=32 * 8, tor_cap=4, tor_edge_cap=48,
+            # the all-atom model keeps every lig<->residue pair in range at
+            # t=1 (audit below); 16*32=512 covers the whole pair grid
+            cross_cap=512 if args.all_atoms else 128,
+            max_atoms=128, atom_edge_cap=128 * 8, la_cap=160,
         )
         cfg = ScoreModelConfig(
             ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
-            latent_dim=0, latent_droprate=0.0,
+            latent_dim=0, latent_droprate=0.0, all_atoms=args.all_atoms,
         )
-        model = TensorProductScoreModel(cfg=cfg, caps=caps)
+        if args.all_atoms:
+            # all-atom SCORE model as the diffusion model (the reference
+            # trains/evaluates this family via --all_atoms, model_utils.py:26)
+            from ..models.all_atom_score_model import AllAtomScoreModel
+
+            model = AllAtomScoreModel(cfg=cfg, caps=caps)
+        else:
+            model = TensorProductScoreModel(cfg=cfg, caps=caps)
         batches = [
             make_complex_batch(
                 seed=s, batch=args.samples_per_complex, n_lig=10, n_res=24,
                 caps=caps, esm_dim=16, c_alpha_max_neighbors=8, same_complex=True,
+                all_atoms=args.all_atoms,
+                **({"atoms_per_res": 4} if args.all_atoms else {}),
             )
             for s in range(args.n_complexes)
         ]

@@ -241,3 +241,15 @@ class TestRetryHelper:
 
         pos, conf, traj = run_with_retries(broken, None, jax.random.PRNGKey(0), 2)
         assert pos is None and conf is None and traj is None
+
+
+def test_synthetic_all_atom_score_eval():
+    """The all-atom score model runs the FULL sampler/eval path (the
+    reference evaluates --all_atoms score runs through the same evaluate.py
+    driver as the CG family)."""
+    from disco_diffdock_tpu.eval.evaluate import main
+
+    m = main(["--synthetic", "--all_atoms", "--n_complexes", "1",
+              "--samples_per_complex", "2", "--inference_steps", "2"])
+    assert m["rmsds_below_2"] is not None
+    assert all(v == 0 for v in m["edge_overflow"].values())
