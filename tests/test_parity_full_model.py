@@ -22,6 +22,7 @@ re-derived, each validated elsewhere: the Clebsch-Gordan tables
 """
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import numpy as np
@@ -398,10 +399,20 @@ def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     -conditioned / CFG trunk modes).
     Returns (tr_pred (3,), rot_pred (3,), tor_pred (R,)).
     """
-    ns = cfg.ns
     lig_attr, rec_attr = oracle_trunk(params, stats, cfg, sigma, g, t,
                                       lat=lat, unconditional=unconditional,
                                       glat=glat, post_layer=post_layer)
+    return oracle_score_heads(params, stats, cfg, sigma, g, t, lig_attr)
+
+
+def oracle_score_heads(params, stats, cfg: ScoreModelConfig,
+                       sigma: SigmaSchedule, g: dict, t: float,
+                       lig_attr: torch.Tensor):
+    """tr/rot/tor score heads on a trunk's final ligand irreps.  Shared by
+    the CG and all-atom oracles: the two reference models' head code is
+    structurally identical (models/score_model.py:259-307 vs
+    models/all_atom_score_model.py:285-343) with the same parameter names."""
+    ns = cfg.ns
     pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
     nl = len(pos_l)
     tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t, t, t)
@@ -795,157 +806,11 @@ class TestAllAtomConfidenceParity:
         return g
 
     def _oracle(self, params, stats, cfg, g, t):
-        ns = cfg.ns
-        pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
-        pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
-        pos_a = torch.from_numpy(g["atom_pos"].astype(np.float64))
-        nl, nr, na = len(pos_l), len(pos_r), len(pos_a)
-        sig = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
-
-        lig_attr = t_atom_encoder(params["lig_node_embedding"], g["lig_x"],
-                                  sig[None].expand(nl, -1), n_cat=16)
-        rec_extras = torch.cat([
-            torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)),
-            sig[None].expand(nr, -1)], -1)
-        rec_attr = t_atom_encoder(params["rec_node_embedding"],
-                                  g["rec_x"][:, :1], rec_extras, n_cat=1)
-        atom_attr = t_atom_encoder(params["atom_node_embedding"], g["atom_x"],
-                                   sig[None].expand(na, -1), n_cat=4)
-
-        def rbf_pair(pos_s, pos_d, src, dst, stop):
-            vec = pos_d[dst] - pos_s[src]
-            dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-            return vec, t_rbf(dist, stop, cfg.distance_embed_dim)
-
-        # lig: bonds + radius (dup kept)
-        b_src, b_dst = g["bonds"][:, 0].tolist(), g["bonds"][:, 1].tolist()
-        r_src, r_dst = [], []
-        for i in range(nl):
-            for j in range(nl):
-                if i != j and np.linalg.norm(
-                        g["lig_pos"][i] - g["lig_pos"][j]) < cfg.lig_max_radius:
-                    r_src.append(i)
-                    r_dst.append(j)
-        lig_src = np.asarray(b_src + r_src)
-        lig_dst = np.asarray(b_dst + r_dst)
-        bond_feat = torch.zeros((len(lig_src), 4), dtype=torch.float64)
-        bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
-        vec, rbf = rbf_pair(pos_l, pos_l, lig_src, lig_dst, cfg.lig_max_radius)
-        lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(
-            [bond_feat, sig[None].expand(len(lig_src), -1), rbf], -1))
-        lig_sh = t_sh(vec, cfg.sh_lmax)
-
-        rec_src, rec_dst = g["rec_src"], g["rec_dst"]
-        vec, rbf = rbf_pair(pos_r, pos_r, rec_src, rec_dst, cfg.rec_max_radius)
-        rec_eattr = t_fcblock(params["rec_edge_embedding"], torch.cat(
-            [sig[None].expand(len(rec_src), -1), rbf], -1))
-        rec_sh = t_sh(vec, cfg.sh_lmax)
-
-        atom_src, atom_dst = g["atom_src"], g["atom_dst"]
-        # quirk: atom graph reuses the LIGAND 0-5A expansion (:380)
-        vec, rbf = rbf_pair(pos_a, pos_a, atom_src, atom_dst, cfg.lig_max_radius)
-        atom_eattr = t_fcblock(params["atom_edge_embedding"], torch.cat(
-            [sig[None].expand(len(atom_src), -1), rbf], -1))
-        atom_sh = t_sh(vec, cfg.sh_lmax)
-
-        # lr: dynamic cutoff 3*sigma+20 (sigma = raw t in confidence mode)
+        # confidence mode: sigma = raw t, so the cutoff uses t directly
         cutoff = t * 3 + 20 if cfg.dynamic_max_cross else cfg.cross_max_distance
-        lr_src, lr_dst = [], []
-        for i in range(nl):
-            for j in range(nr):
-                if np.linalg.norm(g["lig_pos"][i] - g["rec_pos"][j]) < cutoff:
-                    lr_src.append(i)
-                    lr_dst.append(j)
-        lr_src, lr_dst = np.asarray(lr_src), np.asarray(lr_dst)
-        vec = pos_r[lr_dst] - pos_l[lr_src]
-        dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-        lr_eattr = t_fcblock(params["lr_edge_embedding"], torch.cat(
-            [sig[None].expand(len(lr_src), -1),
-             t_rbf(dist, cfg.cross_max_distance, cfg.cross_distance_embed_dim)], -1))
-        lr_sh = t_sh(vec, cfg.sh_lmax)
-
-        # la: 5A cutoff but the CROSS distance expansion (:414 quirk)
-        la_src, la_dst = [], []
-        for i in range(nl):
-            for j in range(na):
-                if np.linalg.norm(g["lig_pos"][i] - g["atom_pos"][j]) < cfg.lig_max_radius:
-                    la_src.append(i)
-                    la_dst.append(j)
-        la_src, la_dst = np.asarray(la_src), np.asarray(la_dst)
-        vec = pos_a[la_dst] - pos_l[la_src]
-        dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-        la_eattr = t_fcblock(params["la_edge_embedding"], torch.cat(
-            [sig[None].expand(len(la_src), -1),
-             t_rbf(dist, cfg.cross_max_distance, cfg.cross_distance_embed_dim)], -1))
-        la_sh = t_sh(vec, cfg.sh_lmax)
-
-        ar_src, ar_dst = g["ar_src"], g["ar_dst"]
-        vec = pos_r[ar_dst] - pos_a[ar_src]
-        dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
-        ar_eattr = t_fcblock(params["ar_edge_embedding"], torch.cat(
-            [sig[None].expand(len(ar_src), -1),
-             t_rbf(dist, cfg.rec_max_radius, cfg.distance_embed_dim)], -1))
-        ar_sh = t_sh(vec, cfg.sh_lmax)
-
-        seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
-        sh_irreps = "1x0e + 1x1o + 1x2e"
-        attrs = {"lig": lig_attr, "rec": rec_attr, "atom": atom_attr}
-        sizes = {"lig": nl, "rec": nr, "atom": na}
+        la = oracle_aa_trunk(params, stats, cfg, g, t, cutoff)
+        ns = cfg.ns
         L = cfg.num_conv_layers
-
-        def conv(li, j, src, dst, eattr, esh, rt, st, in_ir, out_ir):
-            tp = TorchWeightedTP(in_ir, sh_irreps, out_ir)
-            lp = params[f"conv{li}_{j}"]
-            x = attrs[st][dst]
-            full = torch.cat([eattr, attrs[rt][src][:, :ns], x[:, :ns]], -1)
-            w = t_conv_mlp(lp, 0, full, len(tp.weight_splits))
-            msg = tp(x, esh, w)
-            out_dim = Irreps(out_ir).dim
-            sums = torch.zeros((sizes[rt], out_dim), dtype=torch.float64)
-            cnt = torch.zeros((sizes[rt], 1), dtype=torch.float64)
-            sums.index_add_(0, torch.from_numpy(np.asarray(src)), msg)
-            cnt.index_add_(0, torch.from_numpy(np.asarray(src)),
-                           torch.ones((len(src), 1), dtype=torch.float64))
-            out = sums / (cnt + 1e-12)
-            if cfg.batch_norm:
-                out = t_irreps_bn(lp["MaskedIrrepsBatchNorm_0"],
-                                  stats[f"conv{li}_{j}"]["MaskedIrrepsBatchNorm_0"],
-                                  out_ir, out)
-            return out
-
-        for li in range(L):
-            in_ir = seq[min(li, len(seq) - 1)]
-            out_ir = seq[min(li + 1, len(seq) - 1)]
-            blocks = [
-                (0, lig_src, lig_dst, lig_eattr, lig_sh, "lig", "lig"),
-                (1, lr_src, lr_dst, lr_eattr, lr_sh, "lig", "rec"),
-                (2, la_src, la_dst, la_eattr, la_sh, "lig", "atom"),
-                (3, atom_src, atom_dst, atom_eattr, atom_sh, "atom", "atom"),
-                (4, la_dst, la_src, la_eattr, la_sh, "atom", "lig"),
-                (5, ar_src, ar_dst, ar_eattr, ar_sh, "atom", "rec"),
-                (6, rec_src, rec_dst, rec_eattr, rec_sh, "rec", "rec"),
-                (7, lr_dst, lr_src, lr_eattr, lr_sh, "rec", "lig"),
-                (8, ar_dst, ar_src, ar_eattr, ar_sh, "rec", "atom"),
-            ]
-            ups = {}
-            for (j, src, dst, eattr, esh, rt, st) in blocks:
-                if li == L - 1 and j >= 3:
-                    continue  # last layer updates ligand only (:245)
-                ups[j] = conv(li, j, src, dst, eattr, esh, rt, st, in_ir, out_ir)
-            D = Irreps(out_ir).dim
-
-            def pad_to(x):
-                return torch.nn.functional.pad(x, (0, D - x.shape[-1]))
-
-            new_attrs = {"lig": pad_to(attrs["lig"]) + ups[0] + ups[2] + ups[1]}
-            if li != L - 1:
-                new_attrs["atom"] = pad_to(attrs["atom"]) + ups[3] + ups[4] + ups[5]
-                new_attrs["rec"] = pad_to(attrs["rec"]) + ups[6] + ups[8] + ups[7]
-            else:
-                new_attrs["atom"], new_attrs["rec"] = attrs["atom"], attrs["rec"]
-            attrs = new_attrs
-
-        la = attrs["lig"]
         scal = torch.cat([la[:, :ns], la[:, -ns:]], -1) if L >= 3 else la[:, :ns]
         x = t_dense(params["confidence_mlp1"], scal.mean(0, keepdim=True))
         if not cfg.confidence_no_batchnorm:
@@ -980,6 +845,213 @@ class TestAllAtomConfidenceParity:
             o = self._oracle(params, stats, self.CFG, g, t)
             np.testing.assert_allclose(conf[gi], o, rtol=3e-4, atol=3e-5,
                                        err_msg=f"graph {gi} t={t}")
+
+
+def oracle_aa_trunk(params, stats, cfg, g, t, cross_cutoff):
+    """Plain-torch all-atom trunk (3 node types, 9 convs per depth level,
+    last-layer ligand-only -- reference models/all_atom_score_model.py) for
+    one unpadded graph; returns the final ligand irreps.  ``cross_cutoff``
+    is the lig<->residue radius: raw-t-based in confidence mode, sigma-based
+    in score mode (all_atom_score_model.py:170-173)."""
+    ns = cfg.ns
+    pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
+    pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
+    pos_a = torch.from_numpy(g["atom_pos"].astype(np.float64))
+    nl, nr, na = len(pos_l), len(pos_r), len(pos_a)
+    sig = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
+
+    lig_attr = t_atom_encoder(params["lig_node_embedding"], g["lig_x"],
+                              sig[None].expand(nl, -1), n_cat=16)
+    rec_extras = torch.cat([
+        torch.from_numpy(g["rec_x"][:, 1:].astype(np.float64)),
+        sig[None].expand(nr, -1)], -1)
+    rec_attr = t_atom_encoder(params["rec_node_embedding"],
+                              g["rec_x"][:, :1], rec_extras, n_cat=1)
+    atom_attr = t_atom_encoder(params["atom_node_embedding"], g["atom_x"],
+                               sig[None].expand(na, -1), n_cat=4)
+
+    def rbf_pair(pos_s, pos_d, src, dst, stop):
+        vec = pos_d[dst] - pos_s[src]
+        dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+        return vec, t_rbf(dist, stop, cfg.distance_embed_dim)
+
+    # lig: bonds + radius (dup kept)
+    b_src, b_dst = g["bonds"][:, 0].tolist(), g["bonds"][:, 1].tolist()
+    r_src, r_dst = [], []
+    for i in range(nl):
+        for j in range(nl):
+            if i != j and np.linalg.norm(
+                    g["lig_pos"][i] - g["lig_pos"][j]) < cfg.lig_max_radius:
+                r_src.append(i)
+                r_dst.append(j)
+    lig_src = np.asarray(b_src + r_src)
+    lig_dst = np.asarray(b_dst + r_dst)
+    bond_feat = torch.zeros((len(lig_src), 4), dtype=torch.float64)
+    bond_feat[: len(b_src)] = torch.from_numpy(g["bond_attr"].astype(np.float64))
+    vec, rbf = rbf_pair(pos_l, pos_l, lig_src, lig_dst, cfg.lig_max_radius)
+    lig_eattr = t_fcblock(params["lig_edge_embedding"], torch.cat(
+        [bond_feat, sig[None].expand(len(lig_src), -1), rbf], -1))
+    lig_sh = t_sh(vec, cfg.sh_lmax)
+
+    rec_src, rec_dst = g["rec_src"], g["rec_dst"]
+    vec, rbf = rbf_pair(pos_r, pos_r, rec_src, rec_dst, cfg.rec_max_radius)
+    rec_eattr = t_fcblock(params["rec_edge_embedding"], torch.cat(
+        [sig[None].expand(len(rec_src), -1), rbf], -1))
+    rec_sh = t_sh(vec, cfg.sh_lmax)
+
+    atom_src, atom_dst = g["atom_src"], g["atom_dst"]
+    # quirk: atom graph reuses the LIGAND 0-5A expansion (:380)
+    vec, rbf = rbf_pair(pos_a, pos_a, atom_src, atom_dst, cfg.lig_max_radius)
+    atom_eattr = t_fcblock(params["atom_edge_embedding"], torch.cat(
+        [sig[None].expand(len(atom_src), -1), rbf], -1))
+    atom_sh = t_sh(vec, cfg.sh_lmax)
+
+    # lr edges at the caller-supplied cutoff (confidence: 3*t+20;
+    # score mode: 3*sigma_tr+20)
+    cutoff = cross_cutoff
+    lr_src, lr_dst = [], []
+    for i in range(nl):
+        for j in range(nr):
+            if np.linalg.norm(g["lig_pos"][i] - g["rec_pos"][j]) < cutoff:
+                lr_src.append(i)
+                lr_dst.append(j)
+    lr_src, lr_dst = np.asarray(lr_src), np.asarray(lr_dst)
+    vec = pos_r[lr_dst] - pos_l[lr_src]
+    dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+    lr_eattr = t_fcblock(params["lr_edge_embedding"], torch.cat(
+        [sig[None].expand(len(lr_src), -1),
+         t_rbf(dist, cfg.cross_max_distance, cfg.cross_distance_embed_dim)], -1))
+    lr_sh = t_sh(vec, cfg.sh_lmax)
+
+    # la: 5A cutoff but the CROSS distance expansion (:414 quirk)
+    la_src, la_dst = [], []
+    for i in range(nl):
+        for j in range(na):
+            if np.linalg.norm(g["lig_pos"][i] - g["atom_pos"][j]) < cfg.lig_max_radius:
+                la_src.append(i)
+                la_dst.append(j)
+    la_src, la_dst = np.asarray(la_src), np.asarray(la_dst)
+    vec = pos_a[la_dst] - pos_l[la_src]
+    dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+    la_eattr = t_fcblock(params["la_edge_embedding"], torch.cat(
+        [sig[None].expand(len(la_src), -1),
+         t_rbf(dist, cfg.cross_max_distance, cfg.cross_distance_embed_dim)], -1))
+    la_sh = t_sh(vec, cfg.sh_lmax)
+
+    ar_src, ar_dst = g["ar_src"], g["ar_dst"]
+    vec = pos_r[ar_dst] - pos_a[ar_src]
+    dist = torch.sqrt(((vec + 1e-12) ** 2).sum(-1))
+    ar_eattr = t_fcblock(params["ar_edge_embedding"], torch.cat(
+        [sig[None].expand(len(ar_src), -1),
+         t_rbf(dist, cfg.rec_max_radius, cfg.distance_embed_dim)], -1))
+    ar_sh = t_sh(vec, cfg.sh_lmax)
+
+    seq = get_irrep_seq(ns, cfg.nv, cfg.use_second_order_repr)
+    sh_irreps = "1x0e + 1x1o + 1x2e"
+    attrs = {"lig": lig_attr, "rec": rec_attr, "atom": atom_attr}
+    sizes = {"lig": nl, "rec": nr, "atom": na}
+    L = cfg.num_conv_layers
+
+    def conv(li, j, src, dst, eattr, esh, rt, st, in_ir, out_ir):
+        tp = TorchWeightedTP(in_ir, sh_irreps, out_ir)
+        lp = params[f"conv{li}_{j}"]
+        x = attrs[st][dst]
+        full = torch.cat([eattr, attrs[rt][src][:, :ns], x[:, :ns]], -1)
+        w = t_conv_mlp(lp, 0, full, len(tp.weight_splits))
+        msg = tp(x, esh, w)
+        out_dim = Irreps(out_ir).dim
+        sums = torch.zeros((sizes[rt], out_dim), dtype=torch.float64)
+        cnt = torch.zeros((sizes[rt], 1), dtype=torch.float64)
+        sums.index_add_(0, torch.from_numpy(np.asarray(src)), msg)
+        cnt.index_add_(0, torch.from_numpy(np.asarray(src)),
+                       torch.ones((len(src), 1), dtype=torch.float64))
+        out = sums / (cnt + 1e-12)
+        if cfg.batch_norm:
+            out = t_irreps_bn(lp["MaskedIrrepsBatchNorm_0"],
+                              stats[f"conv{li}_{j}"]["MaskedIrrepsBatchNorm_0"],
+                              out_ir, out)
+        return out
+
+    for li in range(L):
+        in_ir = seq[min(li, len(seq) - 1)]
+        out_ir = seq[min(li + 1, len(seq) - 1)]
+        blocks = [
+            (0, lig_src, lig_dst, lig_eattr, lig_sh, "lig", "lig"),
+            (1, lr_src, lr_dst, lr_eattr, lr_sh, "lig", "rec"),
+            (2, la_src, la_dst, la_eattr, la_sh, "lig", "atom"),
+            (3, atom_src, atom_dst, atom_eattr, atom_sh, "atom", "atom"),
+            (4, la_dst, la_src, la_eattr, la_sh, "atom", "lig"),
+            (5, ar_src, ar_dst, ar_eattr, ar_sh, "atom", "rec"),
+            (6, rec_src, rec_dst, rec_eattr, rec_sh, "rec", "rec"),
+            (7, lr_dst, lr_src, lr_eattr, lr_sh, "rec", "lig"),
+            (8, ar_dst, ar_src, ar_eattr, ar_sh, "rec", "atom"),
+        ]
+        ups = {}
+        for (j, src, dst, eattr, esh, rt, st) in blocks:
+            if li == L - 1 and j >= 3:
+                continue  # last layer updates ligand only (:245)
+            ups[j] = conv(li, j, src, dst, eattr, esh, rt, st, in_ir, out_ir)
+        D = Irreps(out_ir).dim
+
+        def pad_to(x):
+            return torch.nn.functional.pad(x, (0, D - x.shape[-1]))
+
+        new_attrs = {"lig": pad_to(attrs["lig"]) + ups[0] + ups[2] + ups[1]}
+        if li != L - 1:
+            new_attrs["atom"] = pad_to(attrs["atom"]) + ups[3] + ups[4] + ups[5]
+            new_attrs["rec"] = pad_to(attrs["rec"]) + ups[6] + ups[8] + ups[7]
+        else:
+            new_attrs["atom"], new_attrs["rec"] = attrs["atom"], attrs["rec"]
+        attrs = new_attrs
+
+    return attrs["lig"]
+
+class TestAllAtomScoreParity:
+    """The all-atom model in SCORE mode (tr/rot/tor + pseudotorque heads on
+    the 3-node-type trunk -- the reference trains this family via
+    --all_atoms, model_utils.py:26-27) vs the shared torch oracles:
+    oracle_aa_trunk at the sigma-based cross cutoff + oracle_score_heads."""
+
+    CAPS = TestAllAtomConfidenceParity.CAPS
+    CFG = dataclasses.replace(TestAllAtomConfidenceParity.CFG,
+                              confidence_mode=False)
+
+    @pytest.mark.parametrize("t", [0.8, 0.3])
+    def test_scores_match(self, t):
+        from disco_diffdock_tpu.models.all_atom_score_model import AllAtomScoreModel
+
+        batch = make_complex_batch(
+            seed=8, batch=2, n_lig=10, n_res=14, caps=self.CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6, all_atoms=True, atoms_per_res=4,
+        )
+        model = AllAtomScoreModel(cfg=self.CFG, caps=self.CAPS)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        variables = _randomize(variables, seed=21)
+        b = batch.set_time(t, t, t)
+        tr, rot, tor = model.apply(
+            variables, b, deterministic=True, use_running_average=True)
+        tr, rot, tor = np.asarray(tr), np.asarray(rot), np.asarray(tor)
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        tr_sigma = float(model.sigma.t_to_sigma(
+            jnp.asarray([t]), jnp.asarray([t]), jnp.asarray([t]))[0][0])
+        for gi in range(batch.num_graphs):
+            g = TestAllAtomConfidenceParity._unpad_aa(
+                TestAllAtomConfidenceParity, batch, gi)
+            lig_attr = oracle_aa_trunk(params, stats, self.CFG, g, t,
+                                       tr_sigma * 3 + 20)
+            o_tr, o_rot, o_tor = oracle_score_heads(
+                params, stats, self.CFG, model.sigma, g, t, lig_attr)
+            np.testing.assert_allclose(tr[gi], o_tr, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"tr graph {gi} t={t}")
+            np.testing.assert_allclose(rot[gi], o_rot, rtol=3e-4, atol=3e-5,
+                                       err_msg=f"rot graph {gi} t={t}")
+            R = len(g["tor_edges"])
+            np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=3e-4,
+                                       atol=3e-5,
+                                       err_msg=f"tor graph {gi} t={t}")
+            assert np.all(tor[gi][R:] == 0.0)
+
 
 
 class TestReverseStepParity:
