@@ -52,6 +52,9 @@ def read_molecule(path: str, remove_hs: bool = True):
         mol = minichem.parse_pdb_ligand(path)
     else:
         raise ValueError(f"unsupported extension: {path}")
+    # RDKit's SanitizeMol perceives aromaticity on read; mirror it here so
+    # Kekule SDF rings featurize as aromatic on the fallback path too
+    mol = minichem.perceive_aromaticity(mol)
     return mol.remove_hs() if remove_hs else mol
 
 

@@ -31,21 +31,29 @@ class MiniMol:
     bonds: np.ndarray  # (E, 2) 0-based unique pairs
     bond_types: np.ndarray  # (E,) 1/2/3/4(=aromatic)
     charges: np.ndarray  # (N,)
+    # original (Kekule) bond orders, kept when perceive_aromaticity upgrades
+    # ring bonds to type 4: valence/H-count math needs the localized orders
+    # (RDKit likewise computes valence on the Kekule form)
+    kekule_types: "np.ndarray | None" = None
 
     def remove_hs(self) -> "MiniMol":
         keep = [i for i, e in enumerate(self.elements) if e.upper() != "H"]
         remap = {o: n for n, o in enumerate(keep)}
-        bonds, types = [], []
-        for (a, b), t in zip(self.bonds, self.bond_types):
+        kek = self.kekule_types if self.kekule_types is not None else self.bond_types
+        bonds, types, ktypes = [], [], []
+        for (a, b), t, kt in zip(self.bonds, self.bond_types, kek):
             if a in remap and b in remap:
                 bonds.append((remap[a], remap[b]))
                 types.append(t)
+                ktypes.append(kt)
         return MiniMol(
             elements=[self.elements[i] for i in keep],
             pos=self.pos[keep],
             bonds=np.asarray(bonds, np.int32).reshape(-1, 2),
             bond_types=np.asarray(types, np.int32),
             charges=self.charges[keep],
+            kekule_types=(np.asarray(ktypes, np.int32)
+                          if self.kekule_types is not None else None),
         )
 
 
@@ -240,6 +248,110 @@ def atomic_number(element: str) -> int:
     return _ELEMENT_Z.get(element.upper(), -1)
 
 
+def _effective_valence(element: str, charge: int) -> int:
+    """Default valence adjusted for formal charge (RDKit's valence model for
+    the common organics): N+ -> 4, O- -> 1, C+/- -> 3, B- -> 4, S+ -> 3."""
+    el = element.capitalize()
+    val = _VALENCE.get(el, 4)
+    if el in ("C", "Si"):
+        return max(0, val - abs(charge))
+    if el == "B":
+        return max(0, val - charge)
+    return max(0, val + charge)
+
+
+_AROMATIC_ELEMENTS = {"C", "N", "O", "S", "B", "P", "Se", "As", "Si"}
+
+
+def perceive_aromaticity(mol: MiniMol) -> MiniMol:
+    """Mark aromatic rings on Kekule input (Hueckel 4n+2 per SSSR ring).
+
+    Real-world SDF files store localized single/double bonds; RDKit's
+    SanitizeMol perceives aromaticity on read (the reference reads through it,
+    process_mols.py:481-505), so without this pass the no-RDKit path would
+    featurize every benzene as non-aromatic.  Approximation of RDKit's default
+    model, per minimum-cycle-basis ring of size 5-7:
+
+      * an atom with one in-ring double bond (or an existing aromatic bond)
+        contributes 1 pi electron; two in-ring double bonds (cumulated) or a
+        non-contributing saturated atom disqualify the ring
+      * N/P with no double bond contribute their lone pair (2), as do 2-bonded
+        O/S/Se (furan, thiophene); C- contributes 2, C+ and B contribute 0
+      * an exocyclic double bond contributes 0 but keeps the atom eligible
+        (quinones then fail 4n+2, matching RDKit's default model)
+
+    Aromatic ring bonds are upgraded to type 4 with the original orders kept
+    in ``kekule_types`` (valence math stays Kekule); multi-ring envelopes
+    (azulene) are not combined -- documented fallback approximation, the RDKit
+    path is authoritative.  Idempotent.
+    """
+    n = len(mol.elements)
+    if n == 0 or len(mol.bonds) == 0:
+        return mol
+    btype: dict[tuple[int, int], int] = {}
+    for (a, b), t in zip(mol.bonds, mol.bond_types):
+        btype[(int(a), int(b))] = btype[(int(b), int(a))] = int(t)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(map(tuple, mol.bonds))
+    try:
+        rings = nx.minimum_cycle_basis(G)
+    except Exception:
+        rings = nx.cycle_basis(G)
+
+    aromatic_pairs: set[tuple[int, int]] = set()
+    for ring in rings:
+        rs = {int(i) for i in ring}
+        if not 5 <= len(rs) <= 7:
+            continue
+        if any(mol.elements[i].capitalize() not in _AROMATIC_ELEMENTS for i in rs):
+            continue
+        pi = 0
+        ok = True
+        for i in rs:
+            nbrs = list(G.neighbors(i))
+            in_dbl = sum(1 for j in nbrs if j in rs and btype[(i, j)] == 2)
+            ex_dbl = sum(1 for j in nbrs if j not in rs and btype[(i, j)] == 2)
+            has_ar = any(btype[(i, j)] == 4 for j in nbrs)
+            el = mol.elements[i].capitalize()
+            chg = int(mol.charges[i])
+            if in_dbl >= 2:
+                ok = False  # cumulated double bonds
+                break
+            if in_dbl == 1 or has_ar:
+                pi += 1
+            elif ex_dbl >= 1:
+                pi += 0  # sp2 with an empty in-ring contribution
+            elif el in ("N", "P", "As"):
+                pi += 2  # pyrrole-type lone pair
+            elif el in ("O", "S", "Se"):
+                pi += 2  # furan / thiophene
+            elif el == "C" and chg == -1:
+                pi += 2  # cyclopentadienyl anion
+            elif el == "C" and chg == 1:
+                pi += 0  # tropylium
+            elif el == "B":
+                pi += 0  # empty p orbital
+            else:
+                ok = False  # saturated atom in the ring
+                break
+        if ok and pi % 4 == 2:
+            for i in rs:
+                for j in G.neighbors(i):
+                    if j in rs:
+                        aromatic_pairs.add((min(i, j), max(i, j)))
+
+    if not aromatic_pairs:
+        return mol
+    kek = (mol.kekule_types if mol.kekule_types is not None
+           else mol.bond_types).copy()
+    new_types = mol.bond_types.copy()
+    for e, (a, b) in enumerate(mol.bonds):
+        if (min(int(a), int(b)), max(int(a), int(b))) in aromatic_pairs:
+            new_types[e] = 4
+    return dataclasses.replace(mol, bond_types=new_types, kekule_types=kek)
+
+
 def ring_info(n_atoms: int, bonds: np.ndarray):
     """Per-atom ring membership via networkx cycle basis (SSSR approximation)."""
     G = nx.Graph()
@@ -268,27 +380,30 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
     bond_order_sum = np.zeros(n, np.float32)
     n_double = np.zeros(n, np.int32)
     n_triple = np.zeros(n, np.int32)
-    for (a, b), t in zip(mol.bonds, mol.bond_types):
+    # valence math runs on the Kekule orders (kept by perceive_aromaticity);
+    # aromatic flags come from the perceived bond types
+    kek = mol.kekule_types if mol.kekule_types is not None else mol.bond_types
+    for (a, b), t, kt in zip(mol.bonds, mol.bond_types, kek):
         G_degree[a] += 1
         G_degree[b] += 1
-        order = 1.5 if t == 4 else t
+        order = 1.5 if kt == 4 else kt
         bond_order_sum[a] += order
         bond_order_sum[b] += order
-        if t == 2:
+        if kt == 2:
             n_double[a] += 1
             n_double[b] += 1
-        elif t == 3:
+        elif kt == 3:
             n_triple[a] += 1
             n_triple[b] += 1
-        elif t == 4:
+        if t == 4:
             aromatic[a] = aromatic[b] = True
     num_rings, in_ring = ring_info(n, mol.bonds)
 
     feats = np.zeros((n, 16), np.int32)
     for i, e in enumerate(mol.elements):
         z = atomic_number(e)
-        val = _VALENCE.get(e.capitalize(), 4)
-        num_h = max(0, int(round(val - bond_order_sum[i] + mol.charges[i] * (1 if e.upper() in ("N",) else -1))))
+        val = _effective_valence(e, int(mol.charges[i]))
+        num_h = max(0, int(round(val - bond_order_sum[i])))
         # hybridization from incident bond ORDERS (RDKit semantics for
         # common organics): a triple bond or two cumulated double bonds ->
         # SP; any double/aromatic bond -> SP2; else SP3

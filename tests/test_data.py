@@ -168,6 +168,125 @@ class TestMinichem:
         assert g["bonds"].shape == (10, 2)  # 5 bonds, bidirectional
 
 
+def _sdf_text(elements, bonds, charges=None):
+    """Build V2000 SDF text from an element list and (a, b, order) bonds
+    (0-based); coordinates are an arbitrary spread (perception is graph-only)."""
+    lines = ["m", "  mini", "",
+             f"{len(elements):3d}{len(bonds):3d}  0  0  0  0  0  0  0  0999 V2000"]
+    for i, e in enumerate(elements):
+        lines.append(f"{float(i):10.4f}{float(i % 3):10.4f}{0.0:10.4f} {e:<3s} 0  0")
+    for a, b, t in bonds:
+        lines.append(f"{a + 1:3d}{b + 1:3d}{t:3d}  0")
+    if charges:
+        for idx, c in charges:
+            lines.append(f"M  CHG  1 {idx + 1:3d} {c:3d}")
+    lines += ["M  END", "$$$$", ""]
+    return "\n".join(lines)
+
+
+def _ring_bonds(n, orders):
+    return [(i, (i + 1) % n, orders[i]) for i in range(n)]
+
+
+class TestAromaticity:
+    """Hueckel perception on Kekule input (RDKit sanitization analogue --
+    reference reads via SanitizeMol, process_mols.py:481-505)."""
+
+    def test_benzene_kekule(self):
+        mol = minichem.parse_sdf(_sdf_text(["C"] * 6, _ring_bonds(6, [1, 2, 1, 2, 1, 2])))
+        out = minichem.perceive_aromaticity(mol)
+        assert out.bond_types.tolist() == [4] * 6
+        assert out.kekule_types.tolist() == [1, 2, 1, 2, 1, 2]
+        x = minichem.featurize_minimol(out)
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        assert all(A["possible_is_aromatic_list"][v] for v in x[:, 8])
+        # Kekule valence preserved: each aromatic C keeps exactly 1 H
+        assert all(A["possible_numH_list"][v] == 1 for v in x[:, 5])
+        assert all(A["possible_hybridization_list"][v] == "SP2" for v in x[:, 7])
+
+    def test_pyridine_and_pyrrole(self):
+        pyridine = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(["N"] + ["C"] * 5, _ring_bonds(6, [1, 2, 1, 2, 1, 2]))))
+        assert (pyridine.bond_types == 4).all()
+        pyrrole = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(["N"] + ["C"] * 4, _ring_bonds(5, [1, 2, 1, 2, 1]))))
+        assert (pyrrole.bond_types == 4).all()
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        # pyridine N: Kekule orders 1+2 -> 0 H; pyrrole N: 1+1 -> 1 H
+        xp = minichem.featurize_minimol(pyridine)
+        assert A["possible_numH_list"][xp[0, 5]] == 0
+        xr = minichem.featurize_minimol(pyrrole)
+        assert A["possible_numH_list"][xr[0, 5]] == 1
+
+    def test_furan_thiophene(self):
+        for el in ("O", "S"):
+            m = minichem.perceive_aromaticity(
+                minichem.parse_sdf(_sdf_text([el] + ["C"] * 4, _ring_bonds(5, [1, 2, 1, 2, 1]))))
+            assert (m.bond_types == 4).all(), el
+
+    def test_non_aromatic_rings(self):
+        # cyclohexane: saturated
+        ch = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(["C"] * 6, _ring_bonds(6, [1] * 6))))
+        assert (ch.bond_types == 1).all()
+        # cyclopentadiene: one sp3 carbon breaks the ring
+        cp = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(["C"] * 5, _ring_bonds(5, [2, 1, 2, 1, 1]))))
+        assert (cp.bond_types != 4).all()
+        # 1,4-benzoquinone: exocyclic C=O atoms contribute 0 -> 4 pi, fails
+        els = ["C"] * 6 + ["O", "O"]
+        bonds = _ring_bonds(6, [1, 2, 1, 1, 2, 1]) + [(0, 6, 2), (3, 7, 2)]
+        bq = minichem.perceive_aromaticity(minichem.parse_sdf(_sdf_text(els, bonds)))
+        assert (bq.bond_types != 4).all()
+
+    def test_naphthalene_fused(self):
+        # two fused 6-rings, Kekule orders; every ring bond goes aromatic
+        bonds = [(0, 1, 2), (1, 2, 1), (2, 3, 2), (3, 4, 1), (4, 5, 2),
+                 (5, 0, 1), (4, 6, 1), (6, 7, 2), (7, 8, 1), (8, 9, 2),
+                 (9, 5, 1)]
+        m = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(["C"] * 10, bonds)))
+        assert (m.bond_types == 4).all()
+
+    def test_idempotent_and_remove_hs(self):
+        mol = minichem.parse_sdf(_sdf_text(["C"] * 6, _ring_bonds(6, [1, 2, 1, 2, 1, 2])))
+        once = minichem.perceive_aromaticity(mol)
+        twice = minichem.perceive_aromaticity(once)
+        assert twice.bond_types.tolist() == once.bond_types.tolist()
+        assert twice.kekule_types.tolist() == once.kekule_types.tolist()
+        # toluene with explicit ring H: removal keeps both type arrays aligned
+        els = ["C"] * 7 + ["H"]
+        bonds = _ring_bonds(6, [1, 2, 1, 2, 1, 2]) + [(0, 6, 1), (1, 7, 1)]
+        tol = minichem.perceive_aromaticity(minichem.parse_sdf(_sdf_text(els, bonds)))
+        heavy = tol.remove_hs()
+        assert len(heavy.elements) == 7
+        assert heavy.bond_types.tolist()[:6] == [4] * 6
+        assert heavy.kekule_types.tolist()[:6] == [1, 2, 1, 2, 1, 2]
+
+    def test_charged_valence(self):
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        # methoxide CH3-O(-): O gets 0 implicit H (effective valence 1)
+        m = minichem.parse_sdf(_sdf_text(["C", "O"], [(0, 1, 1)], charges=[(1, -1)]))
+        x = minichem.featurize_minimol(m)
+        assert A["possible_numH_list"][x[1, 5]] == 0
+        assert A["possible_formal_charge_list"][x[1, 3]] == -1
+        # ammonium-like N(+) on one bond -> 3 implicit H
+        m = minichem.parse_sdf(_sdf_text(["C", "N"], [(0, 1, 1)], charges=[(1, 1)]))
+        x = minichem.featurize_minimol(m)
+        assert A["possible_numH_list"][x[1, 5]] == 3
+
+    def test_read_molecule_perceives(self, tmp_path):
+        p = tmp_path / "benzene.sdf"
+        p.write_text(_sdf_text(["C"] * 6, _ring_bonds(6, [1, 2, 1, 2, 1, 2])))
+        mol = featurize.read_molecule(str(p), remove_hs=True)
+        g = featurize.ligand_graph(mol)
+        # bond one-hot lands on the AROMATIC slot (index 3)
+        assert (g["bond_attr"][:, 3] == 1).all()
+
+
 class TestTorsionDetect:
     def test_chain_molecule(self):
         # chain 0-1-2-3-4: bonds (1,2),(2,3) are rotatable (both sides >1)
