@@ -353,11 +353,16 @@ def perceive_aromaticity(mol: MiniMol) -> MiniMol:
 
 
 def ring_info(n_atoms: int, bonds: np.ndarray):
-    """Per-atom ring membership via networkx cycle basis (SSSR approximation)."""
+    """Per-atom ring membership via networkx minimum cycle basis (the closest
+    stand-in for RDKit's SSSR: a plain spanning-tree cycle basis can report a
+    10-cycle + 6-cycle for naphthalene where SSSR gives two 6-rings)."""
     G = nx.Graph()
     G.add_nodes_from(range(n_atoms))
     G.add_edges_from(map(tuple, bonds))
-    cycles = nx.cycle_basis(G)
+    try:
+        cycles = nx.minimum_cycle_basis(G)
+    except Exception:
+        cycles = nx.cycle_basis(G)
     num_rings = np.zeros(n_atoms, np.int32)
     in_ring_size = {k: np.zeros(n_atoms, bool) for k in range(3, 9)}
     for cyc in cycles:

@@ -250,6 +250,21 @@ class TestAromaticity:
             minichem.parse_sdf(_sdf_text(["C"] * 10, bonds)))
         assert (m.bond_types == 4).all()
 
+    def test_naphthalene_ring_features(self):
+        """SSSR-style ring features: every atom in a 6-ring (a spanning-tree
+        cycle basis could report a 10-ring), fusion atoms in 2 rings."""
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        bonds = [(0, 1, 2), (1, 2, 1), (2, 3, 2), (3, 4, 1), (4, 5, 2),
+                 (5, 0, 1), (4, 6, 1), (6, 7, 2), (7, 8, 1), (8, 9, 2),
+                 (9, 5, 1)]
+        m = minichem.parse_sdf(_sdf_text(["C"] * 10, bonds))
+        x = minichem.featurize_minimol(minichem.perceive_aromaticity(m))
+        assert all(A["possible_is_in_ring6_list"][v] for v in x[:, 13])
+        nring = [A["possible_numring_list"][v] for v in x[:, 9]]
+        assert nring[4] == 2 and nring[5] == 2  # fusion atoms
+        assert nring[0] == 1
+
     def test_idempotent_and_remove_hs(self):
         mol = minichem.parse_sdf(_sdf_text(["C"] * 6, _ring_bonds(6, [1, 2, 1, 2, 1, 2])))
         once = minichem.perceive_aromaticity(mol)
