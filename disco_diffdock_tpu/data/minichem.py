@@ -375,9 +375,13 @@ def ring_info(n_atoms: int, bonds: np.ndarray):
 
 def featurize_minimol(mol: MiniMol) -> np.ndarray:
     """16-feature categorical codes approximating lig_atom_featurizer
-    (process_mols.py:93-116).  Chirality is always UNSPECIFIED, hybridization
-    is a degree/element heuristic, implicit valence/numH derive from standard
-    valences -- the RDKit path is authoritative."""
+    (process_mols.py:93-116).  Chirality is always UNSPECIFIED -- which is
+    EXACT parity, not an approximation: the reference reads molecules with
+    sanitize=False (process_mols.py:492-494) and never runs wedge/3D stereo
+    assignment, so its GetChiralTag() is CHI_UNSPECIFIED throughout.
+    Hybridization derives from incident bond orders, implicit valence/numH
+    from charge-adjusted standard valences -- the RDKit path is authoritative
+    for those."""
     A = ALLOWABLE_FEATURES
     n = len(mol.elements)
     G_degree = np.zeros(n, np.int32)
