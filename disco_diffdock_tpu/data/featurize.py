@@ -168,7 +168,15 @@ def ligand_graph(mol) -> dict:
 
 def generate_conformer(mol, seed: int = 0):
     """ETKDG conformer via RDKit (random-coord + MMFF fallbacks,
-    process_mols.py:269-278); minichem fallback: perturbed input coords."""
+    process_mols.py:269-278).
+
+    minichem fallback: uniform-random torsions on the rotatable bonds of the
+    input coordinates (+ small jitter).  This mirrors ETKDG's functional role
+    in the pipeline -- a conformer with good local structure but decorrelated
+    global shape, which conformer matching then re-fits to the crystal pose
+    (get_lig_graph_with_matching, process_mols.py:280-326) -- whereas plain
+    coordinate noise would leak the crystal torsions into the training start.
+    """
     if HAS_RDKIT and not isinstance(mol, minichem.MiniMol):
         from rdkit.Chem import AllChem
 
@@ -186,7 +194,13 @@ def generate_conformer(mol, seed: int = 0):
         return np.asarray(mol2.GetConformer().GetPositions(), np.float32)
     rng = np.random.RandomState(seed)
     pos = mol.pos.copy()
-    return pos + rng.randn(*pos.shape).astype(np.float32) * 0.05
+    from .torsion_detect import apply_torsion_np, get_transformation_mask
+
+    tor_edges, mask_rotate = get_transformation_mask(len(pos), mol.bonds)
+    if len(tor_edges):
+        upd = rng.uniform(-np.pi, np.pi, len(tor_edges))
+        pos = apply_torsion_np(pos, tor_edges, mask_rotate, upd)
+    return (pos + rng.randn(*pos.shape) * 0.01).astype(np.float32)
 
 
 # ------------------------------------------------------------------- receptor

@@ -336,6 +336,34 @@ class TestConformerMatching:
 
 
 class TestFeaturizePipeline:
+    def test_fallback_conformer_randomizes_torsions(self):
+        """The RDKit-free generate_conformer keeps local structure (bond
+        lengths) but decorrelates torsions -- ETKDG's functional role, not a
+        crystal-coordinate leak."""
+        # butane-like chain with two rotatable bonds + a branch
+        text = _sdf_text(
+            ["C"] * 6,
+            [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1), (4, 5, 1)],
+        )
+        mol = minichem.parse_sdf(text)
+        # spread into a non-degenerate 3D zig-zag so axes are well-defined
+        rng = np.random.RandomState(3)
+        mol.pos = (np.stack([np.arange(6) * 1.5,
+                             0.5 * np.sin(np.arange(6) * 2),
+                             0.3 * np.cos(np.arange(6))], 1)
+                   + rng.randn(6, 3) * 0.05).astype(np.float32)
+        conf = featurize.generate_conformer(mol, seed=1)
+
+        def bond_lengths(p):
+            return np.array([np.linalg.norm(p[a] - p[b]) for a, b in mol.bonds])
+
+        np.testing.assert_allclose(
+            bond_lengths(conf), bond_lengths(mol.pos), atol=0.08)
+        # global shape decorrelated: end-to-end distance changes
+        d0 = np.linalg.norm(mol.pos[0] - mol.pos[5])
+        d1 = np.linalg.norm(conf[0] - conf[5])
+        assert abs(d0 - d1) > 0.2, (d0, d1)
+
     def test_build_record_and_collate(self):
         mol = minichem.parse_sdf(SDF)
         receptor = featurize.receptor_from_pdb(make_pdb())
