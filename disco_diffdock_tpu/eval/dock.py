@@ -206,7 +206,8 @@ def dock(args):
     def _run(b, key):
         k1, k2, k3 = jax.random.split(key, 3)
         latent = latent_fn(b, k3) if latent_fn is not None else None
-        rb = randomize_position(k1, b, scfg.no_torsion, False, sigma.tr_sigma_max)
+        rb = randomize_position(k1, b, scfg.no_torsion, scfg.no_random,
+                                sigma.tr_sigma_max)
         return sampling(
             model, variables, rb, k2, scfg, sigma, latent=latent,
             confidence_model=conf_model, confidence_variables=conf_vars,

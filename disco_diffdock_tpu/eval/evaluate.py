@@ -115,7 +115,7 @@ def parse_args(argv=None):
     p.add_argument("--limit_failures", type=int, default=3)
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 shards each program's batch axis over a data "
-                        "mesh (batch size must divide it)")
+                        "mesh (must divide the batch size)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
     from ..train.config_overlay import add_config_arg, apply_config_overlay
@@ -400,6 +400,11 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 per_bucket.setdefault(bi, []).append(i)
                 break
 
+    no_overlap = None
+    if getattr(args, "no_overlap_names_path", None):
+        with open(args.no_overlap_names_path) as f:
+            no_overlap = {line.strip() for line in f if line.strip()}
+
     all_metrics = []
     for bi, idxs in sorted(per_bucket.items()):
         caps = buckets[bi]
@@ -485,10 +490,6 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                 print(f"HAPPENING | ar_accuracy={hits / max(n_slots, 1):.3f} "
                       f"(bucket {bi})")
 
-        no_overlap = None
-        if getattr(args, "no_overlap_names_path", None):
-            with open(args.no_overlap_names_path) as f:
-                no_overlap = {line.strip() for line in f if line.strip()}
         m, arrays = evaluate_complexes(
             score_model_view, variables, batches, scfg, sigma,
             jax.random.PRNGKey(bi), latent_fn=latent_fn,
@@ -515,10 +516,6 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     clash = np.concatenate([a["clash"] for _, a in all_metrics])
     self_ints = [a["self_int"] for _, a in all_metrics if a["self_int"] is not None]
     has_conf = any(a["has_confidence"] for _, a in all_metrics)
-    no_overlap = None
-    if getattr(args, "no_overlap_names_path", None):
-        with open(args.no_overlap_names_path) as f:
-            no_overlap = {line.strip() for line in f if line.strip()}
     overlap_mask = (np.asarray([n in no_overlap for n in names_all])
                     if no_overlap else None)
     merged = aggregate(rmsds, confs if has_conf else None, cents,

@@ -33,7 +33,8 @@ from ..graphs.radius import radius_edges
 from ..graphs.segment import masked_mean_pool
 from ..nn.basic import AtomEncoder, FCBlock
 from ..nn.batchnorm import MaskedIrrepsBatchNorm
-from ..nn.conv import ConvBlock, TPConvLayer, build_onehots, gather_nodes, gather_pos
+from ..nn.conv import (ConvBlock, TPConvLayer, bcat as _bcat, build_onehots,
+                       gather_nodes, gather_pos)
 from ..nn.irreps import spherical_harmonics_irreps
 from ..nn.sh import irrep_to_vec, spherical_harmonics
 from ..nn.tensor_product import FullTensorProduct, get_irrep_seq
@@ -65,15 +66,6 @@ def _edge_latent(lat_src, lat_dst, edges: ListEdges):
     return jnp.concatenate(
         [gather_nodes(lat_src, edges.src), gather_nodes(lat_dst, edges.dst)], -1
     )
-
-
-def _bcat(parts):
-    """Concat along the feature axis, broadcasting mixed leading dims (the
-    pose-shared receptor arrays carry B=1 next to per-pose B arrays)."""
-    bmax = max(p.shape[0] for p in parts)
-    return jnp.concatenate(
-        [jnp.broadcast_to(p, (bmax,) + p.shape[1:]) if p.shape[0] != bmax else p
-         for p in parts], -1)
 
 
 class TensorProductScoreModel(nn.Module):

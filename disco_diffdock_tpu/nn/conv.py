@@ -106,6 +106,15 @@ def scatter_mm(oh_src: jnp.ndarray, msg: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
+def bcat(parts):
+    """Concat along the feature axis, broadcasting mixed leading dims (the
+    pose-shared receptor arrays carry B=1 next to per-pose B arrays)."""
+    bmax = max(p.shape[0] for p in parts)
+    return jnp.concatenate(
+        [jnp.broadcast_to(p, (bmax,) + p.shape[1:]) if p.shape[0] != bmax else p
+         for p in parts], -1)
+
+
 @dataclasses.dataclass
 class ConvBlock:
     """One edge block feeding a conv layer (built by the model each call).
@@ -288,11 +297,7 @@ class TPConvLayer(nn.Module):
                     s_src = gather_mm(oh_src, node_attrs[blk.src_type][..., :ns].astype(cdt))
                 else:
                     s_src = jnp.zeros(eattr.shape[:2] + (ns,), cdt)
-                parts = [eattr, s_src, x[..., :ns]]
-                bmax = max(p.shape[0] for p in parts)
-                eattr = jnp.concatenate(
-                    [jnp.broadcast_to(p, (bmax,) + p.shape[1:])
-                     if p.shape[0] != bmax else p for p in parts], -1)
+                eattr = bcat([eattr, s_src, x[..., :ns]])
             w = run_mlp(blk.group, eattr, deterministic)
             msg = tp(x, blk.edge_sh.astype(cdt), w, w_layout=w_layout)
             sums[blk.src_type] = sums[blk.src_type] + scatter_mm(oh_src, msg)

@@ -159,9 +159,18 @@ def reverse_diffusion(
         fn_segments = [(steps, score_fn)]
     else:
         fn_segments = list(score_fn)
-        assert sum(n for n, _ in fn_segments) == steps, (
-            f"segment steps {[n for n, _ in fn_segments]} != {steps}"
+        total = sum(n for n, _ in fn_segments)
+        assert total == cfg.inference_steps, (
+            f"segment steps {[n for n, _ in fn_segments]} != {cfg.inference_steps}"
         )
+        if steps < total:  # --actual_steps truncation (evaluate.py:61)
+            trunc, left = [], steps
+            for n, f in fn_segments:
+                if left <= 0:
+                    break
+                trunc.append((min(n, left), f))
+                left -= min(n, left)
+            fn_segments = trunc
 
     # static CFG window: per-step bool on the (trace-time) t grid, matching
     # the reference's `cfg_end <= t <= cfg_start` check (sampling.py:119-135)

@@ -99,8 +99,8 @@ class DockingService:
             def _run(batch, rng):
                 k1, k2, k3 = jax.random.split(rng, 3)
                 latent = latent_fn(batch, k3) if latent_fn is not None else None
-                rb = randomize_position(k1, batch, scfg.no_torsion, False,
-                                        self.sigma.tr_sigma_max)
+                rb = randomize_position(k1, batch, scfg.no_torsion,
+                                        scfg.no_random, self.sigma.tr_sigma_max)
                 return sampling(
                     model, variables, rb, k2, scfg, self.sigma, latent=latent,
                     confidence_model=conf_model, confidence_variables=conf_vars,

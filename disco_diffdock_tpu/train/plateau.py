@@ -19,8 +19,11 @@ import optax
 
 
 def make_adam(lr: float, w_decay: float = 0.0) -> optax.GradientTransformation:
-    """Adam (+ optional decoupled weight decay) with the learning rate held
-    in the optimizer state so plateau scheduling never recompiles."""
+    """Adam (+ optional COUPLED L2 weight decay: the decay term is added to
+    the gradient before Adam's moment normalization, matching the reference's
+    torch.optim.Adam(weight_decay=...) — NOT AdamW-style decoupling) with the
+    learning rate held in the optimizer state so plateau scheduling never
+    recompiles."""
     return optax.chain(
         optax.add_decayed_weights(w_decay) if w_decay else optax.identity(),
         optax.inject_hyperparams(optax.adam)(learning_rate=lr),

@@ -195,7 +195,7 @@ def main(argv=None):
     p.add_argument("--scheduler_patience", type=int, default=20)
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 shards each train batch over a data mesh "
-                        "(samples_per_complex must divide it)")
+                        "(must divide samples_per_complex)")
     p.add_argument("--rmsd_classification_cutoff", type=float, nargs="*", default=None)
     p.add_argument("--rmsd_prediction", action="store_true")
     p.add_argument("--balanced", "--balance", dest="balanced", action="store_true")
@@ -248,6 +248,15 @@ def main(argv=None):
 
     add_config_arg(p)
     args = apply_config_overlay(p.parse_args(argv))
+
+    if args.main_metric == "auc" and (args.rmsd_prediction
+                                      or args.rmsd_classification_cutoff):
+        raise SystemExit(
+            "--main_metric auc is only defined for the binary (bce) label "
+            "mode; with --rmsd_prediction/--rmsd_classification_cutoff the "
+            "AUC would be NaN every epoch, freezing the best checkpoint at "
+            "epoch 0. Use --main_metric loss or accuracy."
+        )
 
     sigma = SigmaSchedule()
     esm_dim = 16
@@ -520,10 +529,13 @@ def main(argv=None):
                     else tracked >= best_val)
         if np.isfinite(tracked) and improved or best_epoch < 0:
             best_val, best_epoch = tracked, epoch
+            best_state = state
             ckpt.save("best", state)
         if args.best_model_save_frequency and \
                 (epoch + 1) % args.best_model_save_frequency == 0:
-            ckpt.save(f"best_epoch{epoch + 1}", state)
+            # a COPY of the best-so-far checkpoint, not the current state
+            # (reference confidence_train.py:238-239 shutil.copyfile)
+            ckpt.save(f"best_epoch{epoch + 1}", best_state)
         if scheduler is not None and np.isfinite(tracked):
             new_opt = scheduler.step(tracked, state.opt_state)
             if new_opt is not state.opt_state:

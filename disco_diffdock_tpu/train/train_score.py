@@ -322,7 +322,8 @@ def main(argv=None):
             EncoderConfig(ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0)
             if use_latents else None
         )
-        sb = max(4, args.n_devices)  # synthetic batch divisible by the mesh
+        nd = max(1, args.n_devices)
+        sb = ((4 + nd - 1) // nd) * nd  # >=4 and divisible by the mesh
         train_batches = [
             make_complex_batch(seed=s, batch=sb, n_lig=10, n_res=24, caps=caps,
                                esm_dim=16, c_alpha_max_neighbors=8,
@@ -515,7 +516,7 @@ def main(argv=None):
 
         mesh = make_mesh(args.n_devices)
         assert args.batch_size % args.n_devices == 0 or args.synthetic, (
-            "--batch_size must divide --n_devices")
+            "--n_devices must divide --batch_size")
     axis = "data" if mesh is not None else None
     lw = dict(tr_weight=args.tr_weight, rot_weight=args.rot_weight,
               tor_weight=args.tor_weight, no_torsion=args.no_torsion)
@@ -555,7 +556,8 @@ def main(argv=None):
         it = 0
         # train_multiplicity: extra passes over the set with fresh noise
         # draws per pass (reference parsing.py:94 / pdbbind multiplicity)
-        for rep in range(max(1, args.train_multiplicity)):
+        rep = 0
+        while True:
             batches = train_batches if args.synthetic else bucketed_batches(
                 ds_train, args.batch_size,
                 np.random.RandomState(epoch * 131 + rep),
@@ -571,7 +573,13 @@ def main(argv=None):
                 it += 1
                 if steps and it >= steps:
                     break
-            if steps and it >= steps:
+            rep += 1
+            # synthetic: cycle the fixed batches until --steps optimizer
+            # steps have run; real data: train_multiplicity passes
+            if steps:
+                if it >= steps:
+                    break
+            elif rep >= max(1, args.train_multiplicity):
                 break
         mean_loss = float(np.mean(losses))
         print(f"epoch {epoch}: train_loss={mean_loss:.4f} ({time.time() - t0:.1f}s, {it} steps)")

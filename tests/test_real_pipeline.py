@@ -100,6 +100,19 @@ class TestConfidenceTraining:
         with np.load(os.path.join(cache, "fix1_cache0.npz")) as z:
             assert z["pos"].shape[0] == 2 and z["rmsd"].shape == (2,)
 
+    def test_auc_metric_rejected_for_nonbinary_modes(self):
+        """--main_metric auc with a multiclass/regression label mode errors
+        at parse time (regression: AUC was silently NaN every epoch, so the
+        best checkpoint froze at epoch 0 and the scheduler never stepped)."""
+        from disco_diffdock_tpu.train.train_confidence import main
+
+        with pytest.raises(SystemExit, match="main_metric auc"):
+            main(["--original_model_dir", "x", "--main_metric", "auc",
+                  "--rmsd_classification_cutoff", "2", "5"])
+        with pytest.raises(SystemExit, match="main_metric auc"):
+            main(["--original_model_dir", "x", "--main_metric", "auc",
+                  "--rmsd_prediction"])
+
 
 class TestARTraining:
     def test_two_phase_real_data(self, dirs, score_run):
@@ -207,6 +220,32 @@ class TestDockCLI:
         traj = os.path.join(out, "fix1_protein_processed_rank1_traj.pdb")
         assert os.path.exists(traj)
         assert open(traj).read().count("MODEL") >= 2  # one frame per step
+
+
+    def test_dock_no_random_reaches_randomize(self, dirs, score_run, tmp_path,
+                                              monkeypatch):
+        """--no_random must suppress the initial pose randomization too, not
+        just the in-sampler noise (regression: dock passed a hardcoded False
+        to randomize_position; reference evaluate.py threads args.no_random)."""
+        from disco_diffdock_tpu.eval import dock
+
+        seen = {}
+        real = dock.randomize_position
+
+        def spy(key, batch, no_torsion, no_random, tr_sigma_max):
+            seen["no_random"] = no_random
+            return real(key, batch, no_torsion, no_random, tr_sigma_max)
+
+        monkeypatch.setattr(dock, "randomize_position", spy)
+        dock.main([
+            "--protein", os.path.join(DATA, "fix1", "fix1_protein_processed.pdb"),
+            "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
+            "--model_dir", score_run,
+            "--samples_per_complex", "1", "--inference_steps", "1",
+            "--no_random",
+            "--out_dir", str(tmp_path / "dock_nr"),
+        ])
+        assert seen["no_random"] is True
 
 
 class TestServe:

@@ -162,6 +162,37 @@ def test_segmented_scan_matches_single_scan():
     np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_actual_steps_truncates_segments():
+    """--actual_steps composes with a (n, model) segment schedule: the
+    segments are truncated to the first actual_steps steps and match the
+    single-scan truncated run (regression: this combination used to trip
+    the segment-sum assertion at trace time)."""
+    cfg = small_cfg()
+    caps = small_caps()
+    model = TensorProductScoreModel(cfg=cfg, caps=caps)
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    scfg = SamplerConfig(inference_steps=8, actual_steps=4,
+                         no_final_step_noise=True)
+    sigma = SigmaSchedule()
+    rb = randomize_position(jax.random.PRNGKey(1), batch, False, False,
+                            sigma.tr_sigma_max)
+
+    @jax.jit
+    def run_single(b, key):
+        return sampling(model, variables, b, key, scfg, sigma)[0].lig_pos
+
+    @jax.jit
+    def run_segmented(b, key):
+        return sampling(
+            [(3, model), (5, model)], variables, b, key, scfg, sigma
+        )[0].lig_pos
+
+    a = np.asarray(run_single(rb, jax.random.PRNGKey(2)))
+    b = np.asarray(run_segmented(rb, jax.random.PRNGKey(2)))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 def test_segmented_caps_change_only_capacity():
     """Segments may close over models with different edge capacities; with
     capacities large enough to hold every true edge the result is unchanged."""

@@ -266,6 +266,18 @@ class TestRestart:
         raw2 = ckpt.restore_raw("last")
         assert int(raw2["step"]) == 2 * int(raw1["step"]) > 0
 
+    def test_synthetic_steps_is_a_target(self, tmp_path):
+        """--steps in synthetic mode cycles the two fixed batches until the
+        requested optimizer-step count (regression: a train_multiplicity
+        rewrite turned it into a cap that ended after one pass = 2 steps)."""
+        from disco_diffdock_tpu.train.checkpoints import CheckpointManager
+        from disco_diffdock_tpu.train.train_score import main
+
+        main(["--synthetic", "--steps", "5", "--log_dir", str(tmp_path),
+              "--run_name", "r", "--val_inference_freq", "0"])
+        raw = CheckpointManager(str(tmp_path / "r")).restore_raw("last")
+        assert int(raw["step"]) == 5
+
     def test_non_strict_restart_with_changed_arch(self, tmp_path, capsys):
         from disco_diffdock_tpu.train.train_score import main
 
