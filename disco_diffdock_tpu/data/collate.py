@@ -140,6 +140,7 @@ def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 
         tor_mask_rotate=zeros((B, caps.tor_cap, NL), bool),
         tor_mask=zeros((B, caps.tor_cap), bool),
         orig_pos=zeros((B, NL, 3)),
+        rdkit_pos=zeros((B, NL, 3)),
         center=zeros((B, 3)),
     )
     if all_atoms:
@@ -162,6 +163,7 @@ def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 
         out["lig_pos"][b, :nl] = r["lig_pos"]
         out["lig_mask"][b, :nl] = True
         out["orig_pos"][b, :nl] = r.get("orig_pos", r["lig_pos"])
+        out["rdkit_pos"][b, :nl] = r.get("rdkit_pos", r["lig_pos"])
         eb = len(r["bonds"])
         out["bond_src"][b, :eb] = r["bonds"][:, 0]
         out["bond_dst"][b, :eb] = r["bonds"][:, 1]
@@ -224,7 +226,8 @@ def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 
         ar_edges=ListEdges(
             jnp.asarray(out["ar_src"]), jnp.asarray(out["ar_dst"]), jnp.asarray(out["ar_mask"])
         ) if all_atoms else None,
-        extras={"orig_pos": jnp.asarray(out["orig_pos"])},
+        extras={"orig_pos": jnp.asarray(out["orig_pos"]),
+                "rdkit_pos": jnp.asarray(out["rdkit_pos"])},
     )
     return cb.set_time(0.0, 0.0, 0.0)
 

@@ -20,16 +20,19 @@ from typing import Iterable
 
 import numpy as np
 
+# EXACTLY the reference prep script's table (pdbbind_lm_embedding_
+# preparation.py:23-49): the 20 standard residues plus MSE->M (selenomet),
+# PYL->O, SEC->U, ASX->B, GLX->Z, XAA->X, XLE->J.  Anything else becomes
+# '-' (the reference's fallback), NOT a parent-residue guess — the letter
+# stream feeds ESM, so it must match the reference token-for-token.
 THREE_TO_ONE = {
     "ALA": "A", "ARG": "R", "ASN": "N", "ASP": "D", "CYS": "C", "GLN": "Q",
     "GLU": "E", "GLY": "G", "HIS": "H", "ILE": "I", "LEU": "L", "LYS": "K",
-    "MET": "M", "PHE": "F", "PRO": "P", "SER": "S", "THR": "T", "TRP": "W",
-    "TYR": "Y", "VAL": "V",
-    # the reference maps noncanonical names through their parents
-    "HIP": "H", "HIE": "H", "HID": "H", "HIZ": "H", "TPO": "T", "PTR": "Y",
-    "SEP": "S", "CYX": "C", "CYM": "C", "CYT": "C", "MEU": "M", "LEV": "L",
-    "GLV": "E", "GLM": "Q", "GLZ": "G", "ASQ": "D", "TYS": "Y",
+    "MET": "M", "MSE": "M", "PHE": "F", "PRO": "P", "PYL": "O", "SER": "S",
+    "SEC": "U", "THR": "T", "TRP": "W", "TYR": "Y", "VAL": "V", "ASX": "B",
+    "GLX": "Z", "XAA": "X", "XLE": "J",
 }
+UNKNOWN_RESIDUE = "-"
 
 
 def chain_sequences(pdb_path: str) -> list[tuple[str, str]]:
@@ -43,7 +46,8 @@ def chain_sequences(pdb_path: str) -> list[tuple[str, str]]:
     chains: dict[str, list[str]] = {}
     for r in residues:
         if all(k in r.atoms for k in ("N", "CA", "C")):
-            chains.setdefault(r.chain, []).append(THREE_TO_ONE.get(r.name, "X"))
+            chains.setdefault(r.chain, []).append(
+                THREE_TO_ONE.get(r.name, UNKNOWN_RESIDUE))
     return [(c, "".join(seq)) for c, seq in chains.items()]
 
 

@@ -226,16 +226,26 @@ def receptor_from_pdb(
         if all(k in res.atoms for k in ("N", "CA", "C")):
             chains.setdefault(res.chain, []).append(res)
 
-    kept = []
+    # esm_rows: indices of the kept residues into the flat all-chains
+    # embedding array (the ESM pipeline embeds EVERY chain in file order,
+    # reference pdbbind_lm_embedding_preparation.py:67-88, and
+    # extract_receptor_structure aligns per chain, process_mols.py:219-238) —
+    # so chain filtering must drop the matching embedding rows too
+    kept, esm_rows = [], []
+    offset = 0
     for chain, rs in chains.items():
+        take = True
         if chain_cutoff is not None and lig_pos is not None:
             ca = np.asarray([r.atoms["CA"][1] for r in rs])
             dmin = np.sqrt(((ca[:, None] - lig_pos[None]) ** 2).sum(-1)).min()
-            if dmin > chain_cutoff:
-                continue
-        kept.extend(rs)
+            take = dmin <= chain_cutoff
+        if take:
+            kept.extend(rs)
+            esm_rows.extend(range(offset, offset + len(rs)))
+        offset += len(rs)
     if not kept:  # keep everything rather than fail
         kept = [r for rs in chains.values() for r in rs]
+        esm_rows = list(range(offset))
 
     A = ALLOWABLE_FEATURES
     code = np.asarray(
@@ -267,6 +277,8 @@ def receptor_from_pdb(
         atom_x=np.asarray(atom_feats, np.int32).reshape(-1, 4),
         atom_pos=np.asarray(atom_pos, np.float32).reshape(-1, 3),
         atom_res=np.asarray(atom_res, np.int32),
+        esm_rows=np.asarray(esm_rows, np.int32),
+        esm_total=np.int32(offset),
     )
 
 
@@ -344,6 +356,9 @@ def build_complex_record(
         from .conformer_matching import optimize_rotatable_bonds
 
         conf = generate_conformer(mol, seed)
+        rdkit_raw = conf.copy()  # pre-matching conformer (orig_rdkit_pos,
+        # process_mols.py:299) — AR no_randomness training repositions the
+        # ligand to THIS pose (dataset_ar.py:91-95)
         matched, rmsd = optimize_rotatable_bonds(
             conf, orig_pos, tor_edges, mask_rotate, popsize, maxiter, seed
         )
@@ -358,8 +373,30 @@ def build_complex_record(
             extra_conformers.append(_kabsch_to(mk, orig_pos))
     else:
         start_pos = orig_pos.copy()
+        rdkit_raw = start_pos
 
     src, dst = knn_edges_host(receptor["rec_pos"], receptor_radius, c_alpha_max_neighbors)
+
+    if esm is not None:
+        # the embedding array covers EVERY chain of the receptor file; keep
+        # only the rows of the residues the parse kept (chain_cutoff may have
+        # dropped whole chains).  A row-count mismatch means the embeddings
+        # were built from a different structure — error loudly rather than
+        # train on misaligned features (reference asserts the same,
+        # process_mols.py:243-245).
+        esm = np.asarray(esm, np.float32)
+        n_res = len(receptor["rec_pos"])
+        rows, total = receptor.get("esm_rows"), receptor.get("esm_total")
+        if rows is not None and len(esm) == int(total):
+            esm = esm[np.asarray(rows)]
+        elif len(esm) != n_res:
+            raise ValueError(
+                f"{name}: ESM embedding rows ({len(esm)}) match neither the "
+                f"receptor file's complete-backbone residue count "
+                f"({int(total) if total is not None else 'unknown'}) nor the "
+                f"kept residues ({n_res}); the embeddings were built from a "
+                f"different structure"
+            )
 
     center = receptor["rec_pos"].mean(0, keepdims=True)
     rec = dict(
@@ -371,6 +408,7 @@ def build_complex_record(
         lig_z=lig["lig_z"],
         lig_pos=(start_pos - center).astype(np.float32),
         orig_pos=(orig_pos - center).astype(np.float32),
+        rdkit_pos=(rdkit_raw - center).astype(np.float32),
         bonds=lig["bonds"],
         bond_attr=lig["bond_attr"],
         tor_edges=tor_edges,

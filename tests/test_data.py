@@ -31,8 +31,8 @@ def make_pdb(n_res=6, seed=0):
         for nm, el in (("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O"), ("CB", "C")):
             p = pos[i] + rng.randn(3) * 0.8
             lines.append(
-                f"ATOM  {serial:5d}  {nm:<3s}GLY A{i + 1:4d}    "
-                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00           {el:>2s}"
+                f"ATOM  {serial:5d}  {nm:<3s} GLY A{i + 1:4d}    "
+                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00          {el:>2s}"
             )
             serial += 1
     return "\n".join(lines) + "\n"
@@ -250,6 +250,60 @@ class TestAromaticity:
             minichem.parse_sdf(_sdf_text(["C"] * 10, bonds)))
         assert (m.bond_types == 4).all()
 
+    def test_naphthalene_unlucky_kekule(self):
+        """Kekulization-independence of fused aromatics: with both bridgehead
+        doubles pointing INTO ring 1 (shared bond single), ring 2 alone counts
+        only 4 pi — the fixpoint pass must still mark the whole system
+        (regression: one valid Kekule structure left half of naphthalene
+        non-aromatic)."""
+        bonds = [(0, 1, 1), (1, 2, 2), (2, 3, 1), (3, 4, 2), (4, 5, 1),
+                 (5, 0, 2), (4, 6, 1), (6, 7, 2), (7, 8, 1), (8, 9, 2),
+                 (9, 5, 1)]
+        m = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(["C"] * 10, bonds)))
+        assert (m.bond_types == 4).all()
+
+    def test_hypervalent_s_p_hybridization(self):
+        """Sulfone S and phosphate P are SP3 in RDKit (steric number 4)
+        despite their double bonds; nitriles/alkynes stay SP (regression:
+        S(=O)(=O) featurized as SP, P=O as SP2)."""
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        def hyb(elements, bonds, idx):
+            x = minichem.featurize_minimol(
+                minichem.parse_sdf(_sdf_text(elements, bonds)))
+            return A["possible_hybridization_list"][x[idx, 7]]
+
+        # dimethyl sulfone C-S(=O)(=O)-C
+        assert hyb(["C", "S", "C", "O", "O"],
+                   [(0, 1, 1), (1, 2, 1), (1, 3, 2), (1, 4, 2)], 1) == "SP3"
+        # sulfoxide C-S(=O)-C
+        assert hyb(["C", "S", "C", "O"],
+                   [(0, 1, 1), (1, 2, 1), (1, 3, 2)], 1) == "SP3"
+        # phosphonate C-P(=O)(O)(O)
+        assert hyb(["C", "P", "O", "O", "O"],
+                   [(0, 1, 1), (1, 2, 2), (1, 3, 1), (1, 4, 1)], 1) == "SP3"
+        # nitrile C#N unchanged
+        assert hyb(["C", "C", "N"], [(0, 1, 1), (1, 2, 3)], 1) == "SP"
+        assert hyb(["C", "C", "N"], [(0, 1, 1), (1, 2, 3)], 2) == "SP"
+        # thiocarbonyl S (degree 1) stays SP2
+        assert hyb(["C", "S"], [(0, 1, 2)], 1) == "SP2"
+
+    def test_write_sdf_preserves_charges_and_kekule(self):
+        """Written poses keep formal charges (M CHG) and localized Kekule
+        bond orders (regression: charged ligands silently neutralized on
+        re-read; aromatic type-4 bonds leaked into V2000 output)."""
+        els = ["C"] * 6 + ["C", "O", "O"]
+        bonds = _ring_bonds(6, [1, 2, 1, 2, 1, 2]) + [
+            (0, 6, 1), (6, 7, 2), (6, 8, 1)]
+        m = minichem.perceive_aromaticity(
+            minichem.parse_sdf(_sdf_text(els, bonds, charges=[(8, -1)])))
+        text = minichem.write_sdf(m, m.pos)
+        back = minichem.parse_sdf(text)
+        assert int(back.charges[8]) == -1
+        # ring bonds written as Kekule 1/2, not query type 4
+        assert sorted(back.bond_types[:6].tolist()) == [1, 1, 1, 2, 2, 2]
+
     def test_naphthalene_ring_features(self):
         """SSSR-style ring features: every atom in a 6-ring (a spanning-tree
         cycle basis could report a 10-ring), fusion atoms in 2 rings."""
@@ -385,6 +439,75 @@ class TestFeaturizePipeline:
         rec2 = featurize.receptor_from_pdb(make_pdb(), far_lig, chain_cutoff=10.0)
         # no chain near the ligand -> keep-all fallback
         assert len(rec2["rec_pos"]) == len(receptor_all["rec_pos"])
+
+    @staticmethod
+    def _two_chain_pdb(n_a=4, n_b=3, sep=500.0):
+        lines, serial = [], 1
+        for ci, (chain, n) in enumerate((("A", n_a), ("B", n_b))):
+            rng = np.random.RandomState(ci)
+            pos = np.array([sep * ci, 0.0, 0.0]) + np.cumsum(rng.randn(n, 3) * 2.0, 0)
+            for i in range(n):
+                for nm, el in (("N", "N"), ("CA", "C"), ("C", "C")):
+                    p = pos[i] + rng.randn(3) * 0.5
+                    lines.append(
+                        f"ATOM  {serial:5d}  {nm:<3s} GLY {chain}{i + 1:4d}    "
+                        f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00"
+                        f"          {el:>2s}"
+                    )
+                    serial += 1
+        return "\n".join(lines) + "\n"
+
+    def test_chain_cutoff_slices_esm_rows(self):
+        """Dropping a chain drops its ESM embedding rows: the embedding
+        array covers EVERY chain of the file in order (the reference prep
+        script keys all chains, pdbbind_lm_embedding_preparation.py:67-88,
+        and extract_receptor_structure aligns per chain,
+        process_mols.py:219-238)."""
+        text = self._two_chain_pdb()
+        mol = minichem.parse_sdf(SDF)
+        esm = np.arange(7, dtype=np.float32)[:, None].repeat(4, 1)  # 4+3 rows
+
+        # ligand near chain B -> chain A dropped -> rows 4..6 kept
+        near_b = np.full((3, 3), 0.0, np.float32) + np.array([500.0, 0, 0])
+        receptor = featurize.receptor_from_pdb(text, near_b, chain_cutoff=50.0)
+        assert len(receptor["rec_pos"]) == 3
+        rec = featurize.build_complex_record(
+            mol, receptor, esm=esm, matching=False)
+        np.testing.assert_array_equal(rec["esm"][:, 0], [4.0, 5.0, 6.0])
+
+        # no filtering -> all 7 rows pass through
+        receptor = featurize.receptor_from_pdb(text)
+        rec = featurize.build_complex_record(
+            mol, receptor, esm=esm, matching=False)
+        assert rec["esm"].shape[0] == 7
+
+        # wrong row count errors loudly instead of training misaligned
+        with pytest.raises(ValueError, match="ESM embedding rows"):
+            featurize.build_complex_record(
+                mol, receptor, esm=esm[:5], matching=False)
+
+    def test_load_esm_reference_per_chain_pt(self, tmp_path):
+        """data/pdbbind._load_esm accepts the reference .pt format keyed
+        '<name>_chain_<i>' (esm_embeddings_to_pt.py) by concatenating the
+        chains in index order."""
+        import torch
+
+        from disco_diffdock_tpu.data.pdbbind import PDBBind, PDBBindConfig
+
+        d = {
+            "cplx_chain_1": torch.ones(3, 4),
+            "cplx_chain_0": torch.zeros(2, 4),
+            "other": torch.full((2, 4), 7.0),
+        }
+        path = str(tmp_path / "emb.pt")
+        torch.save(d, path)
+        ds = PDBBind.__new__(PDBBind)
+        ds.cfg = PDBBindConfig(data_dir=".", esm_embeddings_path=path)
+        out = ds._load_esm()
+        assert out["cplx"].shape == (5, 4)
+        np.testing.assert_array_equal(out["cplx"][:2], 0.0)
+        np.testing.assert_array_equal(out["cplx"][2:], 1.0)
+        assert out["other"].shape == (2, 4)
 
 
 class TestBuckets:
