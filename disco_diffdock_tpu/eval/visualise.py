@@ -34,15 +34,17 @@ class PDBTrajectory:
             lines.append(f"MODEL     {mi + 1:4d}")
             serial = 1
             for sym, p in zip(self.symbols, pos):
+                # standard columns: name 13-16, resName 18-20, chainID 22,
+                # resSeq 23-26, x at 31 (1-based PDB spec)
                 lines.append(
-                    f"HETATM{serial:5d} {sym:<4s}LIG A   1    "
+                    f"HETATM{serial:5d} {sym:<4s} LIG A   1    "
                     f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00          {sym:>2s}"
                 )
                 serial += 1
             if self.extra[mi] is not None:
                 for p in self.extra[mi]:
                     lines.append(
-                        f"HETATM{serial:5d} X   LAT B   1    "
+                        f"HETATM{serial:5d} X    LAT B   1    "
                         f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00           X"
                     )
                     serial += 1

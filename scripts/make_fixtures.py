@@ -134,8 +134,10 @@ def write_pdb(path, residues, chain="A"):
     serial = 1
     for ri, (resname, atoms) in enumerate(residues):
         for name, elem, p in atoms:
+            # standard columns: name 13-16, resName 18-20, chainID 22,
+            # resSeq 23-26, x at 31 (1-based PDB spec)
             lines.append(
-                f"ATOM  {serial:5d}  {name:<3s}{resname:<3s} {chain}{ri + 1:4d}    "
+                f"ATOM  {serial:5d}  {name:<3s} {resname:<3s} {chain}{ri + 1:4d}    "
                 f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00          {elem:>2s}"
             )
             serial += 1
