@@ -234,12 +234,24 @@ def parse_pdb_ligand(path_or_text: str, pdbqt: bool = False) -> MiniMol:
 
 
 def write_sdf(mol: MiniMol, pos: np.ndarray, name: str = "mol") -> str:
-    """Serialize with replaced coordinates (write_mol_with_coords analogue)."""
+    """Serialize with replaced coordinates (write_mol_with_coords analogue).
+
+    Bonds are written with their Kekule orders (``kekule_types`` when
+    aromaticity perception upgraded them — V2000 stores localized bonds) and
+    formal charges as ``M  CHG`` records, so charged ligands round-trip
+    instead of silently neutralizing (the reference writes through RDKit's
+    SDWriter which preserves the charge block)."""
     lines = [name, "  disco_diffdock_tpu", "", f"{len(mol.elements):3d}{len(mol.bonds):3d}  0  0  0  0  0  0  0  0999 V2000"]
     for e, p in zip(mol.elements, pos):
         lines.append(f"{p[0]:10.4f}{p[1]:10.4f}{p[2]:10.4f} {e:<3s} 0  0  0  0  0  0  0  0  0  0  0  0")
-    for (a, b), t in zip(mol.bonds, mol.bond_types):
+    kek = mol.kekule_types if mol.kekule_types is not None else mol.bond_types
+    for (a, b), t in zip(mol.bonds, kek):
         lines.append(f"{a + 1:3d}{b + 1:3d}{t:3d}  0")
+    charged = [(i, int(c)) for i, c in enumerate(mol.charges) if int(c) != 0]
+    for s in range(0, len(charged), 8):
+        chunk = charged[s : s + 8]
+        lines.append("M  CHG" + f"{len(chunk):3d}" + "".join(
+            f" {i + 1:3d} {c:3d}" for i, c in chunk))
     lines += ["M  END", "$$$$", ""]
     return "\n".join(lines)
 
@@ -281,9 +293,12 @@ def perceive_aromaticity(mol: MiniMol) -> MiniMol:
         (quinones then fail 4n+2, matching RDKit's default model)
 
     Aromatic ring bonds are upgraded to type 4 with the original orders kept
-    in ``kekule_types`` (valence math stays Kekule); multi-ring envelopes
-    (azulene) are not combined -- documented fallback approximation, the RDKit
-    path is authoritative.  Idempotent.
+    in ``kekule_types`` (valence math stays Kekule).  Rings are revisited to a
+    fixpoint so fused systems (naphthalene, quinoline, acenes) perceive the
+    same set whichever Kekule structure the file chose; multi-ring envelopes
+    that are only aromatic as a whole (azulene) are still not combined --
+    documented fallback approximation, the RDKit path is authoritative.
+    Idempotent.
     """
     n = len(mol.elements)
     if n == 0 or len(mol.bonds) == 0:
@@ -300,28 +315,34 @@ def perceive_aromaticity(mol: MiniMol) -> MiniMol:
         rings = nx.cycle_basis(G)
 
     aromatic_pairs: set[tuple[int, int]] = set()
-    for ring in rings:
-        rs = {int(i) for i in ring}
+
+    def _ring_is_aromatic(rs: set) -> bool:
         if not 5 <= len(rs) <= 7:
-            continue
+            return False
         if any(mol.elements[i].capitalize() not in _AROMATIC_ELEMENTS for i in rs):
-            continue
+            return False
         pi = 0
-        ok = True
         for i in rs:
             nbrs = list(G.neighbors(i))
             in_dbl = sum(1 for j in nbrs if j in rs and btype[(i, j)] == 2)
             ex_dbl = sum(1 for j in nbrs if j not in rs and btype[(i, j)] == 2)
-            has_ar = any(btype[(i, j)] == 4 for j in nbrs)
+            has_ar = any(
+                btype[(i, j)] == 4
+                or (min(i, j), max(i, j)) in aromatic_pairs
+                for j in nbrs
+            )
             el = mol.elements[i].capitalize()
             chg = int(mol.charges[i])
             if in_dbl >= 2:
-                ok = False  # cumulated double bonds
-                break
+                return False  # cumulated double bonds
             if in_dbl == 1 or has_ar:
+                # one in-ring double, OR the atom already sits on an aromatic
+                # bond — covers fused bridgeheads whose Kekule double lies in
+                # the ADJACENT ring (naphthalene's second ring under the
+                # unlucky Kekulization); resolved by the fixpoint loop below
                 pi += 1
             elif ex_dbl >= 1:
-                pi += 0  # sp2 with an empty in-ring contribution
+                pi += 0  # sp2 with an empty in-ring contribution (quinones)
             elif el in ("N", "P", "As"):
                 pi += 2  # pyrrole-type lone pair
             elif el in ("O", "S", "Se"):
@@ -333,9 +354,22 @@ def perceive_aromaticity(mol: MiniMol) -> MiniMol:
             elif el == "B":
                 pi += 0  # empty p orbital
             else:
-                ok = False  # saturated atom in the ring
-                break
-        if ok and pi % 4 == 2:
+                return False  # saturated atom in the ring
+        return pi % 4 == 2
+
+    # fixpoint over the ring set: marking one ring aromatic can make a fused
+    # neighbor pass (its bridgeheads now sit on aromatic bonds), whichever
+    # Kekule structure the file chose
+    ring_sets = [{int(i) for i in ring} for ring in rings]
+    done: set[int] = set()
+    changed = True
+    while changed:
+        changed = False
+        for ri, rs in enumerate(ring_sets):
+            if ri in done or not _ring_is_aromatic(rs):
+                continue
+            done.add(ri)
+            changed = True
             for i in rs:
                 for j in G.neighbors(i):
                     if j in rs:
@@ -414,11 +448,15 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
         val = _effective_valence(e, int(mol.charges[i]))
         num_h = max(0, int(round(val - bond_order_sum[i])))
         # hybridization from incident bond ORDERS (RDKit semantics for
-        # common organics): a triple bond or two cumulated double bonds ->
-        # SP; any double/aromatic bond -> SP2; else SP3
-        if n_triple[i] >= 1 or n_double[i] >= 2:
+        # common organics): a triple bond or two cumulated double bonds on a
+        # 2-coordinate atom -> SP; a double/aromatic bond -> SP2; else SP3.
+        # Hypervalent S/P (sulfone/sulfoxide S, phosphate/phosphonate P:
+        # double bonds but >=3 sigma neighbors, steric number 4) stay SP3,
+        # matching RDKit for these very common drug functional groups.
+        hypervalent = z in (15, 16) and G_degree[i] >= 3
+        if n_triple[i] >= 1 or (n_double[i] >= 2 and G_degree[i] <= 2):
             hyb = "SP"
-        elif n_double[i] == 1 or aromatic[i]:
+        elif (n_double[i] == 1 or aromatic[i]) and not hypervalent:
             hyb = "SP2"
         else:
             hyb = "SP3"
