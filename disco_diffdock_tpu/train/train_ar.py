@@ -84,14 +84,24 @@ def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool,
             loss = jax.lax.pmean(loss, axis_name)
             acc = jax.lax.pmean(acc, axis_name)
             new_stats = jax.lax.pmean(new_stats, axis_name)
-        if trunk_frozen:
-            grads = jax.tree_util.tree_map_with_path(
+        def _zero_trunk(tree):
+            return jax.tree_util.tree_map_with_path(
                 lambda path, g: jnp.zeros_like(g)
-                if any(getattr(p, "key", None) == "pretrained_score_model" for p in path)
+                if any(getattr(p, "key", None) == "pretrained_score_model"
+                       for p in path)
                 else g,
-                grads,
+                tree,
             )
+
+        if trunk_frozen:
+            grads = _zero_trunk(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        if trunk_frozen:
+            # zero the UPDATES too: with w_decay > 0 add_decayed_weights
+            # re-injects decay*param after the grad mask, which would erode
+            # the frozen trunk (reference freezes via requires_grad=False,
+            # so torch Adam skips those params entirely)
+            updates = _zero_trunk(updates)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(
             params=new_params, batch_stats=new_stats, opt_state=new_opt,
@@ -206,12 +216,16 @@ def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key,
         for b in range(B):
             lat[b, :, dec_idx[b]:] = 0.0
     labels = _label_vectors(soft, dec_idx, no_sampling)
-    # ligand at the generated conformer: lig_pos holds the matched/generated
-    # conformer, NOT the oracle pose the encoder labels came from.
-    # no_randomness: random rigid rotation only (sampling.py:36-43); else the
-    # full torsion+rotation+translation randomization (sampling.py:12-34)
+    # no_randomness (shipped recipe): reposition the ligand to the RAW
+    # pre-matching RDKit conformer and random-rotate about its centroid
+    # (dataset_ar.py:91-95 resets pos to orig_rdkit_pos, then
+    # randomize_position's unconditional center+rotate, sampling.py:25-29);
+    # else the full torsion+rotation+translation randomization on the
+    # matched start pose (sampling.py:12-34)
     if no_randomness:
-        b2 = rotate_ligand(batch, key)
+        b2 = rotate_ligand(
+            batch.replace(lig_pos=batch.extras.get("rdkit_pos", batch.lig_pos)),
+            key)
     else:
         from ..sampling import randomize_position
 
@@ -294,7 +308,7 @@ def main(argv=None):
     p.add_argument("--scheduler_patience", type=int, default=20)
     p.add_argument("--n_devices", type=int, default=1,
                    help=">1 shards each train batch over a data mesh "
-                        "(batch_size must divide it)")
+                        "(must divide batch_size)")
     p.add_argument("--wandb", action="store_true")
     p.add_argument("--project", default="disco_diffdock_tpu")
     from .config_overlay import add_config_arg, apply_config_overlay
@@ -471,19 +485,26 @@ def main(argv=None):
 
     wandb_run = maybe_wandb(args.wandb, args.project, args.run_name, vars(args))
     best = {"accuracy": -np.inf, "loss": np.inf, "sequential_accuracy": -np.inf}
+    best_states = {}  # axis -> state snapshot (for best_*_epochN copies)
     scheduler = (ReduceLROnPlateau(mode=args.main_metric_goal,
                                    patience=args.scheduler_patience,
                                    min_lr=args.lr / 100)
                  if args.scheduler == "plateau" else None)
+    # the reference freezes the trunk only for a pretrained-score warmup and
+    # never on restart (train_ar.py:242-246 gate on use_pretrained_score;
+    # the restart branch :303-307 skips the freeze entirely)
+    freeze_warmup = (args.use_pretrained_score and args.warmup_epochs > 0
+                     and not args.restart_dir)
     for epoch in range(args.epochs):
-        if epoch == args.warmup_epochs:
+        if freeze_warmup and epoch == args.warmup_epochs:
             # unfreeze with a fresh optimizer + scheduler (train_ar.py:309-313)
             state = state.replace(opt_state=tx.init(state.params))
             if scheduler is not None:
                 scheduler = ReduceLROnPlateau(
                     mode=args.main_metric_goal,
                     patience=args.scheduler_patience, min_lr=args.lr / 100)
-        step_fn = frozen_step if epoch < args.warmup_epochs else free_step
+        frozen_now = freeze_warmup and epoch < args.warmup_epochs
+        step_fn = frozen_step if frozen_now else free_step
         ms = []
         for batch, (soft, node_mask) in list(zip(batches, labels)) * max(1, args.train_multiplicity):
             key, k1, k2 = jax.random.split(key, 3)
@@ -498,7 +519,7 @@ def main(argv=None):
             ms.append({k3: float(v) for k3, v in m.items()})
         print(f"epoch {epoch}: loss={np.mean([m['loss'] for m in ms]):.4f} "
               f"acc={np.mean([m['accuracy'] for m in ms]):.3f} "
-              f"({'frozen' if epoch < args.warmup_epochs else 'unfrozen'} trunk)")
+              f"({'frozen' if frozen_now else 'unfrozen'} trunk)")
 
         # held-out val: per-idx teacher-forced accuracy + full sequential
         # encode_ar accuracy every epoch (train_ar.py:150-216)
@@ -508,8 +529,12 @@ def main(argv=None):
         seq_hits, seq_n = 0, 0
         for vi, (batch, (soft, node_mask)) in enumerate(
                 list(zip(val_batches, val_labels)) * max(1, args.val_multiplicity)):
-            # fixed rotation per batch so the metric is epoch-comparable
-            vb = rotate_ligand(batch, jax.random.fold_in(jax.random.PRNGKey(11), vi))
+            # fixed rotation per batch so the metric is epoch-comparable;
+            # same no_randomness pose source as training (raw RDKit conformer)
+            vsrc = (batch.replace(
+                lig_pos=batch.extras.get("rdkit_pos", batch.lig_pos))
+                if args.no_randomness else batch)
+            vb = rotate_ligand(vsrc, jax.random.fold_in(jax.random.PRNGKey(11), vi))
             for d in range(args.latent_dim):
                 lat, dec, lab = teacher_forced_inputs(
                     batch, soft, node_mask, args.latent_dim, d,
@@ -547,18 +572,24 @@ def main(argv=None):
         ckpt.save("last", state)
         if args.model_save_frequency and (epoch + 1) % args.model_save_frequency == 0:
             ckpt.save(f"epoch{epoch + 1}", state)
-        if args.best_model_save_frequency and \
-                (epoch + 1) % args.best_model_save_frequency == 0:
-            ckpt.save(f"best_epoch{epoch + 1}", state)
         if val["accuracy"] >= best["accuracy"]:
             best["accuracy"] = val["accuracy"]
+            best_states["accuracy"] = state
             ckpt.save("best", state)
         if val["loss"] <= best["loss"]:
             best["loss"] = val["loss"]
+            best_states["loss"] = state
             ckpt.save("best_loss", state)
         if val["sequential_accuracy"] >= best["sequential_accuracy"]:
             best["sequential_accuracy"] = val["sequential_accuracy"]
             ckpt.save("best_seq", state)
+        if args.best_model_save_frequency and \
+                (epoch + 1) % args.best_model_save_frequency == 0:
+            # periodic COPIES of the best-so-far checkpoints, not the current
+            # state (reference train_ar.py:261-263 shutil.copyfile's
+            # best_model_accuracy.pt / best_model_loss.pt)
+            ckpt.save(f"best_epoch{epoch + 1}", best_states["accuracy"])
+            ckpt.save(f"best_loss_epoch{epoch + 1}", best_states["loss"])
         if scheduler is not None:
             tracked = val[args.main_metric]
             new_opt = scheduler.step(tracked, state.opt_state)

@@ -132,6 +132,96 @@ def test_ar_label_modes():
         assert (l_lig[b, :, d[b]:] == 0).all()
 
 
+def test_ar_no_randomness_uses_rdkit_pos():
+    """no_randomness AR training repositions the ligand to the RAW
+    pre-matching RDKit conformer before the random rotation (reference
+    dataset_ar.py:91-95 resets pos to orig_rdkit_pos), not the matched
+    start pose (regression)."""
+    from disco_diffdock_tpu.config import GraphCaps
+    from disco_diffdock_tpu.data.synthetic import make_complex_batch
+    from disco_diffdock_tpu.train.train_ar import prepare_ar_sample
+
+    caps = GraphCaps(max_lig=16, max_rec=24, lig_bond_cap=36,
+                     lig_radius_cap=96, rec_edge_cap=24 * 8, cross_cap=128,
+                     tor_cap=4, tor_edge_cap=48)
+    batch = make_complex_batch(seed=0, batch=2, n_lig=10, n_res=16, caps=caps,
+                               esm_dim=16, c_alpha_max_neighbors=8)
+    rng0 = np.random.RandomState(5)
+    rdkit_pos = jnp.asarray(rng0.randn(2, 16, 3).astype(np.float32) * 3)
+    batch = batch.replace(extras={**batch.extras, "rdkit_pos": rdkit_pos})
+    N = 16 + 24
+    soft = rng0.randn(2, 2, N).astype(np.float32)
+    mask = np.zeros((2, N), bool)
+    mask[:, :10] = True
+    mask[:, 16:32] = True
+
+    b2, _, _, _ = prepare_ar_sample(
+        np.random.RandomState(1), batch, soft, mask, 2, jax.random.PRNGKey(0),
+        no_randomness=True)
+
+    def dists(p, m):
+        d = np.linalg.norm(p[:, :, None] - p[:, None], axis=-1)
+        return d * (m[:, :, None] & m[:, None])
+
+    m = np.asarray(batch.lig_mask, bool)
+    got = dists(np.asarray(b2.lig_pos), m)
+    np.testing.assert_allclose(got, dists(np.asarray(rdkit_pos), m), atol=1e-4)
+    assert not np.allclose(got, dists(np.asarray(batch.lig_pos), m), atol=1e-2)
+
+
+def test_ar_frozen_trunk_survives_weight_decay():
+    """With w_decay > 0 the frozen trunk must not shrink: the decay term
+    re-enters via add_decayed_weights AFTER the gradient mask, so the update
+    mask must zero it too (reference freezes via requires_grad=False)."""
+    from disco_diffdock_tpu.config import GraphCaps, ScoreModelConfig
+    from disco_diffdock_tpu.data.synthetic import make_complex_batch
+    from disco_diffdock_tpu.models.ar import PretrainedScoreEncoder
+    from disco_diffdock_tpu.train.plateau import make_adam
+    from disco_diffdock_tpu.train.steps import TrainState
+    from disco_diffdock_tpu.train.train_ar import make_ar_train_step
+
+    caps = GraphCaps(max_lig=16, max_rec=24, lig_bond_cap=36,
+                     lig_radius_cap=96, rec_edge_cap=24 * 8, cross_cap=128,
+                     tor_cap=4, tor_edge_cap=48)
+    score_cfg = ScoreModelConfig(ns=8, nv=2, num_conv_layers=2,
+                                 esm_embedding_dim=16, dropout=0.0,
+                                 latent_dim=2, latent_vocab=1)
+    batch = make_complex_batch(seed=0, batch=2, n_lig=10, n_res=16, caps=caps,
+                               esm_dim=16, c_alpha_max_neighbors=8)
+    model = PretrainedScoreEncoder(score_cfg=score_cfg, caps=caps,
+                                   latent_dim=1, input_latent_dim=2)
+    B, NL, NR = 2, 16, 24
+    lat = (jnp.zeros((B, NL, 2)), jnp.zeros((B, NR, 2)))
+    dec = jnp.zeros((B,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), batch, lat, dec)
+    tx = make_adam(1e-3, w_decay=1e-2)
+    state = TrainState.create(variables, tx)
+    N = NL + NR
+    labels = jnp.asarray(np.eye(N, dtype=np.float32)[np.array([0, 17])])
+    nm = np.zeros((B, N), bool)
+    nm[:, :10] = True
+    nm[:, 16:32] = True
+    nm = jnp.asarray(nm)
+
+    step = jax.jit(make_ar_train_step(model, tx, 2, trunk_frozen=True))
+    s1, _ = step(state, batch, lat, dec, labels, nm, jax.random.PRNGKey(1))
+    before = state.params["pretrained_score_model"]
+    after = s1.params["pretrained_score_model"]
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(before),
+            jax.tree_util.tree_leaves_with_path(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(k1))
+
+    free = jax.jit(make_ar_train_step(model, tx, 2, trunk_frozen=False))
+    s2, _ = free(state, batch, lat, dec, labels, nm, jax.random.PRNGKey(1))
+    moved = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(before),
+                        jax.tree_util.tree_leaves(s2.params["pretrained_score_model"]))
+    )
+    assert moved
+
+
 def test_train_score_parser_accepts_reference_flags():
     import disco_diffdock_tpu.train.train_score as ts
 
