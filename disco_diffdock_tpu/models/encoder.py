@@ -228,8 +228,18 @@ class TPEncoder(nn.Module):
             virtual_latent_in = input_latent
             dec_onehot_v = jax.nn.one_hot(decoding_idx, cfg.input_latent_dim)
             input_latent = None
+        vocab_flat = False
         if input_latent is not None:
-            lat_l_in, lat_r_in = input_latent
+            if cfg.latent_vocab > 1:
+                # vocab>1: (B, latent_dim, vocab) codes, flattened and
+                # broadcast per node; edge conditioning is the src-node
+                # latent only (latent_encoder.py:174-178,361-364,392-394)
+                flat = jnp.reshape(input_latent, (B, -1))
+                lat_l_in = jnp.broadcast_to(flat[:, None, :], (B, NL, flat.shape[-1]))
+                lat_r_in = jnp.broadcast_to(flat[:, None, :], (B, NR, flat.shape[-1]))
+                vocab_flat = True
+            else:
+                lat_l_in, lat_r_in = input_latent
             dec_onehot = jax.nn.one_hot(decoding_idx, cfg.input_latent_dim)  # (B, ild)
         else:
             lat_l_in = lat_r_in = dec_onehot = None
@@ -250,7 +260,8 @@ class TPEncoder(nn.Module):
         lig_node_in = [batch.lig_x.astype(jnp.float32)]
         if lat_l_in is not None:
             dec_l = jnp.broadcast_to(dec_onehot[:, None, :], (B, NL, cfg.input_latent_dim))
-            lig_eattr.append(_edge_latent(lat_l_in, lat_l_in, lig_edges))
+            lig_eattr.append(gather_nodes(lat_l_in, lig_edges.src) if vocab_flat
+                             else _edge_latent(lat_l_in, lat_l_in, lig_edges))
             lig_eattr.append(gather_nodes(dec_l, lig_edges.src))
             lig_node_in += [lat_l_in, dec_l]
         lig_attr = self.lig_node_embedding(jnp.concatenate(lig_node_in, -1))
@@ -265,7 +276,8 @@ class TPEncoder(nn.Module):
         rec_node_in = [batch.rec_x.astype(jnp.float32)]
         if lat_r_in is not None:
             dec_r = jnp.broadcast_to(dec_onehot[:, None, :], (B, NR, cfg.input_latent_dim))
-            rec_eattr.append(_edge_latent(lat_r_in, lat_r_in, rec_edges))
+            rec_eattr.append(gather_nodes(lat_r_in, rec_edges.src) if vocab_flat
+                             else _edge_latent(lat_r_in, lat_r_in, rec_edges))
             rec_eattr.append(gather_nodes(dec_r, rec_edges.src))
             rec_node_in += [lat_r_in, dec_r]
         rec_attr = self.rec_node_embedding(jnp.concatenate(rec_node_in, -1))
@@ -282,7 +294,8 @@ class TPEncoder(nn.Module):
         dist_x = jnp.linalg.norm(vec_x + 1e-12, axis=-1)
         cross_eattr = [self.cross_distance_expansion(dist_x)]
         if lat_l_in is not None:
-            cross_eattr.append(_edge_latent(lat_l_in, lat_r_in, cross_edges))
+            cross_eattr.append(gather_nodes(lat_l_in, cross_edges.src) if vocab_flat
+                               else _edge_latent(lat_l_in, lat_r_in, cross_edges))
             cross_eattr.append(gather_nodes(dec_l, cross_edges.src))
         cross_eattr = self.cross_edge_embedding(jnp.concatenate(cross_eattr, -1), deterministic=deterministic)
         cross_sh = spherical_harmonics(vec_x, cfg.sh_lmax)

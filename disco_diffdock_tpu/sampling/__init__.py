@@ -1,1 +1,3 @@
-from .sampler import SamplerConfig, randomize_position, reverse_diffusion, sampling
+from .sampler import (ar_conditioning_pose, randomize_position,
+                      reverse_diffusion, rotate_ligand, sampling,
+                      SamplerConfig)

@@ -48,12 +48,15 @@ from ..graphs.containers import ComplexBatch
 class SamplerConfig:
     inference_steps: int = 20
     # run only the first N steps of the inference_steps schedule (the
-    # reference's --actual_steps, evaluate.py:269): the final executed step
-    # keeps its normal dt increment instead of jumping to t=0
+    # reference's --actual_steps, evaluate.py:269); the final executed step
+    # integrates the full remaining time to t=0 as in the reference
     actual_steps: "int | None" = None
     ode: bool = False
     no_random: bool = False
-    no_final_step_noise: bool = True
+    # reference default False (sampling() kwarg, utils/sampling.py:51) — the
+    # confidence pose cache and train-time validation inference run with
+    # final-step noise ON; the shipped inference recipes pass the flag
+    no_final_step_noise: bool = False
     no_torsion: bool = False
     # DisCo-Diff low-temperature sampling constants (README.md:15,20)
     temp_sampling: tuple = (1.0, 1.0, 1.0)  # (tr, rot, tor)
@@ -70,8 +73,6 @@ def decode_latent_anchors(batch: ComplexBatch, latent) -> list[dict]:
     """Decode equivariant latents into anchor strings + positions per graph
     (parity with utils/sampling.py:205-221: 'L<idx>'/'R<idx>' per slot, with
     positions shifted back by the original center)."""
-    import numpy as np
-
     lat_l, lat_r = latent
     lat_l = np.asarray(lat_l)
     lat_r = np.asarray(lat_r)
@@ -123,6 +124,32 @@ def randomize_position(
     return batch.replace(lig_pos=pos)
 
 
+def rotate_ligand(batch: ComplexBatch, key: jax.Array) -> ComplexBatch:
+    """Random rigid rotation about the ligand centroid — the unconditional
+    center+rotate part of the reference's randomize_position
+    (utils/sampling.py:25-29), also used for ar_pos under no_randomness
+    (:36-43)."""
+    pos = batch.lig_pos
+    center = masked_mean(pos, batch.lig_mask)
+    R = random_rotation_matrix(key, (pos.shape[0],))
+    return batch.replace(lig_pos=jnp.einsum("bni,bji->bnj", pos - center, R))
+
+
+def ar_conditioning_pose(batch: ComplexBatch, key: jax.Array,
+                         no_randomness: bool) -> ComplexBatch:
+    """The pose the AR prior conditions on (the reference's ``ar_pos``,
+    utils/sampling.py:36-46,83-88): a rotated RAW RDKit conformer when the
+    AR model was trained with no_randomness (the shipped recipe), else the
+    randomized initial pose itself (pass the post-randomize_position batch).
+    """
+    if not no_randomness:
+        return batch
+    return rotate_ligand(
+        batch.replace(lig_pos=batch.extras.get("rdkit_pos", batch.lig_pos)),
+        key,
+    )
+
+
 def reverse_diffusion(
     score_fn: Callable,
     batch: ComplexBatch,
@@ -147,13 +174,29 @@ def reverse_diffusion(
     t = np.asarray(t_schedule, np.float32)
     dt = np.concatenate([t[:-1] - t[1:], [t[-1]]]).astype(np.float32)
     if cfg.actual_steps and cfg.actual_steps < steps:
-        t, dt = t[: cfg.actual_steps], dt[: cfg.actual_steps]
+        t, dt = t[: cfg.actual_steps], dt[: cfg.actual_steps].copy()
+        # the reference's LAST EXECUTED step integrates the full remaining
+        # time to t=0 (dt = schedule[t_idx] on the final loop iteration,
+        # utils/sampling.py:107-110 with the loop running actual_steps
+        # iterations), not just the grid increment
+        dt[-1] = t[-1]
         steps = cfg.actual_steps
     noise_on = np.ones(steps, np.float32)
     if cfg.no_random:
         noise_on[:] = 0.0
     if cfg.no_final_step_noise:
         noise_on[-1] = 0.0
+
+    if cfg.ode and any(ts != 1.0 for ts in cfg.temp_sampling):
+        # the low-temperature branch is an SDE update with noise and would
+        # silently override the deterministic ODE contract; the reference
+        # cannot combine them either (its ode branch leaves tr_z undefined,
+        # utils/sampling.py:142-185 -> NameError) — error clearly instead
+        raise ValueError(
+            "ode=True cannot combine with low-temperature sampling "
+            "(temp_sampling != 1): the temperature-scaled update is an SDE "
+            "step with noise"
+        )
 
     if callable(score_fn):
         fn_segments = [(steps, score_fn)]

@@ -48,6 +48,17 @@ def ar_kwargs_from_run(run_dir: str) -> dict:
     return {k: v for k, v in ar.items() if k in allowed and v is not None}
 
 
+def ar_no_randomness_from_run(run_dir: str) -> bool:
+    """Whether the AR run trained with no_randomness (rotated raw-RDKit
+    conditioning pose, the shipped recipe) — consumers must build the same
+    ``ar_pos`` at inference (utils/sampling.py:36-46).  Defaults True."""
+    try:
+        cfg = load_config(run_dir)
+    except FileNotFoundError:
+        return True
+    return bool((cfg.get("ar") or {}).get("no_randomness", True))
+
+
 def merge_matching(template, restored):
     """Non-strict parameter merge (reference ``non_strict_loading``,
     train.py:131-138): take restored leaves whose path and shape match the

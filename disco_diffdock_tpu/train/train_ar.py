@@ -27,7 +27,6 @@ import optax
 
 from ..config import EncoderConfig, GraphCaps, ScoreModelConfig
 from ..data.synthetic import make_complex_batch
-from ..geom.rotations import random_rotation_matrix
 from ..models.ar import PretrainedScoreEncoder, encode_ar
 from ..models.encoder import TPEncoder
 from .checkpoints import CheckpointManager, save_config
@@ -176,13 +175,7 @@ def teacher_forced_inputs(batch, labels_soft, node_mask, input_latent_dim,
     )
 
 
-def rotate_ligand(batch, key):
-    """Random rigid rotation about the ligand centroid (no_randomness
-    repositioning, dataset_ar.py:91-95)."""
-    pos = batch.lig_pos
-    center = jnp.mean(pos, axis=1, keepdims=True)
-    R = random_rotation_matrix(key, (pos.shape[0],))
-    return batch.replace(lig_pos=jnp.einsum("bni,bji->bnj", pos - center, R))
+from ..sampling import rotate_ligand  # shared pose op (sampler.py)
 
 
 def prepare_ar_sample(rng, batch, labels_soft, node_mask, input_latent_dim, key,
@@ -476,7 +469,11 @@ def main(argv=None):
                 ar={"ns": args.ar_ns,
                     "latent_hidden_dim": args.latent_hidden_dim,
                     "latent_no_batchnorm": args.latent_no_batchnorm,
-                    "latent_dropout": args.latent_dropout})
+                    "latent_dropout": args.latent_dropout,
+                    # consumers must condition encode_ar on the same pose
+                    # family the model trained on (ar_pos semantics,
+                    # utils/sampling.py:36-46)
+                    "no_randomness": bool(args.no_randomness)})
     ckpt = CheckpointManager(run_dir)
 
     rng = np.random.RandomState(0)

@@ -64,6 +64,28 @@ class TestTPEncoder:
         np.testing.assert_allclose(np.asarray(lat).sum(-1), 1.0, atol=1e-4)
 
 
+    def test_vocab_gt1_ar_conditioning(self):
+        """AR-decoder conditioning with latent_vocab > 1 and no virtual
+        nodes: input_latent is one (B, latent_dim, vocab) array flattened
+        and broadcast per node, with src-only edge conditioning
+        (latent_encoder.py:174-178,361-364; regression: tuple-unpacking the
+        array crashed or silently mis-split the batch)."""
+        cfg = enc_cfg(latent_vocab=4, input_latent_dim=2, use_oracle=False,
+                      apply_gumbel_softmax=False)
+        model = TPEncoder(cfg=cfg, caps=small_caps())
+        batch = small_batch(batch=3)
+        B = batch.num_graphs
+        input_latent = jax.nn.one_hot(
+            jnp.asarray(np.random.RandomState(0).randint(0, 4, (B, 2))), 4)
+        dec = jnp.asarray([0, 1, 0], jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               input_latent=input_latent, decoding_idx=dec)
+        out, _ = model.apply(variables, batch, input_latent=input_latent,
+                             decoding_idx=dec, mutable=["batch_stats"])
+        logits = out[0] if isinstance(out, tuple) else out
+        assert np.isfinite(np.asarray(logits)).any()
+
+
 class TestModelWrapper:
     def test_joint_forward_and_droprate(self):
         wrapper = ModelWrapper(

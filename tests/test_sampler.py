@@ -162,6 +162,92 @@ def test_segmented_scan_matches_single_scan():
     np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_ar_conditioning_pose():
+    """The AR prior's conditioning pose (reference ar_pos,
+    utils/sampling.py:36-46): rotated raw-RDKit conformer under
+    no_randomness, the given (randomized) batch otherwise."""
+    from disco_diffdock_tpu.sampling import ar_conditioning_pose
+
+    batch = small_batch()
+    rdkit = jnp.asarray(
+        np.random.RandomState(3).randn(*batch.lig_pos.shape).astype(np.float32))
+    b = batch.replace(extras={**batch.extras, "rdkit_pos": rdkit})
+
+    assert ar_conditioning_pose(b, jax.random.PRNGKey(0), False) is b
+
+    out = ar_conditioning_pose(b, jax.random.PRNGKey(0), True)
+    m = np.asarray(batch.lig_mask, bool)
+
+    def dists(p):
+        d = np.linalg.norm(p[:, :, None] - p[:, None], axis=-1)
+        return d * (m[:, :, None] & m[:, None])
+
+    np.testing.assert_allclose(dists(np.asarray(out.lig_pos)),
+                               dists(np.asarray(rdkit)), atol=1e-4)
+    assert not np.allclose(dists(np.asarray(out.lig_pos)),
+                           dists(np.asarray(batch.lig_pos)), atol=1e-2)
+
+
+def test_reference_defaults_and_ode_temp_guard():
+    """SamplerConfig defaults match the reference sampling() kwargs
+    (no_final_step_noise=False, utils/sampling.py:51 — the confidence pose
+    cache and validation inference run with final-step noise ON), and
+    combining --ode with low-temperature sampling errors loudly instead of
+    silently injecting SDE noise (the reference raises NameError there)."""
+    assert SamplerConfig().no_final_step_noise is False
+
+    cfg = small_cfg()
+    caps = small_caps()
+    model = TensorProductScoreModel(cfg=cfg, caps=caps)
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    scfg = SamplerConfig(inference_steps=2, ode=True,
+                         temp_sampling=(0.5, 1.0, 1.0))
+    sigma = SigmaSchedule()
+    import pytest
+
+    with pytest.raises(ValueError, match="ode"):
+        sampling(model, variables, batch, jax.random.PRNGKey(1), scfg, sigma)
+
+
+def test_actual_steps_full_remaining_dt():
+    """--actual_steps' final executed step integrates the FULL remaining
+    time to t=0 (reference dt = schedule[t_idx] on the last loop iteration,
+    utils/sampling.py:107-110): with a model whose scores are zero the pose
+    is noise-only, so compare the noise scale instead — run with
+    no_random=True (zero noise) and check truncation equals running the
+    truncated schedule directly with its final-jump dt."""
+    cfg = small_cfg()
+    caps = small_caps()
+    model = TensorProductScoreModel(cfg=cfg, caps=caps)
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    sigma = SigmaSchedule()
+    rb = randomize_position(jax.random.PRNGKey(1), batch, False, False,
+                            sigma.tr_sigma_max)
+
+    from disco_diffdock_tpu.geom.diffusion import get_t_schedule
+
+    t8 = get_t_schedule(8)
+
+    @jax.jit
+    def run_truncated(b, key):
+        scfg = SamplerConfig(inference_steps=8, actual_steps=3, no_random=True)
+        return sampling(model, variables, b, key, scfg, sigma)[0].lig_pos
+
+    @jax.jit
+    def run_explicit(b, key):
+        # same three t-values as an explicit schedule: reverse_diffusion
+        # gives the final step dt = t[-1] by construction
+        scfg = SamplerConfig(inference_steps=3, no_random=True)
+        return sampling(model, variables, b, key, scfg, sigma,
+                        t_schedule=t8[:3])[0].lig_pos
+
+    a = np.asarray(run_truncated(rb, jax.random.PRNGKey(2)))
+    b = np.asarray(run_explicit(rb, jax.random.PRNGKey(2)))
+    np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 def test_actual_steps_truncates_segments():
     """--actual_steps composes with a (n, model) segment schedule: the
     segments are truncated to the first actual_steps steps and match the
@@ -220,11 +306,20 @@ def test_segmented_caps_change_only_capacity():
 
 def test_cfg_window_skip():
     """Outside [cfg_end, cfg_start] no unconditional forward runs; a window
-    covering zero steps must equal cfg_weight=0 exactly."""
-    cfg = small_cfg()
+    covering zero steps must equal cfg_weight=0 exactly.  The model carries
+    latents so the unconditional branch genuinely changes the scores."""
+    cfg = small_cfg(latent_dim=2, latent_vocab=1, latent_droprate=0.1)
     model = TensorProductScoreModel(cfg=cfg, caps=small_caps())
     batch = small_batch()
-    variables = model.init(jax.random.PRNGKey(0), batch)
+    B, NL = batch.lig_x.shape[:2]
+    NR = batch.rec_x.shape[1]
+    lat = (
+        jnp.zeros((B, NL, 2)).at[:, 0, 0].set(1.0),
+        jnp.zeros((B, NR, 2)).at[:, 1, 1].set(1.0),
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), batch, latent=lat, unconditional=jnp.zeros((B, 1))
+    )
     sigma = SigmaSchedule()
     rb = randomize_position(jax.random.PRNGKey(1), batch, False, False, sigma.tr_sigma_max)
 
@@ -236,7 +331,8 @@ def test_cfg_window_skip():
 
     def run(scfg, b, key):
         return np.asarray(jax.jit(
-            lambda bb, k: sampling(model, variables, bb, k, scfg, sigma)[0].lig_pos
+            lambda bb, k: sampling(model, variables, bb, k, scfg, sigma,
+                                   latent=lat)[0].lig_pos
         )(b, key))
 
     a = run(no_cfg, rb, jax.random.PRNGKey(2))
