@@ -72,6 +72,10 @@ def parse_args(argv=None):
     p.add_argument("--temp_sigma_data", type=float, nargs=3, default=[0.5, 0.5, 0.5])
     p.add_argument("--classifier_free_guidance_weight", type=float, default=0.0)
     p.add_argument("--softmax_latent_temperature", type=float, default=1.0)
+    p.add_argument("--allow_seed_latents", action="store_true",
+                   help="let a DisCo run dock WITHOUT an AR prior: encoder "
+                        "latents are computed from the seed conformer "
+                        "(meaningless pose) — smoke tests only")
     return p.parse_args(argv)
 
 
@@ -149,8 +153,24 @@ def dock(args):
     if rec is None:
         raise SystemExit("featurization failed")
 
+    if enc_cfg is not None and not args.ar_model_dir \
+            and not args.allow_seed_latents:
+        # oracle-encoder latents need the ground-truth pose, which a docking
+        # request never has — fail fast instead of silently conditioning on
+        # latents of the seed conformer
+        raise SystemExit(
+            f"{args.model_dir} is a DisCo run (latent encoder in its yml); "
+            f"docking needs --ar_model_dir so latents come from the AR "
+            f"prior.  --allow_seed_latents overrides (encoder latents of "
+            f"the seed conformer — smoke tests only)"
+        )
+
     buckets = ((run_caps,) if run_caps is not None else ()) + tuple(DEFAULT_BUCKETS)
-    caps = next(c for c in buckets if fits(rec, c))
+    caps = next((c for c in buckets if fits(rec, c)), None)
+    if caps is None:
+        raise SystemExit(
+            "input exceeds every size bucket (ligand atoms / residues / "
+            "rotatable bonds larger than the largest configured capacity)")
     S = args.samples_per_complex
     batch = collate(replicate_record(rec, S), caps, esm_dim=score_cfg.esm_embedding_dim)
 
@@ -168,7 +188,8 @@ def dock(args):
                                       args.confidence_ckpt, use_ema=False)
 
     if enc_cfg is not None and args.ar_model_dir:
-        from ..train.loading import ar_kwargs_from_run
+        from ..sampling import ar_conditioning_pose
+        from ..train.loading import ar_kwargs_from_run, ar_no_randomness_from_run
 
         ar_model = PretrainedScoreEncoder(
             score_cfg=score_cfg, caps=caps, latent_dim=1,
@@ -176,8 +197,12 @@ def dock(args):
             **ar_kwargs_from_run(args.ar_model_dir),
         )
         ar_vars = restore_variables(args.ar_model_dir, args.ar_ckpt, use_ema=False)
+        ar_no_rand = ar_no_randomness_from_run(args.ar_model_dir)
 
         def latent_fn(b, key):
+            k_pose, key = jax.random.split(key)
+            b = ar_conditioning_pose(b, k_pose, ar_no_rand)
+
             def apply_fn(bb, lat, dec):
                 return ar_model.apply(ar_vars, bb, lat, dec,
                                       deterministic=True,
@@ -205,9 +230,11 @@ def dock(args):
     @partial(jax.jit, compiler_options=tpu_compiler_options())
     def _run(b, key):
         k1, k2, k3 = jax.random.split(key, 3)
-        latent = latent_fn(b, k3) if latent_fn is not None else None
         rb = randomize_position(k1, b, scfg.no_torsion, scfg.no_random,
                                 sigma.tr_sigma_max)
+        # latents AFTER randomization (the reference's ar_pos semantics,
+        # utils/sampling.py:36-46,83-88)
+        latent = latent_fn(rb, k3) if latent_fn is not None else None
         return sampling(
             model, variables, rb, k2, scfg, sigma, latent=latent,
             confidence_model=conf_model, confidence_variables=conf_vars,
@@ -254,7 +281,13 @@ def dock_csv(args):
 
     from ..serve import DockingService
 
-    service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt)
+    service = DockingService(
+        args.model_dir, args.confidence_model_dir, args.ckpt,
+        ar_model_dir=args.ar_model_dir, ar_ckpt=args.ar_ckpt,
+        confidence_ckpt=args.confidence_ckpt,
+        softmax_latent_temperature=args.softmax_latent_temperature,
+        allow_seed_latents=args.allow_seed_latents,
+    )
     os.makedirs(args.out_dir, exist_ok=True)
     results = []
     with open(args.protein_ligand_csv) as f:

@@ -20,6 +20,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import GraphCaps, ScoreModelConfig
@@ -80,7 +81,10 @@ def parse_args(argv=None):
                    help="score the randomized seed conformers without "
                         "running the model (reference evaluate.py:44)")
     p.add_argument("--out_dir", default="results/eval")
-    p.add_argument("--no_final_step_noise", action="store_true", default=True)
+    # reference default is False (evaluate.py:46); the shipped inference
+    # presets (configs/inference_*.yml) turn it on
+    p.add_argument("--no_final_step_noise", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--temp_sampling", type=float, nargs=3, default=[1.0, 1.0, 1.0])
     p.add_argument("--temp_psi", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--temp_sigma_data", type=float, nargs=3, default=[0.5, 0.5, 0.5])
@@ -134,19 +138,20 @@ def parse_args(argv=None):
 
 def run_with_retries(run_fn, batch, key, limit_failures: int, tag=""):
     """Call ``run_fn(batch, key)`` with fresh keys up to ``limit_failures``
-    times; returns (pos, conf, traj) arrays or (None, None, None) after the
-    last failure (reference retry-then-sentinel, evaluate.py:230,394-408).
+    times; returns (pos, conf, traj, latent) or (None,)*4 after the last
+    failure (reference retry-then-sentinel, evaluate.py:230,394-408).
     The host fetch doubles as the device sync."""
     for attempt in range(max(1, limit_failures)):
         key, k = jax.random.split(key)
         try:
-            final, conf, traj = run_fn(batch, k)
+            final, conf, traj, latent = run_fn(batch, k)
             pos = np.asarray(final.lig_pos)
-            return pos, (np.asarray(conf) if conf is not None else None), traj
+            return (pos, (np.asarray(conf) if conf is not None else None),
+                    traj, latent)
         except Exception as e:
             print(f"| WARNING: batch{tag} attempt {attempt + 1} failed "
                   f"({type(e).__name__}: {e})")
-    return None, None, None
+    return None, None, None, None
 
 
 def evaluate_complexes(
@@ -225,19 +230,23 @@ def evaluate_complexes(
     @partial(jax.jit, compiler_options=tpu_compiler_options())
     def _run(batch, key):
         k1, k2, k3 = jax.random.split(key, 3)
-        latent = latent_fn(batch, k3) if latent_fn is not None else None
         rb = randomize_position(k1, batch, scfg.no_torsion, scfg.no_random,
                                 sigma.tr_sigma_max)
+        # latents AFTER randomization: the reference's AR prior conditions on
+        # ar_pos — derived from the randomized pose (utils/sampling.py:36-46,
+        # 83-88); the oracle encoder reads extras['orig_pos'] either way
+        latent = latent_fn(rb, k3) if latent_fn is not None else None
         if no_model:
             # score the randomized seed conformers without running the model
             # (reference --no_model, evaluate.py:44,261)
-            return rb, None, None
-        return sampling(
+            return rb, None, None, None
+        out = sampling(
             model, variables, rb, k2, scfg, sigma, latent=latent,
             confidence_model=confidence_model,
             confidence_variables=confidence_variables,
             shared_rec=shared_rec,
         )
+        return out + (latent,)
 
     if batch_packs is None:
         # default: one complex per batch, all rows are its poses
@@ -251,7 +260,7 @@ def evaluate_complexes(
         # retry with fresh keys before the sentinel (shapes are static, so
         # the retry targets transient runtime/SVD failures, not OOM)
         key, k = jax.random.split(key)
-        pos_all, conf_all, traj = run_with_retries(
+        pos_all, conf_all, traj, latent_out = run_with_retries(
             _run, batch, k, limit_failures, tag=f" {bi}")
         if pos_all is None:
             # failure sentinel parity (evaluate.py:400-408)
@@ -265,6 +274,16 @@ def evaluate_complexes(
                 row_names.append(names[ci] if names is not None else str(ci))
             continue
         per_complex_time = (time.time() - t0) / len(pack)
+
+        anchors = None
+        if latent_out is not None:
+            # latent anchor decode on the FINAL poses (reference
+            # utils/sampling.py:205-221, printed with the per-complex rmsds
+            # at evaluate.py:327-328 and drawn as pseudo-atoms :344-390)
+            from ..sampling.sampler import decode_latent_anchors
+
+            anchors = decode_latent_anchors(
+                batch.replace(lig_pos=jnp.asarray(pos_all)), latent_out)
 
         for (ofs, n, ci) in pack:
             run_times.append(per_complex_time)
@@ -295,13 +314,21 @@ def evaluate_complexes(
                 self_int.append(
                     float(np.mean([min_self_distance(p[mask], meta["bonds"]) < 0.4 for p in pos]))
                 )
+            if anchors is not None:
+                strs = [anchors[ofs + i]["latent_str"] for i in range(n)]
+                print(f"HAPPENING | {row_names[-1]} latents {strs}")
             if save_visualisation and traj is not None and out_dir:
                 from .visualise import PDBTrajectory
 
                 els = meta["elements"] if meta else ["C"] * int(mask.sum())
                 viz = PDBTrajectory(els)
+                anchor_pos = None
+                if anchors is not None and len(anchors[ofs]["latent_pos"]):
+                    # back to the centered frame the trajectory lives in
+                    anchor_pos = (anchors[ofs]["latent_pos"]
+                                  - np.asarray(batch.original_center[ofs]))
                 for frame in np.asarray(traj)[:, ofs]:
-                    viz.add(frame[mask])
+                    viz.add(frame[mask], latent_pos=anchor_pos)
                 viz.write(os.path.join(out_dir, f"complex{ci}_traj.pdb"))
 
     rmsds = np.asarray(all_rmsds)
@@ -311,7 +338,11 @@ def evaluate_complexes(
         np.asarray([n in no_overlap_names for n in row_names])
         if no_overlap_names else None
     )
-    metrics = aggregate(rmsds, confs if confs.any() else None, cents,
+    # the confidence-filtered family exists iff a confidence model ran: the
+    # -10000 failure sentinel would otherwise make all-zero placeholder
+    # confidences look real and fabricate filtered_ metrics
+    has_conf = confidence_model is not None
+    metrics = aggregate(rmsds, confs if has_conf else None, cents,
                         no_overlap_mask=overlap_mask)
     metrics["run_times_mean"] = float(np.mean(run_times))
     metrics["run_times_std"] = float(np.std(run_times))
@@ -335,7 +366,7 @@ def evaluate_complexes(
             run_times=np.asarray(run_times), names=row_names,
             clash=np.asarray(clash),
             self_int=np.asarray(self_int) if self_int else None,
-            has_confidence=bool(confs.any()),
+            has_confidence=has_conf,
         )
         return metrics, arrays
     return metrics
@@ -393,12 +424,19 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
 
     # group complexes by bucket so each bucket compiles once
     per_bucket: dict[int, list[int]] = {}
+    unbucketable = []
     for i in range(len(ds)):
         rec = ds[i]
         for bi, caps in enumerate(buckets):
             if fits(rec, caps):
                 per_bucket.setdefault(bi, []).append(i)
                 break
+        else:
+            # score as a failure (reference evaluate.py:400-408 sentinel)
+            # rather than silently dropping it, which would inflate metrics
+            unbucketable.append(i)
+            print(f"| WARNING: complex {ds.names[i]} exceeds every size "
+                  f"bucket; recording rmsd=10000, confidence=-10000")
 
     no_overlap = None
     if getattr(args, "no_overlap_names_path", None):
@@ -458,8 +496,15 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                                         use_ema=False)
             single = all(len(p) == 1 for p in packs)
             oracle_latent_fn = latent_fn
+            from ..sampling import ar_conditioning_pose
+            from ..train.loading import ar_no_randomness_from_run
+
+            ar_no_rand = ar_no_randomness_from_run(args.ar_model_dir)
 
             def ar_latent_fn(b, key):
+                k_pose, key = jax.random.split(key)
+                b = ar_conditioning_pose(b, k_pose, ar_no_rand)
+
                 def apply_fn(bb, lat, dec):
                     return ar_model.apply(ar_vars, bb, lat, dec,
                                           deterministic=True,
@@ -507,15 +552,28 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     # medians/percentiles over a pooled sample, not a weighted mean of
     # per-bucket medians (reference evaluate.py:420-585 semantics).  Pose
     # counts match across buckets (same samples_per_complex), so rows stack.
+    S0 = args.samples_per_complex
+    empty = np.zeros((0, S0))
     total = sum(m["n_complexes"] for m, _ in all_metrics)
-    rmsds = np.vstack([a["rmsds"] for _, a in all_metrics])
-    confs = np.vstack([a["confidences"] for _, a in all_metrics])
-    cents = np.vstack([a["centroid_dists"] for _, a in all_metrics])
+    rmsds = np.vstack([a["rmsds"] for _, a in all_metrics] or [empty])
+    confs = np.vstack([a["confidences"] for _, a in all_metrics] or [empty])
+    cents = np.vstack([a["centroid_dists"] for _, a in all_metrics] or [empty])
     names_all = [n for _, a in all_metrics for n in a["names"]]
-    run_times = np.concatenate([a["run_times"] for _, a in all_metrics])
-    clash = np.concatenate([a["clash"] for _, a in all_metrics])
+    run_times = np.concatenate(
+        [a["run_times"] for _, a in all_metrics] or [np.zeros(0)])
+    clash = np.concatenate([a["clash"] for _, a in all_metrics] or [np.zeros(0)])
     self_ints = [a["self_int"] for _, a in all_metrics if a["self_int"] is not None]
     has_conf = any(a["has_confidence"] for _, a in all_metrics)
+    if unbucketable:
+        # sentinel rows for complexes no bucket could hold
+        S = rmsds.shape[1]
+        k = len(unbucketable)
+        rmsds = np.vstack([rmsds, np.full((k, S), 10000.0)])
+        confs = np.vstack([confs, np.full((k, S), -10000.0)])
+        cents = np.vstack([cents, np.full((k, S), 10000.0)])
+        names_all += [ds.names[i] for i in unbucketable]
+        run_times = np.concatenate([run_times, np.zeros(k)])
+        total += k
     overlap_mask = (np.asarray([n in no_overlap for n in names_all])
                     if no_overlap else None)
     merged = aggregate(rmsds, confs if has_conf else None, cents,

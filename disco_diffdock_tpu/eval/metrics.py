@@ -99,7 +99,10 @@ def symmetry_rmsd(
         perms = []
     if not perms:
         return rmsd(pred, true)
-    return min(rmsd(pred[p], true) for p in perms)
+    # include the identity explicitly: a max_automorphisms-truncated
+    # enumeration is not guaranteed to contain it, and the symmetry RMSD
+    # must never exceed the plain RMSD
+    return min(rmsd(pred, true), min(rmsd(pred[p], true) for p in perms))
 
 
 def min_cross_distance(lig: np.ndarray, rec_atoms: np.ndarray) -> float:
@@ -154,11 +157,16 @@ def aggregate(
             res[f"{pre}{name}rmsds_percentile_50"] = float(np.percentile(best, 50))
             res[f"{pre}{name}rmsds_percentile_75"] = float(np.percentile(best, 75))
             if cd_o is not None:
-                # centroid of the best-RMSD pose among the first k
+                # centroid of the best-RMSD pose among the first k (the
+                # reference's argsort(rmsds[:, :k])[:, 0] indexing,
+                # evaluate.py:474-475)
                 pick = np.argmin(r_o[:, :k], axis=1)
                 best_cd = cd_o[np.arange(len(r)), pick]
                 res[f"{pre}{name}centroid_below_2"] = 100.0 * float((best_cd < 2).mean())
                 res[f"{pre}{name}centroid_below_5"] = 100.0 * float((best_cd < 5).mean())
+                res[f"{pre}{name}centroid_percentile_25"] = float(np.percentile(best_cd, 25))
+                res[f"{pre}{name}centroid_percentile_50"] = float(np.percentile(best_cd, 50))
+                res[f"{pre}{name}centroid_percentile_75"] = float(np.percentile(best_cd, 75))
         return res
 
     def block(r, c, cd, pre):

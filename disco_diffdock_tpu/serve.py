@@ -39,7 +39,11 @@ class DockingService:
     """Owns the models and the per-bucket compiled programs."""
 
     def __init__(self, model_dir: str, confidence_model_dir: str | None = None,
-                 ckpt: str = "best_ema_inference", allow_paths: bool = False):
+                 ckpt: str = "best_ema_inference", allow_paths: bool = False,
+                 ar_model_dir: str | None = None, ar_ckpt: str = "best",
+                 confidence_ckpt: str = "best",
+                 softmax_latent_temperature: float = 1.0,
+                 allow_seed_latents: bool = False):
         from .config import ScoreModelConfig
         from .data.collate import DEFAULT_BUCKETS
         from .geom.diffusion import SigmaSchedule
@@ -57,6 +61,20 @@ class DockingService:
         self.sigma = SigmaSchedule()
         self.ckpt = ckpt
         self.confidence_model_dir = confidence_model_dir
+        self.confidence_ckpt = confidence_ckpt
+        self.ar_model_dir = ar_model_dir
+        self.ar_ckpt = ar_ckpt
+        self.softmax_latent_temperature = softmax_latent_temperature
+        if self.enc_cfg is not None and not ar_model_dir \
+                and not allow_seed_latents:
+            # oracle-encoder latents need the ground-truth pose, which a
+            # docking request never has; serving a DisCo run without the AR
+            # prior would silently condition on latents of the seed conformer
+            raise SystemExit(
+                f"{model_dir} is a DisCo run (latent encoder in its yml); "
+                f"serving needs --ar_model_dir so latents come from the AR "
+                f"prior.  allow_seed_latents overrides (smoke tests only)"
+            )
         self._conf_cfg = None
         if confidence_model_dir:
             conf_run = load_config(confidence_model_dir)
@@ -75,13 +93,43 @@ class DockingService:
             model, variables, latent_fn, _, _ = self._build_score_runtime(
                 self.model_dir, caps, tag=self.ckpt,
             )
+            if self.ar_model_dir:
+                # AR-prior latents (eval/dock.py's --ar_model_dir path)
+                from .models.ar import PretrainedScoreEncoder, encode_ar
+                from .sampling import ar_conditioning_pose
+                from .train.loading import (ar_kwargs_from_run,
+                                            ar_no_randomness_from_run)
+
+                ar_model = PretrainedScoreEncoder(
+                    score_cfg=self.score_cfg, caps=caps, latent_dim=1,
+                    input_latent_dim=self.score_cfg.latent_dim,
+                    **ar_kwargs_from_run(self.ar_model_dir),
+                )
+                ar_vars = self._restore_variables(
+                    self.ar_model_dir, self.ar_ckpt, use_ema=False)
+                latent_dim = self.score_cfg.latent_dim
+                temp = self.softmax_latent_temperature
+                ar_no_rand = ar_no_randomness_from_run(self.ar_model_dir)
+
+                def latent_fn(b, key):
+                    k_pose, key = jax.random.split(key)
+                    b = ar_conditioning_pose(b, k_pose, ar_no_rand)
+
+                    def apply_fn(bb, lat, dec):
+                        return ar_model.apply(
+                            ar_vars, bb, lat, dec, deterministic=True,
+                            use_running_average=True,
+                            shared_rec=True)  # one complex, S poses
+                    return encode_ar(apply_fn, b, key, latent_dim, temp)
+
             conf_model = conf_vars = None
             if self.confidence_model_dir:
                 cc = self._conf_cfg
                 conf_model = self._AllAtom(cfg=cc, caps=caps) if cc.all_atoms \
                     else self._TPScore(cfg=cc, caps=caps)
                 conf_vars = self._restore_variables(
-                    self.confidence_model_dir, "best", use_ema=False)
+                    self.confidence_model_dir, self.confidence_ckpt,
+                    use_ema=False)
             self._runtimes[caps] = (model, variables, latent_fn, conf_model, conf_vars)
         return self._runtimes[caps]
 
@@ -98,9 +146,11 @@ class DockingService:
             @partial(jax.jit, compiler_options=tpu_compiler_options())
             def _run(batch, rng):
                 k1, k2, k3 = jax.random.split(rng, 3)
-                latent = latent_fn(batch, k3) if latent_fn is not None else None
                 rb = randomize_position(k1, batch, scfg.no_torsion,
                                         scfg.no_random, self.sigma.tr_sigma_max)
+                # latents AFTER randomization (ar_pos semantics,
+                # utils/sampling.py:36-46,83-88)
+                latent = latent_fn(rb, k3) if latent_fn is not None else None
                 return sampling(
                     model, variables, rb, k2, scfg, self.sigma, latent=latent,
                     confidence_model=conf_model, confidence_variables=conf_vars,
@@ -123,13 +173,22 @@ class DockingService:
             t0 = time.time()
             rec = record_from_paths(
                 protein_path, ligand, name=name, esm=esm,
-                all_atoms=self._conf_cfg is not None and self._conf_cfg.all_atoms,
+                # all-atom arrays whenever ANY loaded model needs them — the
+                # score model itself may be all-atom (eval/dock.py:144)
+                all_atoms=(self.score_cfg.all_atoms
+                           or (self._conf_cfg is not None
+                               and self._conf_cfg.all_atoms)),
                 protein_sequence=protein_sequence, out_dir=out_dir,
                 esmfold_model=esmfold_model,
             )
             if rec is None:
                 raise ValueError("featurization failed")
-            caps = next(c for c in self.buckets if fits(rec, c))
+            caps = next((c for c in self.buckets if fits(rec, c)), None)
+            if caps is None:
+                raise ValueError(
+                    "input exceeds every size bucket (ligand atoms / "
+                    "residues / rotatable bonds larger than the largest "
+                    "configured capacity)")
             batch = collate(replicate_record(rec, samples), caps,
                             esm_dim=self.score_cfg.esm_embedding_dim)
             run = self._program(caps, steps)
@@ -226,6 +285,14 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--model_dir", required=True)
     p.add_argument("--confidence_model_dir", default=None)
+    p.add_argument("--confidence_ckpt", default="best")
+    p.add_argument("--ar_model_dir", default=None,
+                   help="AR prior run dir (required for DisCo score runs)")
+    p.add_argument("--ar_ckpt", default="best")
+    p.add_argument("--softmax_latent_temperature", type=float, default=1.0)
+    p.add_argument("--allow_seed_latents", action="store_true",
+                   help="serve a DisCo run WITHOUT an AR prior: encoder "
+                        "latents from the seed conformer — smoke tests only")
     p.add_argument("--ckpt", default="best_ema_inference")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
@@ -235,7 +302,12 @@ def main(argv=None):
                         "it is an arbitrary-file-read surface")
     args = p.parse_args(argv)
     service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt,
-                             allow_paths=args.allow_paths)
+                             allow_paths=args.allow_paths,
+                             ar_model_dir=args.ar_model_dir,
+                             ar_ckpt=args.ar_ckpt,
+                             confidence_ckpt=args.confidence_ckpt,
+                             softmax_latent_temperature=args.softmax_latent_temperature,
+                             allow_seed_latents=args.allow_seed_latents)
     server = HTTPServer((args.host, args.port), make_handler(service))
     print(f"HAPPENING | serving on http://{args.host}:{args.port} "
           f"(POST /dock, GET /healthz)")

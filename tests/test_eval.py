@@ -226,9 +226,10 @@ class TestRetryHelper:
             calls["n"] += 1
             if calls["n"] < 3:
                 raise RuntimeError("transient")
-            return self._Final(), None, None
+            return self._Final(), None, None, None
 
-        pos, conf, traj = run_with_retries(flaky, None, jax.random.PRNGKey(0), 3)
+        pos, conf, traj, latent = run_with_retries(
+            flaky, None, jax.random.PRNGKey(0), 3)
         assert pos is not None and calls["n"] == 3
 
     def test_exhausts_to_sentinel(self):
@@ -239,8 +240,9 @@ class TestRetryHelper:
         def broken(batch, key):
             raise RuntimeError("always")
 
-        pos, conf, traj = run_with_retries(broken, None, jax.random.PRNGKey(0), 2)
-        assert pos is None and conf is None and traj is None
+        pos, conf, traj, latent = run_with_retries(
+            broken, None, jax.random.PRNGKey(0), 2)
+        assert pos is None and conf is None and traj is None and latent is None
 
 
 def test_synthetic_all_atom_score_eval():

@@ -201,7 +201,7 @@ class TestDockCLI:
             "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
             "--model_dir", score_run,
             "--samples_per_complex", "2", "--inference_steps", "2",
-            "--save_visualisation",
+            "--save_visualisation", "--allow_seed_latents",
             "--out_dir", out,
         ])
         assert len(results) == 2 and results[0]["rank"] == 1
@@ -242,13 +242,35 @@ class TestDockCLI:
             "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
             "--model_dir", score_run,
             "--samples_per_complex", "1", "--inference_steps", "1",
-            "--no_random",
+            "--no_random", "--allow_seed_latents",
             "--out_dir", str(tmp_path / "dock_nr"),
         ])
         assert seen["no_random"] is True
 
 
+    def test_disco_run_requires_ar_prior(self, dirs, score_run, tmp_path):
+        """Docking a DisCo run without --ar_model_dir fails fast instead of
+        silently conditioning on encoder latents of the seed conformer
+        (regression; --allow_seed_latents is the explicit override)."""
+        from disco_diffdock_tpu.eval import dock
+
+        with pytest.raises(SystemExit, match="AR"):
+            dock.main([
+                "--protein", os.path.join(DATA, "fix1",
+                                          "fix1_protein_processed.pdb"),
+                "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
+                "--model_dir", score_run,
+                "--out_dir", str(tmp_path / "d"),
+            ])
+
+
 class TestServe:
+    def test_disco_run_requires_ar_prior(self, dirs, score_run):
+        from disco_diffdock_tpu.serve import DockingService
+
+        with pytest.raises(SystemExit, match="AR"):
+            DockingService(score_run)
+
     def test_http_dock_roundtrip(self, dirs, score_run):
         """serve.py: one process owns the chip; programs compile per bucket
         and are reused across requests (second request is compile-free)."""
@@ -258,7 +280,7 @@ class TestServe:
 
         from disco_diffdock_tpu.serve import DockingService, make_handler
 
-        service = DockingService(score_run)
+        service = DockingService(score_run, allow_seed_latents=True)
         server = HTTPServer(("127.0.0.1", 0), make_handler(service))
         port = server.server_address[1]
         t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -322,7 +344,7 @@ class TestDockCSV:
         out = str(tmp_path / "batch")
         results = main([
             "--protein_ligand_csv", str(csv_path),
-            "--model_dir", score_run,
+            "--model_dir", score_run, "--allow_seed_latents",
             "--samples_per_complex", "2", "--inference_steps", "2",
             "--out_dir", out,
         ])
