@@ -35,18 +35,32 @@ def complex_size(rec: dict) -> tuple[int, int, int]:
     return len(rec["lig_pos"]), len(rec["rec_pos"]), len(rec["tor_edges"])
 
 
-def fits(rec: dict, caps: GraphCaps) -> bool:
+def fit_counts(rec: dict) -> tuple:
+    """The per-record lengths bucket fitting depends on — memoizable so
+    per-epoch bucket assignment never decompresses full records."""
     nl, nr, nt = complex_size(rec)
+    has_atoms = rec.get("atom_pos") is not None
+    return (nl, nr, nt, len(rec["bonds"]), len(rec["rec_src"]),
+            len(rec["atom_pos"]) if has_atoms else None,
+            len(rec["atom_src"]) if has_atoms else 0)
+
+
+def fits_counts(c: tuple, caps: GraphCaps) -> bool:
+    nl, nr, nt, nb, ne, na, nae = c
     ok = (
         nl <= caps.max_lig
         and nr <= caps.max_rec
         and nt <= caps.tor_cap
-        and len(rec["bonds"]) <= caps.lig_bond_cap
-        and len(rec["rec_src"]) <= caps.rec_edge_cap
+        and nb <= caps.lig_bond_cap
+        and ne <= caps.rec_edge_cap
     )
-    if ok and rec.get("atom_pos") is not None:
-        ok = len(rec["atom_pos"]) <= caps.max_atoms and len(rec["atom_src"]) <= caps.atom_edge_cap
+    if ok and na is not None:
+        ok = na <= caps.max_atoms and nae <= caps.atom_edge_cap
     return ok
+
+
+def fits(rec: dict, caps: GraphCaps) -> bool:
+    return fits_counts(fit_counts(rec), caps)
 
 
 def _roundup(x: int, m: int) -> int:
@@ -171,8 +185,11 @@ def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 
         out["bond_attr"][b, :eb] = r["bond_attr"]
         nr_ = len(r["rec_pos"])
         out["rec_x"][b, :nr_, 0] = r["rec_code"]
-        if r.get("esm") is not None:
-            out["rec_x"][b, :nr_, 1 : 1 + r["esm"].shape[1]] = r["esm"]
+        if r.get("esm") is not None and esm_dim > 0:
+            # records cached WITH embeddings may be consumed by a model
+            # trained without them (esm_dim=0 -> drop) or narrower (slice)
+            w = min(int(r["esm"].shape[1]), esm_dim)
+            out["rec_x"][b, :nr_, 1 : 1 + w] = r["esm"][:, :w]
         out["rec_pos"][b, :nr_] = r["rec_pos"]
         out["rec_mask"][b, :nr_] = True
         ne = len(r["rec_src"])

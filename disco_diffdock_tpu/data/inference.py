@@ -51,6 +51,13 @@ def record_from_paths(
 
     if os.path.exists(ligand_description):
         mol = featurize.read_molecule(ligand_description, remove_hs=remove_hs)
+        if mol is None:
+            print(f"| WARNING: could not read ligand {ligand_description}")
+            return None
+        # the reference re-embeds a FRESH conformer for file ligands too
+        # (inference_utils.py:231-236, RemoveAllConformers + generate);
+        # keep_local_structures keeps the file's pose
+        fresh_conformer = not keep_local_structures
     else:
         if not featurize.HAS_RDKIT:
             raise RuntimeError("SMILES ligand input requires RDKit")
@@ -63,19 +70,35 @@ def record_from_paths(
         mol = Chem.AddHs(mol)
         ps = AllChem.ETKDGv2()
         ps.randomSeed = seed
-        AllChem.EmbedMolecule(mol, ps)
+        if AllChem.EmbedMolecule(mol, ps) == -1:
+            # macrocycles etc.: random-coords + MMFF fallback
+            # (process_mols.py:269-278)
+            ps.useRandomCoords = True
+            if AllChem.EmbedMolecule(mol, ps) == -1:
+                print(f"| WARNING: could not embed {ligand_description}")
+                return None
+            try:
+                AllChem.MMFFOptimizeMolecule(mol, confId=0)
+            except Exception:
+                pass
         if remove_hs:
             mol = Chem.RemoveHs(mol)
-        keep_local_structures = False  # no meaningful input pose
+        fresh_conformer = False  # the embed above IS the fresh conformer
 
     lig = featurize.ligand_graph(mol)
     receptor = featurize.receptor_from_pdb(protein_path, lig["lig_pos"])
+    # matching=False: there is no crystal pose to match against — the
+    # reference inference path never runs conformer matching
+    # (inference_utils.py:246 matching=False)
     rec = featurize.build_complex_record(
         mol, receptor, esm=esm, receptor_radius=receptor_radius,
-        c_alpha_max_neighbors=c_alpha_max_neighbors,
-        matching=not keep_local_structures,
+        c_alpha_max_neighbors=c_alpha_max_neighbors, matching=False,
         all_atoms=all_atoms, name=name, seed=seed,
     )
+    if fresh_conformer:
+        conf = np.asarray(featurize.generate_conformer(mol, seed), np.float32)
+        rec["lig_pos"] = conf
+        rec["rdkit_pos"] = conf.copy()
     # no crystal pose: center the start ligand at its own centroid
     # (inference_utils.py:269-270) -- the "orig" pose is just the input
     rec["lig_pos"] = rec["lig_pos"] - rec["lig_pos"].mean(0, keepdims=True)
@@ -88,12 +111,17 @@ def build_inference_records(
     esm_map: Optional[dict] = None,
     **kw,
 ) -> list[dict]:
+    import os
+
+    assert len(protein_paths) == len(ligand_descriptions), (
+        f"{len(protein_paths)} proteins vs {len(ligand_descriptions)} ligands"
+    )
     out = []
     for i, (pp, ld) in enumerate(zip(protein_paths, ligand_descriptions)):
-        import os
-
-        name = f"{os.path.splitext(os.path.basename(pp))[0]}_{i}"
-        esm = esm_map.get(os.path.splitext(os.path.basename(pp))[0]) if esm_map else None
+        base = (os.path.splitext(os.path.basename(pp))[0]
+                if pp is not None else "seq")
+        name = f"{base}_{i}"
+        esm = esm_map.get(base) if esm_map else None
         try:
             rec = record_from_paths(pp, ld, esm=esm, name=name, **kw)
         except Exception as e:

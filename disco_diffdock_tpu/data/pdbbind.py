@@ -19,7 +19,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from ..config import GraphCaps
-from .collate import DEFAULT_BUCKETS, collate, fits
+from .collate import DEFAULT_BUCKETS, collate, fit_counts, fits  # noqa: F401
 from . import featurize
 
 
@@ -47,7 +47,13 @@ class PDBBindConfig:
     chain_cutoff: Optional[float] = None
 
     def cache_dir(self) -> str:
-        key = json.dumps(dataclasses.asdict(self), sort_keys=True, default=str)
+        # hash only the parameters that change the per-complex .npz output —
+        # host-side knobs (worker count, cache/split locations, complex
+        # limit) must not invalidate hours of conformer matching
+        d = dataclasses.asdict(self)
+        for k in ("num_workers", "cache_path", "split_path", "limit_complexes"):
+            d.pop(k, None)
+        key = json.dumps(d, sort_keys=True, default=str)
         h = hashlib.md5(key.encode()).hexdigest()[:12]
         split = os.path.splitext(os.path.basename(self.split_path))[0]
         return os.path.join(self.cache_path, f"{split}_{h}")
@@ -85,7 +91,11 @@ def _process_one(args) -> Optional[str]:
             atom_max_neighbors=cfg.atom_max_neighbors, name=name,
             num_conformers=cfg.num_conformers,
         )
-        np.savez_compressed(out_path, **{k: v for k, v in rec.items() if v is not None})
+        # atomic write: an interrupted save must not leave a truncated .npz
+        # that later resumes treat as a completed complex
+        tmp_path = f"{out_path}.tmp{os.getpid()}.npz"
+        np.savez_compressed(tmp_path, **{k: v for k, v in rec.items() if v is not None})
+        os.replace(tmp_path, out_path)
         return name
     except Exception as e:  # skip-and-log, as the reference does throughout
         print(f"| WARNING: skipping {name}: {type(e).__name__}: {e}")
@@ -158,6 +168,19 @@ class PDBBind:
     def __getitem__(self, i: int) -> dict:
         return self.get(self.names[i])
 
+    def sizes(self, i: int) -> tuple:
+        """collate.fit_counts of complex i, memoized — bucket assignment
+        runs every epoch and must not decompress the full record (ESM
+        arrays included) just to read a handful of lengths."""
+        from .collate import fit_counts
+
+        cache = getattr(self, "_size_cache", None)
+        if cache is None:
+            cache = self._size_cache = {}
+        if i not in cache:
+            cache[i] = fit_counts(self[i])
+        return cache[i]
+
 
 def print_statistics(dataset: PDBBind) -> dict:
     """Dataset statistics (pdbbind.py:print_statistics analogue)."""
@@ -196,13 +219,16 @@ def bucketed_batches(
     (train_multiplicity); complexes with extra matched conformers start from
     a randomly chosen one each epoch (pdbbind.py:41-42).
     """
-    groups: dict[int, list[int]] = {i: [] for i in range(len(buckets))}
+    from .collate import fits_counts
+
+    groups: dict[int, list[int]] = {bi: [] for bi in range(len(buckets))}
     for idx0 in range(len(dataset) * multiplicity):
         idx = idx0 % len(dataset)
-        rec = dataset[idx]
+        counts = (dataset.sizes(idx) if hasattr(dataset, "sizes")
+                  else fit_counts(dataset[idx]))
         placed = False
         for bi, caps in enumerate(buckets):
-            if fits(rec, caps):
+            if fits_counts(counts, caps):
                 groups[bi].append(idx)
                 placed = True
                 break

@@ -2,8 +2,10 @@
 
 TPU-native replacement for ``torch_scatter.scatter(..., reduce='mean')``
 (tensor_layers.py:159) and ``scatter_mean`` pooling (score_model.py:265).
-Aggregation can run either as a vmapped ``segment_sum`` (XLA scatter-add) or
-as a one-hot matmul that lands on the MXU; ``scatter_sum`` picks per size.
+``scatter_sum`` lowers to a vmapped ``segment_sum`` (XLA scatter-add); the
+hot conv path uses the one-hot MXU matmul formulation in ``nn/conv.py``
+instead (gather_mm/scatter_mm — measured faster at conv shapes,
+benchmarks/scatter_ab.py).
 """
 from __future__ import annotations
 
