@@ -58,13 +58,18 @@ def optimize_rotatable_bonds(
     def objective(x):
         return aligned_rmsd(apply_torsion_np(conf_pos, tor_edges, mask_rotate, x), true_pos)
 
+    # exact reference kwargs (conformer_matching.py:30-41): mutation (0.5,1),
+    # recombination 0.8, and scipy's default polish=True (an L-BFGS-B refine
+    # of the DE winner that materially tightens the matched torsions)
     res = differential_evolution(
         objective,
         bounds=[(-np.pi, np.pi)] * R,
         popsize=popsize,
         maxiter=maxiter,
+        mutation=(0.5, 1),
+        recombination=0.8,
+        disp=False,
         seed=seed,
-        polish=False,
     )
     out = apply_torsion_np(conf_pos, tor_edges, mask_rotate, res.x)
     return out, float(res.fun)
@@ -140,13 +145,14 @@ def get_torsions_geomol(n_atoms: int, bonds: np.ndarray, bond_types: np.ndarray)
     The SMARTS ``[!$(*#*)&!D1]-&!@[!$(*#*)&!D1]`` selects single, acyclic
     bonds whose endpoints each have degree > 1 and no incident triple bond —
     all graph predicates: a bond is acyclic iff removing it disconnects the
-    molecule.  For each directed match (u, v) the quad takes the first other
-    neighbor on each side, skipping 3-rings, and flips the quad when the far
-    atom sits in a ring (reference :111-121).  ``bond_types`` uses the
+    molecule.  For each matched bond the quad takes the first other neighbor
+    on each side, skipping 3-rings, and flips the quad when the far atom
+    sits in a ring (reference :111-121).  ``bond_types`` uses the
     framework's 1/2/3/4(=aromatic) convention.
 
-    Returns (T, 4) int32 quads (both bond directions, as GetSubstructMatches
-    yields them).
+    Returns (T, 4) int32 quads, ONE per eligible bond — RDKit's
+    GetSubstructMatches uniquifies by atom set (default uniquify=True), so
+    the symmetric two-atom SMARTS yields each bond once.
     """
     G = nx.Graph()
     G.add_nodes_from(range(n_atoms))
@@ -161,7 +167,7 @@ def get_torsions_geomol(n_atoms: int, bonds: np.ndarray, bond_types: np.ndarray)
     def eligible(a):
         return G.degree[a] > 1 and not has_triple[a]
 
-    single_acyclic = set()
+    single_acyclic = []
     for (a, b), t in zip(bonds, bond_types):
         if t != 1:
             continue
@@ -169,11 +175,10 @@ def get_torsions_geomol(n_atoms: int, bonds: np.ndarray, bond_types: np.ndarray)
         acyclic = not nx.has_path(G, a, b)
         G.add_edge(a, b)
         if acyclic:
-            single_acyclic.add((int(a), int(b)))
-            single_acyclic.add((int(b), int(a)))
+            single_acyclic.append((int(a), int(b)))
 
     quads = []
-    for u, v in sorted(single_acyclic):
+    for u, v in single_acyclic:
         if not (eligible(u) and eligible(v)):
             continue
         for a in G.neighbors(u):

@@ -11,6 +11,7 @@ chemical perception -- see minichem.py docstring).
 """
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -18,6 +19,10 @@ import numpy as np
 from ..ops.native import knn_edges as knn_edges_host
 from .features import ALLOWABLE_FEATURES, safe_index
 from . import minichem
+
+# bump when featurization output changes so preprocessed caches invalidate
+# (PDBBindConfig.cache_dir folds this into the key)
+FEATURIZER_VERSION = 2
 from .torsion_detect import get_transformation_mask
 
 try:
@@ -80,13 +85,14 @@ def _read_molecule_rdkit(path: str, remove_hs: bool):
         Chem.SanitizeMol(mol)
         if remove_hs:
             mol = Chem.RemoveHs(mol, sanitize=True)
-    except Exception:
-        # reference falls back to the unsanitized molecule (process_mols.py:~500)
-        if remove_hs:
-            try:
-                mol = Chem.RemoveHs(mol, sanitize=False)
-            except Exception:
-                pass
+    except Exception as e:
+        # the reference SKIPS molecules whose sanitization fails
+        # (read_molecule returns None on exception, process_mols.py:505-525;
+        # read_sdf_or_mol2 flags `problem` and pdbbind drops the complex) —
+        # keeping the unsanitized mol would featurize unperceived
+        # aromaticity/hybridization as junk codes
+        print(f"| WARNING: sanitize failed for {path}: {e}")
+        return None
     return mol
 
 
@@ -180,7 +186,13 @@ def generate_conformer(mol, seed: int = 0):
     if HAS_RDKIT and not isinstance(mol, minichem.MiniMol):
         from rdkit.Chem import AllChem
 
+        # AddHs -> embed -> RemoveHs, as the reference does
+        # (process_mols.py:293-300): ETKDG/MMFF geometry differs materially
+        # when run on a hydrogen-free molecule.  AddHs appends Hs after the
+        # heavy atoms, so heavy-atom indices are stable.
         mol2 = Chem.Mol(mol)
+        mol2.RemoveAllConformers()
+        mol2 = Chem.AddHs(mol2)
         ps = AllChem.ETKDGv2()
         ps.randomSeed = seed
         cid = AllChem.EmbedMolecule(mol2, ps)
@@ -191,7 +203,8 @@ def generate_conformer(mol, seed: int = 0):
                 AllChem.MMFFOptimizeMolecule(mol2, confId=0)
             except Exception:
                 pass
-        return np.asarray(mol2.GetConformer().GetPositions(), np.float32)
+        pos = np.asarray(mol2.GetConformer().GetPositions(), np.float32)
+        return pos[: mol.GetNumAtoms()]
     rng = np.random.RandomState(seed)
     pos = mol.pos.copy()
     from .torsion_detect import apply_torsion_np, get_transformation_mask
@@ -339,7 +352,6 @@ def build_complex_record(
     all_atoms: bool = False,
     atom_radius: float = 5.0,
     atom_max_neighbors: Optional[int] = 8,
-    keep_original: bool = True,
     name: str = "complex",
     seed: int = 0,
     num_conformers: int = 1,
@@ -470,12 +482,22 @@ def selftest():
         for nm, el in (("N", "N"), ("CA", "C"), ("C", "C"), ("O", "O")):
             p = pos[i * 3 % 12] + rng.randn(3)
             pdb_lines.append(
-                f"ATOM  {serial:5d}  {nm:<3s}ALA A{i + 1:4d}    "
-                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00           {el:>2s}"
+                f"ATOM  {serial:5d}  {nm:<3s} ALA A{i + 1:4d}    "
+                f"{p[0]:8.3f}{p[1]:8.3f}{p[2]:8.3f}  1.00  0.00          {el:>2s}"
             )
             serial += 1
     mol = minichem.parse_sdf(sdf)
-    receptor_rec = receptor_from_pdb("\n".join(pdb_lines) + "\n")
+    # through a real file so the BioPython path (which opens a filename)
+    # works too, not just the minichem text parser
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".pdb", delete=False) as f:
+        f.write("\n".join(pdb_lines) + "\n")
+        pdb_path = f.name
+    try:
+        receptor_rec = receptor_from_pdb(pdb_path)
+    finally:
+        os.unlink(pdb_path)
     rec = build_complex_record(mol, receptor_rec, matching=True, maxiter=2, popsize=4, all_atoms=True)
     from .collate import collate
 

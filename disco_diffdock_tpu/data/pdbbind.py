@@ -53,6 +53,7 @@ class PDBBindConfig:
         d = dataclasses.asdict(self)
         for k in ("num_workers", "cache_path", "split_path", "limit_complexes"):
             d.pop(k, None)
+        d["_featurizer_version"] = featurize.FEATURIZER_VERSION
         key = json.dumps(d, sort_keys=True, default=str)
         h = hashlib.md5(key.encode()).hexdigest()[:12]
         split = os.path.splitext(os.path.basename(self.split_path))[0]
@@ -65,16 +66,18 @@ def _process_one(args) -> Optional[str]:
     if os.path.exists(out_path):
         return name
     try:
-        lig_path = None
+        rec_path = os.path.join(cfg.data_dir, name, f"{name}_protein_processed.pdb")
+        if not os.path.exists(rec_path):
+            return None
+        # try .sdf first, fall back to .mol2 when the SDF fails to read or
+        # sanitize (reference read_sdf_or_mol2, process_mols.py:533-548)
+        mol = None
         for ext in (".sdf", ".mol2"):
             p = os.path.join(cfg.data_dir, name, f"{name}_ligand{ext}")
             if os.path.exists(p):
-                lig_path = p
-                break
-        rec_path = os.path.join(cfg.data_dir, name, f"{name}_protein_processed.pdb")
-        if lig_path is None or not os.path.exists(rec_path):
-            return None
-        mol = featurize.read_molecule(lig_path, remove_hs=cfg.remove_hs)
+                mol = featurize.read_molecule(p, remove_hs=cfg.remove_hs)
+                if mol is not None:
+                    break
         if mol is None:
             return None
         lig0 = featurize.ligand_graph(mol)

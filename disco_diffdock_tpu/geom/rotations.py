@@ -90,12 +90,17 @@ def matrix_to_axis_angle(matrix: jnp.ndarray) -> jnp.ndarray:
     diag = jnp.stack([matrix[..., 0, 0], matrix[..., 1, 1], matrix[..., 2, 2]], -1)
     axis_sq = jnp.clip((diag - cos_angle[..., None]) / (1.0 - cos_angle[..., None] + 1e-12), 0.0, None)
     axis_pi = jnp.sqrt(axis_sq)
-    # fix signs using the off-diagonal symmetric entries
-    s01 = matrix[..., 0, 1] + matrix[..., 1, 0]
-    s02 = matrix[..., 0, 2] + matrix[..., 2, 0]
-    sign1 = jnp.where(s01 >= 0, 1.0, -1.0)
-    sign2 = jnp.where(s02 >= 0, 1.0, -1.0)
-    axis_pi = axis_pi * jnp.stack([jnp.ones_like(sign1), sign1, sign2], -1)
+    # fix signs from the off-diagonal symmetric entries RELATIVE TO THE
+    # LARGEST axis component (taken positive): S_kj = m[k,j] + m[j,k] has the
+    # sign of axis_k * axis_j near pi.  Referencing component 0
+    # unconditionally loses the y/z relative sign whenever axis_x ~ 0
+    # (e.g. a pi rotation about (0, 1, -1)/sqrt(2)).
+    S = matrix + jnp.swapaxes(matrix, -1, -2)
+    k = jnp.argmax(axis_sq, axis=-1)
+    onek = (k[..., None] == jnp.arange(3)).astype(matrix.dtype)
+    s_row = jnp.einsum("...i,...ij->...j", onek, S)
+    signs = jnp.where(onek > 0.5, 1.0, jnp.where(s_row >= 0, 1.0, -1.0))
+    axis_pi = axis_pi * signs
     axis_pi = axis_pi / (jnp.linalg.norm(axis_pi, axis=-1, keepdims=True) + 1e-12)
     out = jnp.where(near_pi[..., None], axis_pi * angle[..., None], ax * scale[..., None])
     return out

@@ -38,7 +38,12 @@ def _cache_dir() -> str:
 
 
 def _precompute() -> dict[str, np.ndarray]:
-    path = os.path.join(_cache_dir(), "so3_tables.npz")
+    # grid constants in the filename: changing them must not reuse a stale
+    # cache
+    path = os.path.join(
+        _cache_dir(),
+        f"so3_tables_{N_EPS}x{X_N}_L{_L}_{MIN_EPS}_{MAX_EPS}.npz",
+    )
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
@@ -74,7 +79,11 @@ def _precompute() -> dict[str, np.ndarray]:
         "score_norms": score_norms.astype(np.float32),
         "exp_score_norms": exp_score_norms.astype(np.float32),
     }
-    np.savez(path, **out)
+    # atomic write: a concurrent or interrupted run must never leave a
+    # truncated table file that later imports load
+    tmp = f"{path}.tmp{os.getpid()}.npz"
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
     return out
 
 

@@ -40,7 +40,13 @@ def _cache_dir() -> str:
 
 
 def _precompute() -> dict[str, np.ndarray]:
-    path = os.path.join(_cache_dir(), "torus_tables.npz")
+    # grid constants in the filename: changing them must not reuse a stale
+    # cache
+    path = os.path.join(
+        _cache_dir(),
+        f"torus_tables_{X_N}x{SIGMA_N}_{X_MIN}_{SIGMA_MIN}_{SIGMA_MAX}"
+        f"_{_N_IMAGES}.npz",
+    )
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
@@ -80,7 +86,11 @@ def _precompute() -> dict[str, np.ndarray]:
         "p": p.astype(np.float32),
         "score_norm": score_norm.astype(np.float32),
     }
-    np.savez(path, **out)
+    # atomic write: a concurrent or interrupted run must never leave a
+    # truncated table file that later imports load
+    tmp = f"{path}.tmp{os.getpid()}.npz"
+    np.savez(tmp, **out)
+    os.replace(tmp, path)
     return out
 
 

@@ -605,23 +605,28 @@ class TestTorsionVariants:
     def test_geomol_finder(self):
         from disco_diffdock_tpu.data.conformer_matching import get_torsions_geomol
 
-        # plain chain: interior single bonds matched in both directions
+        # plain chain: ONE quad per eligible interior bond — RDKit's
+        # GetSubstructMatches uniquifies by atom set, so the symmetric
+        # two-atom SMARTS matches each bond once
         _, bonds = self._chain(5)
         quads = get_torsions_geomol(5, bonds, np.ones(4, np.int32))
         centers = sorted(tuple(sorted((q[1], q[2]))) for q in quads)
-        assert centers == [(1, 2), (1, 2), (2, 3), (2, 3)]
+        assert centers == [(1, 2), (2, 3)]
 
         # triple bond at (1,2) disqualifies atoms 1 and 2 entirely
         quads = get_torsions_geomol(5, bonds, np.array([1, 3, 1, 1], np.int32))
         assert len(quads) == 0
 
-        # ring bonds excluded; ring-side far atom flips the quad orientation
+        # ring bonds excluded; one quad per acyclic single bond
         bonds = np.array([[0, 1], [1, 2], [2, 0], [2, 3], [3, 4], [4, 5]])
         quads = get_torsions_geomol(6, bonds, np.ones(6, np.int32))
-        assert all(tuple(sorted((q[1], q[2]))) in {(2, 3), (3, 4)} for q in quads)
-        # direction (3,2): far atom 1 is in the ring -> reference flips to
-        # (far, v, u, near) which equals the forward quad (1, 2, 3, 4)
-        assert [1, 2, 3, 4] in quads.tolist()
+        centers = sorted(tuple(sorted((q[1], q[2]))) for q in quads)
+        assert centers == [(2, 3), (3, 4)]
+        # the (2,3) quad runs forward (far atom 4 is not in the ring) with a
+        # ring atom on the near side
+        q23 = [q for q in quads.tolist() if sorted(q[1:3]) == [2, 3]][0]
+        assert q23[1:] == [2, 3, 4] and q23[0] in (0, 1)
+        assert [2, 3, 4, 5] in quads.tolist()
 
 
 class TestESMFold:

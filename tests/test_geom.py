@@ -47,6 +47,25 @@ class TestRotations:
         v_back = rotations.matrix_to_axis_angle(R)
         np.testing.assert_allclose(v_back, v, atol=5e-3)
 
+    def test_log_map_near_pi(self):
+        """Near angle=pi the antisymmetric part vanishes and signs come from
+        the symmetric off-diagonals; the relative y/z sign must survive when
+        the axis x-component is ~0 (regression: pi about (0,1,-1)/sqrt(2)
+        round-tripped to a different rotation)."""
+        axes = np.array([
+            [0.0, 1.0, -1.0], [0.0, 1.0, 1.0], [1.0, 0.0, -1.0],
+            [1.0, -1.0, 0.0], [0.3, -0.9, 0.9], [0.0, 0.0, 1.0],
+        ])
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        for ang in (np.pi, np.pi - 1e-4):
+            v = jnp.asarray(axes * ang, jnp.float32)
+            R = rotations.axis_angle_to_matrix(v)
+            v_back = rotations.matrix_to_axis_angle(R)
+            R_back = rotations.axis_angle_to_matrix(v_back)
+            # at exactly pi the axis SIGN is ambiguous; the rotation is not
+            np.testing.assert_allclose(np.asarray(R_back), np.asarray(R),
+                                       atol=2e-3)
+
     def test_random_rotation_uniformish(self):
         R = rotations.random_rotation_matrix(jax.random.PRNGKey(0), (64,))
         np.testing.assert_allclose(jnp.linalg.det(R), 1.0, atol=1e-4)
