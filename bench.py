@@ -89,7 +89,8 @@ def build():
     sigma = SigmaSchedule()
     scfg = SamplerConfig(inference_steps=STEPS, no_final_step_noise=True)
 
-    # measured-win TPU compile options (utils/xla_opts.py sweep results)
+    # swept TPU compile options (utils/xla_opts.py; currently empty -- the
+    # 2026-08-17 sweep found the whole option surface neutral-to-negative)
     from functools import partial
 
     from disco_diffdock_tpu.utils.xla_opts import tpu_compiler_options

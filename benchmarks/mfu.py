@@ -18,6 +18,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -40,12 +41,12 @@ def analyze():
     bytes_accessed = float(cost.get("bytes accessed", float("nan")))
 
     out = run(batch, key)
-    jax.block_until_ready(out)
+    np.asarray(out)  # host fetch: block_until_ready does not wait over the tunnel
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         out = run(batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(out)
+    np.asarray(out)
     sec = (time.perf_counter() - t0) / reps
 
     achieved_flops = flops / sec

@@ -65,10 +65,13 @@ def knn_edges(pos: np.ndarray, cutoff: float, max_neighbors: int | None):
 
         return knn_edges_host(pos, cutoff, max_neighbors)
     cap = n * (max_neighbors or 64) + n
-    src = np.empty(cap, np.int32)
-    dst = np.empty(cap, np.int32)
-    m = lib.knn_edges(pos, n, float(cutoff), int(max_neighbors or 0), src, dst, cap)
-    return src[:m].copy(), dst[:m].copy()
+    while True:
+        src = np.empty(cap, np.int32)
+        dst = np.empty(cap, np.int32)
+        m = lib.knn_edges(pos, n, float(cutoff), int(max_neighbors or 0), src, dst, cap)
+        if m < cap:  # the C side truncates at capacity; m == cap means retry
+            return src[:m].copy(), dst[:m].copy()
+        cap *= 2
 
 
 def radius_pairs(pos_a: np.ndarray, pos_b: np.ndarray, cutoff: float, capacity: int | None = None):
@@ -80,10 +83,13 @@ def radius_pairs(pos_a: np.ndarray, pos_b: np.ndarray, cutoff: float, capacity: 
         a, b = np.nonzero(d < cutoff)
         return a.astype(np.int32), b.astype(np.int32)
     cap = capacity or (len(pos_a) * 256)
-    a = np.empty(cap, np.int32)
-    b = np.empty(cap, np.int32)
-    m = lib.radius_pairs(pos_a, len(pos_a), pos_b, len(pos_b), float(cutoff), a, b, cap)
-    return a[:m].copy(), b[:m].copy()
+    while True:
+        a = np.empty(cap, np.int32)
+        b = np.empty(cap, np.int32)
+        m = lib.radius_pairs(pos_a, len(pos_a), pos_b, len(pos_b), float(cutoff), a, b, cap)
+        if m < cap or capacity is not None:
+            return a[:m].copy(), b[:m].copy()
+        cap *= 2
 
 
 def graph_automorphisms(elements: np.ndarray, bonds: np.ndarray, max_count: int = 1000):

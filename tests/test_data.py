@@ -551,6 +551,25 @@ class TestNativeOps:
         expect = set(zip(*np.nonzero(d < 4.0)))
         assert set(zip(ia.tolist(), ib.tolist())) == expect
 
+    def test_dense_unlimited_knn_not_truncated(self):
+        """max_neighbors=None on a dense cloud must return ALL under-cutoff
+        edges: the ctypes wrapper's initial output capacity (n*64) is smaller
+        than the true count here, exercising the grow-and-retry path."""
+        rng = np.random.RandomState(3)
+        pos = rng.randn(120, 3).astype(np.float32)  # dense: ~all pairs < 6A
+        s, d = native.knn_edges(pos, 6.0, None)
+        dist = np.linalg.norm(pos[:, None] - pos[None], axis=-1)
+        expect = int(((dist < 6.0) & ~np.eye(120, dtype=bool)).sum())
+        assert len(s) == expect
+        assert len(s) > 120 * 64  # proves the first capacity was insufficient
+
+    def test_radius_pairs_grow_retry(self):
+        rng = np.random.RandomState(4)
+        a = rng.randn(8, 3).astype(np.float32) * 0.1
+        b = rng.randn(4096, 3).astype(np.float32) * 0.1  # all pairs match
+        ia, ib = native.radius_pairs(a, b, 10.0)
+        assert len(ia) == 8 * 4096  # > default cap of 8*256
+
 
 class TestTorsionVariants:
     """von-Mises / GeoMol / quad machinery (conformer_matching.py variants;
