@@ -6,7 +6,7 @@ protein-centroid centering).  Chemistry stays on the host exactly as in the
 reference; the device only ever sees padded arrays (data/collate.py).
 
 Import gating: RDKit and BioPython are preferred when importable; otherwise
-the built-in ``minichem`` parsers take over (SDF/PDB only, approximate
+the built-in ``minichem`` parsers take over (SDF/mol2/pdbqt/PDB, approximate
 chemical perception -- see minichem.py docstring).
 """
 from __future__ import annotations
