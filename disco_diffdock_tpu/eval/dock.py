@@ -164,6 +164,13 @@ def dock(args):
             f"prior.  --allow_seed_latents overrides (encoder latents of "
             f"the seed conformer — smoke tests only)"
         )
+    if args.ar_model_dir and enc_cfg is None:
+        # mirror of eval/evaluate.py's guard: silently dropping the requested
+        # AR prior would misreport the protocol that ran
+        raise SystemExit(
+            "--ar_model_dir requires a score run trained WITH a latent "
+            f"encoder, but {args.model_dir} has no encoder config — AR "
+            "latents would be silently ignored")
 
     buckets = ((run_caps,) if run_caps is not None else ()) + tuple(DEFAULT_BUCKETS)
     caps = next((c for c in buckets if fits(rec, c)), None)

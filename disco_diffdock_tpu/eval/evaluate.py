@@ -279,7 +279,9 @@ def evaluate_complexes(
         if latent_out is not None:
             # latent anchor decode on the FINAL poses (reference
             # utils/sampling.py:205-221, printed with the per-complex rmsds
-            # at evaluate.py:327-328 and drawn as pseudo-atoms :344-390)
+            # at evaluate.py:327-328 and drawn as pseudo-atoms :344-390).
+            # Returns None for vocab>1 / virtual-node latents (single
+            # invariant array — no node identity to print).
             from ..sampling.sampler import decode_latent_anchors
 
             anchors = decode_latent_anchors(
@@ -338,10 +340,11 @@ def evaluate_complexes(
         np.asarray([n in no_overlap_names for n in row_names])
         if no_overlap_names else None
     )
-    # the confidence-filtered family exists iff a confidence model ran: the
-    # -10000 failure sentinel would otherwise make all-zero placeholder
-    # confidences look real and fabricate filtered_ metrics
-    has_conf = confidence_model is not None
+    # the confidence-filtered family exists iff a confidence model actually
+    # ran: the -10000 failure sentinel would otherwise make all-zero
+    # placeholder confidences look real and fabricate filtered_ metrics, and
+    # under --no_model the model never runs even when a dir is given
+    has_conf = confidence_model is not None and not no_model
     metrics = aggregate(rmsds, confs if has_conf else None, cents,
                         no_overlap_mask=overlap_mask)
     metrics["run_times_mean"] = float(np.mean(run_times))
@@ -382,7 +385,7 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     symmetry-corrected metrics.  One compiled program per size bucket.
     """
     from ..config import ScoreModelConfig
-    from ..data.collate import DEFAULT_BUCKETS, collate, fits, replicate_record
+    from ..data.collate import DEFAULT_BUCKETS, collate, fits_counts, replicate_record
     from ..data.pdbbind import PDBBind, PDBBindConfig
     from ..models.all_atom_score_model import AllAtomScoreModel
     from ..models.ar import PretrainedScoreEncoder, encode_ar
@@ -426,9 +429,9 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     per_bucket: dict[int, list[int]] = {}
     unbucketable = []
     for i in range(len(ds)):
-        rec = ds[i]
+        counts = ds.sizes(i)  # memoized length tuple — no full-record load
         for bi, caps in enumerate(buckets):
-            if fits(rec, caps):
+            if fits_counts(counts, caps):
                 per_bucket.setdefault(bi, []).append(i)
                 break
         else:
@@ -572,14 +575,16 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
         confs = np.vstack([confs, np.full((k, S), -10000.0)])
         cents = np.vstack([cents, np.full((k, S), 10000.0)])
         names_all += [ds.names[i] for i in unbucketable]
-        run_times = np.concatenate([run_times, np.zeros(k)])
+        # NaN, not 0.0: these complexes never ran, and a zero would read as a
+        # real (impossibly fast) measurement and deflate the timing aggregate
+        run_times = np.concatenate([run_times, np.full(k, np.nan)])
         total += k
     overlap_mask = (np.asarray([n in no_overlap for n in names_all])
                     if no_overlap else None)
     merged = aggregate(rmsds, confs if has_conf else None, cents,
                        no_overlap_mask=overlap_mask)
-    merged["run_times_mean"] = float(run_times.mean())
-    merged["run_times_std"] = float(run_times.std())
+    merged["run_times_mean"] = float(np.nanmean(run_times)) if len(run_times) else 0.0
+    merged["run_times_std"] = float(np.nanstd(run_times)) if len(run_times) else 0.0
     merged["steric_clash_fraction"] = float(clash.mean()) if len(clash) else None
     merged["self_intersect_fraction"] = (
         float(np.concatenate(self_ints).mean()) if self_ints else None)

@@ -64,6 +64,8 @@ def knn_edges(pos: np.ndarray, cutoff: float, max_neighbors: int | None):
         from ..graphs.radius import knn_edges_host
 
         return knn_edges_host(pos, cutoff, max_neighbors)
+    if n == 0:  # cap would start at 0 and the grow loop could never terminate
+        return np.empty(0, np.int32), np.empty(0, np.int32)
     cap = n * (max_neighbors or 64) + n
     while True:
         src = np.empty(cap, np.int32)
@@ -82,6 +84,8 @@ def radius_pairs(pos_a: np.ndarray, pos_b: np.ndarray, cutoff: float, capacity: 
         d = np.linalg.norm(pos_a[:, None] - pos_b[None], axis=-1)
         a, b = np.nonzero(d < cutoff)
         return a.astype(np.int32), b.astype(np.int32)
+    if len(pos_a) == 0 or len(pos_b) == 0:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
     cap = capacity or (len(pos_a) * 256)
     while True:
         a = np.empty(cap, np.int32)

@@ -69,10 +69,17 @@ class SamplerConfig:
     return_trajectory: bool = False
 
 
-def decode_latent_anchors(batch: ComplexBatch, latent) -> list[dict]:
+def decode_latent_anchors(batch: ComplexBatch, latent) -> list[dict] | None:
     """Decode equivariant latents into anchor strings + positions per graph
     (parity with utils/sampling.py:205-221: 'L<idx>'/'R<idx>' per slot, with
-    positions shifted back by the original center)."""
+    positions shifted back by the original center).
+
+    Only the equivariant node-anchor latents — a ``(lig, rec)`` pair of
+    per-node one-hots — decode to anchors.  vocab>1 / virtual-node latents
+    are a single invariant array with no node identity to print; returns
+    ``None`` for those (and anything else that is not a 2-tuple)."""
+    if not (isinstance(latent, (tuple, list)) and len(latent) == 2):
+        return None
     lat_l, lat_r = latent
     lat_l = np.asarray(lat_l)
     lat_r = np.asarray(lat_r)

@@ -75,6 +75,13 @@ class DockingService:
                 f"serving needs --ar_model_dir so latents come from the AR "
                 f"prior.  allow_seed_latents overrides (smoke tests only)"
             )
+        if ar_model_dir and self.enc_cfg is None:
+            # mirror of eval/evaluate.py's guard: a latent-free score run
+            # cannot consume AR latents; proceeding would feed zero-width
+            # latents into a model initialized without them
+            raise SystemExit(
+                "--ar_model_dir requires a score run trained WITH a latent "
+                f"encoder, but {model_dir} has no encoder config")
         self._conf_cfg = None
         if confidence_model_dir:
             conf_run = load_config(confidence_model_dir)

@@ -570,6 +570,18 @@ class TestNativeOps:
         ia, ib = native.radius_pairs(a, b, 10.0)
         assert len(ia) == 8 * 4096  # > default cap of 8*256
 
+    def test_empty_inputs_terminate(self):
+        """Empty point sets must return empty edge lists: the grow-and-retry
+        loop's capacity starts at n*k, and 0*2 stays 0 forever (a CA-only PDB
+        can leave zero receptor residues)."""
+        empty = np.zeros((0, 3), np.float32)
+        some = np.zeros((3, 3), np.float32)
+        s, d = native.knn_edges(empty, 5.0, 10)
+        assert len(s) == 0 and len(d) == 0
+        for a, b in [(empty, some), (some, empty), (empty, empty)]:
+            ia, ib = native.radius_pairs(a, b, 5.0)
+            assert len(ia) == 0 and len(ib) == 0
+
 
 class TestTorsionVariants:
     """von-Mises / GeoMol / quad machinery (conformer_matching.py variants;

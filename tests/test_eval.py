@@ -255,3 +255,30 @@ def test_synthetic_all_atom_score_eval():
               "--samples_per_complex", "2", "--inference_steps", "2"])
     assert m["rmsds_below_2"] is not None
     assert all(v == 0 for v in m["edge_overflow"].values())
+
+
+def test_no_model_suppresses_confidence_family(tmp_path):
+    """--no_model with --confidence_model_dir: the confidence model never
+    runs, so the filtered_ family must NOT be fabricated from the all-zero
+    placeholder confidences (argsort of zeros = sampling order presented as
+    a confidence ranking)."""
+    import jax
+
+    from disco_diffdock_tpu.eval.evaluate import evaluate_complexes
+    from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
+    from disco_diffdock_tpu.sampling.sampler import SamplerConfig
+    from tests.test_score_model import small_batch, small_caps, small_cfg
+    from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
+
+    model = TensorProductScoreModel(cfg=small_cfg(), caps=small_caps())
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    scfg = SamplerConfig(inference_steps=2)
+    metrics = evaluate_complexes(
+        model, variables, [batch], scfg, SigmaSchedule(),
+        jax.random.PRNGKey(1),
+        confidence_model=object(),  # never applied under no_model
+        no_model=True,
+    )
+    assert "rmsds_below_2" in metrics
+    assert not any(k.startswith("filtered_") for k in metrics)

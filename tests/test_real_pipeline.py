@@ -263,6 +263,25 @@ class TestDockCLI:
                 "--out_dir", str(tmp_path / "d"),
             ])
 
+    def test_ar_without_encoder_errors_loudly(self, tmp_path):
+        """--ar_model_dir against a latent-free score run must raise, not
+        silently drop the requested AR prior (mirror of the evaluate guard)."""
+        from disco_diffdock_tpu.config import ScoreModelConfig
+        from disco_diffdock_tpu.eval import dock
+        from disco_diffdock_tpu.train.checkpoints import save_config
+
+        run_dir = str(tmp_path / "latent_free_run")
+        save_config(run_dir, score_model=ScoreModelConfig(latent_dim=0))
+        with pytest.raises(SystemExit, match="encoder"):
+            dock.main([
+                "--protein", os.path.join(DATA, "fix1",
+                                          "fix1_protein_processed.pdb"),
+                "--ligand", os.path.join(DATA, "fix1", "fix1_ligand.sdf"),
+                "--model_dir", run_dir,
+                "--ar_model_dir", str(tmp_path / "whatever"),
+                "--out_dir", str(tmp_path / "d"),
+            ])
+
 
 class TestServe:
     def test_disco_run_requires_ar_prior(self, dirs, score_run):
@@ -270,6 +289,19 @@ class TestServe:
 
         with pytest.raises(SystemExit, match="AR"):
             DockingService(score_run)
+
+    def test_ar_without_encoder_errors_loudly(self, tmp_path):
+        """ar_model_dir against a latent-free score run must raise at
+        construction, not feed zero-width latents into a model initialized
+        without them (mirror of evaluate/dock guards)."""
+        from disco_diffdock_tpu.config import ScoreModelConfig
+        from disco_diffdock_tpu.serve import DockingService
+        from disco_diffdock_tpu.train.checkpoints import save_config
+
+        run_dir = str(tmp_path / "latent_free_run")
+        save_config(run_dir, score_model=ScoreModelConfig(latent_dim=0))
+        with pytest.raises(SystemExit, match="encoder"):
+            DockingService(run_dir, ar_model_dir=str(tmp_path / "whatever"))
 
     def test_http_dock_roundtrip(self, dirs, score_run):
         """serve.py: one process owns the chip; programs compile per bucket

@@ -341,3 +341,24 @@ def test_cfg_window_skip():
     # an in-window CFG run must actually differ
     c = run(mid_window, rb, jax.random.PRNGKey(2))
     assert np.abs(a - c).max() > 1e-6
+
+
+def test_decode_latent_anchors_gating():
+    """Anchor decode applies only to the equivariant (lig, rec) one-hot pair;
+    vocab>1 / virtual-node latents arrive as a single invariant array and
+    must return None instead of unpacking the batch axis into garbage."""
+    from disco_diffdock_tpu.sampling.sampler import decode_latent_anchors
+
+    batch = small_batch()
+    B, NL = batch.lig_x.shape[:2]
+    NR = batch.rec_x.shape[1]
+    # equivariant pair: slot 0 -> ligand node 1, slot 1 -> receptor node 0
+    lat_l = np.zeros((B, NL, 2), np.float32)
+    lat_r = np.zeros((B, NR, 2), np.float32)
+    lat_l[:, 1, 0] = 1.0
+    lat_r[:, 0, 1] = 1.0
+    out = decode_latent_anchors(batch, (lat_l, lat_r))
+    assert out is not None and out[0]["latent_str"] == "L1R0"
+    # single invariant array (vocab>1 path), B == 2 would silently split
+    assert decode_latent_anchors(batch, np.zeros((B, 2, 4), np.float32)) is None
+    assert decode_latent_anchors(batch, None) is None
