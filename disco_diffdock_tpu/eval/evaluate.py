@@ -627,9 +627,10 @@ def main(argv=None):
         caps = GraphCaps(
             max_lig=16, max_rec=32, lig_bond_cap=36, lig_radius_cap=96,
             rec_edge_cap=32 * 8, tor_cap=4, tor_edge_cap=48,
-            # the all-atom model keeps every lig<->residue pair in range at
-            # t=1 (audit below); 16*32=512 covers the whole pair grid
-            cross_cap=512 if args.all_atoms else 128,
+            # both families keep every lig<->residue pair in range at t=1
+            # (the CG dynamic cross cutoff is huge at sigma_max); 16*32=512
+            # covers the whole pair grid, so the audit below stays at zero
+            cross_cap=512,
             max_atoms=128, atom_edge_cap=128 * 8, la_cap=160,
         )
         cfg = ScoreModelConfig(

@@ -123,6 +123,9 @@ class TestShardedEval:
         m1 = main(common + ["--out_dir", str(tmp_path / "single")])
         m8 = main(common + ["--n_devices", "8", "--out_dir", str(tmp_path / "mesh")])
         assert np.isfinite(m8["rmsds_below_5"])
+        # the synthetic caps must hold the full t=1 pair grid for the CG
+        # family too (a truncating cap would make this comparison vacuous)
+        assert all(v == 0 for v in m1["edge_overflow"].values()), m1["edge_overflow"]
         for key in ("rmsds_below_2", "rmsds_below_5", "best_rmsds_mean"):
             if key in m1:
                 assert abs(m1[key] - m8[key]) < 1e-3, (key, m1[key], m8[key])
