@@ -72,15 +72,32 @@ def pdb_to_fasta(pdb_paths: Iterable[str], out_path: str, max_len: int = 1022) -
                 f.write(f">{name}_chain_{i}\n{seq[:max_len]}\n")
 
 
+def concat_chain_embeddings(items: dict) -> dict:
+    """Group ``<name>_chain_<i>``-keyed arrays by complex name and
+    concatenate the chains in index order into one (n_res, dim) array per
+    complex (the reference's per-chain .pt contract,
+    esm_embeddings_to_pt.py).  Keys without ``_chain_`` pass through."""
+    chains: dict[str, dict[int, np.ndarray]] = {}
+    for k, v in items.items():
+        if "_chain_" in k:
+            name, idx = k.rsplit("_chain_", 1)
+            chains.setdefault(name, {})[int(idx)] = v
+        else:
+            chains.setdefault(k, {})[0] = v
+    return {
+        name: np.concatenate([parts[i] for i in sorted(parts)], 0)
+        for name, parts in chains.items()
+    }
+
+
 def combine_embeddings(embedding_dir: str, out_path: str) -> None:
     """Combine per-chain ESM outputs (<name>_chain_<i>.pt with layer-33
     representations, or .npy) into one npz mapping name -> (n_res, dim)."""
-    chains: dict[str, dict[int, np.ndarray]] = {}
+    items: dict[str, np.ndarray] = {}
     for fn in sorted(os.listdir(embedding_dir)):
         base, ext = os.path.splitext(fn)
         if "_chain_" not in base:
             continue
-        name, idx = base.rsplit("_chain_", 1)
         if ext == ".pt":
             import torch
 
@@ -88,12 +105,8 @@ def combine_embeddings(embedding_dir: str, out_path: str) -> None:
             emb = d["representations"][33].numpy()
         else:
             emb = np.load(os.path.join(embedding_dir, fn))
-        chains.setdefault(name, {})[int(idx)] = np.asarray(emb, np.float32)
-    out = {
-        name: np.concatenate([parts[i] for i in sorted(parts)], 0)
-        for name, parts in chains.items()
-    }
-    np.savez_compressed(out_path, **out)
+        items[base] = np.asarray(emb, np.float32)
+    np.savez_compressed(out_path, **concat_chain_embeddings(items))
 
 
 def generate_structure(

@@ -272,6 +272,32 @@ def _effective_valence(element: str, charge: int) -> int:
     return max(0, val + charge)
 
 
+def _valence_electrons(z: int) -> int:
+    """Outer-shell electron count for main-group elements (the steric-number
+    hybridization rule needs lone-pair counts).  Transition metals and
+    lanthanides return 4 — their MiniMol hybridization lands on the same
+    'misc'/SP3 bins either way."""
+    if z <= 2:
+        return z
+    for core, width in ((2, 8), (10, 8), (18, 18), (36, 18), (54, 32)):
+        if z <= core + width:
+            g = z - core
+            # main group after a d/f block: subtract the block width;
+            # mid-block (transition/f) atoms get the neutral default
+            if width == 18:
+                if g > 10:
+                    g -= 10
+                elif g > 2:
+                    return 4
+            elif width == 32:
+                if g > 24:
+                    g -= 24
+                elif g > 2:
+                    return 4
+            return g
+    return 4
+
+
 _AROMATIC_ELEMENTS = {"C", "N", "O", "S", "B", "P", "Se", "As", "Si"}
 
 
@@ -447,19 +473,30 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
         z = atomic_number(e)
         val = _effective_valence(e, int(mol.charges[i]))
         num_h = max(0, int(round(val - bond_order_sum[i])))
-        # hybridization from incident bond ORDERS (RDKit semantics for
-        # common organics): a triple bond or two cumulated double bonds on a
-        # 2-coordinate atom -> SP; a double/aromatic bond -> SP2; else SP3.
-        # Hypervalent S/P (sulfone/sulfoxide S, phosphate/phosphonate P:
-        # double bonds but >=3 sigma neighbors, steric number 4) stay SP3,
-        # matching RDKit for these very common drug functional groups.
-        hypervalent = z in (15, 16) and G_degree[i] >= 3
-        if n_triple[i] >= 1 or (n_double[i] >= 2 and G_degree[i] <= 2):
-            hyb = "SP"
-        elif (n_double[i] == 1 or aromatic[i]) and not hypervalent:
+        # hybridization from the STERIC NUMBER (sigma neighbors + lone
+        # pairs), the rule RDKit applies to main-group atoms: lone pairs =
+        # (valence electrons - charge - total bond order) // 2.  This gets
+        # nitro N(=O)=O (SN 3 -> SP2), sulfone/sulfoxide S and phosphate P
+        # (SN 4 -> SP3), nitriles/allenes (SN 2 -> SP) and amines/ethers
+        # (SN 4 -> SP3) right without per-group special cases; aromatic
+        # atoms report SP2 regardless (furan O is SP2 in RDKit).  Known
+        # approximation (shared with the pre-steric-number code): conjugated
+        # amide/aniline N reads SP3 where RDKit's conjugation pass says SP2.
+        ve = _valence_electrons(z) - int(mol.charges[i])
+        lone_pairs = max(0, int(ve - bond_order_sum[i] - num_h)) // 2
+        sn = G_degree[i] + num_h + lone_pairs
+        if aromatic[i]:
             hyb = "SP2"
-        else:
+        elif sn <= 2:
+            hyb = "SP"
+        elif sn == 3:
+            hyb = "SP2"
+        elif sn == 4:
             hyb = "SP3"
+        elif sn == 5:
+            hyb = "SP3D"
+        else:
+            hyb = "SP3D2"
         total_degree = G_degree[i] + num_h
         feats[i] = [
             safe_index(A["possible_atomic_num_list"], z),

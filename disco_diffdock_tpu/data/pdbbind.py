@@ -146,18 +146,9 @@ class PDBBind:
                 return flat
             # reference format (esm_embeddings_to_pt.py): one entry PER CHAIN
             # keyed '<name>_chain_<i>' — concatenate chains in index order
-            # into one (n_res, dim) array per complex
-            chains: dict[str, dict[int, np.ndarray]] = {}
-            for k, v in flat.items():
-                if "_chain_" in k:
-                    cname, idx = k.rsplit("_chain_", 1)
-                    chains.setdefault(cname, {})[int(idx)] = v
-                else:
-                    chains.setdefault(k, {})[0] = v
-            return {
-                cname: np.concatenate([parts[i] for i in sorted(parts)], 0)
-                for cname, parts in chains.items()
-            }
+            from .esm import concat_chain_embeddings
+
+            return concat_chain_embeddings(flat)
         with np.load(path, allow_pickle=True) as z:
             return {k: z[k] for k in z.files}
 

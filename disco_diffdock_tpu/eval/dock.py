@@ -79,6 +79,37 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _rdkit_to_minimol(mol, pos=None) -> "minichem.MiniMol":
+    """RDKit mol -> MiniMol shell for SDF writing: formal charges and the
+    Kekule bond orders come along so write_sdf emits valid V2000 (type-4
+    aromatic bonds are query-only in SDF) and charged ligands round-trip."""
+    from rdkit import Chem
+
+    elements = [a.GetSymbol() for a in mol.GetAtoms()]
+    charges = np.asarray([a.GetFormalCharge() for a in mol.GetAtoms()], np.int32)
+    tmap = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3, "AROMATIC": 4}
+    bonds = [(b.GetBeginAtomIdx(), b.GetEndAtomIdx()) for b in mol.GetBonds()]
+    types = [tmap.get(str(b.GetBondType()), 1) for b in mol.GetBonds()]
+    kek = Chem.Mol(mol)
+    try:
+        Chem.Kekulize(kek, clearAromaticFlags=True)
+        ktypes = [tmap.get(str(b.GetBondType()), 1) for b in kek.GetBonds()]
+    except Exception:  # kekulization can fail on exotic input; keep types
+        ktypes = types
+    if pos is None:
+        pos = (np.asarray(mol.GetConformer().GetPositions(), np.float32)
+               if mol.GetNumConformers()
+               else np.zeros((len(elements), 3), np.float32))
+    return minichem.MiniMol(
+        elements=elements,
+        pos=np.asarray(pos, np.float32),
+        bonds=np.asarray(bonds, np.int32).reshape(-1, 2),
+        bond_types=np.asarray(types, np.int32),
+        charges=charges,
+        kekule_types=np.asarray(ktypes, np.int32),
+    )
+
+
 def _ligand_write_meta(ligand_description: str, remove_hs: bool = True):
     """(elements, bonds, bond_types) of the featurized ligand for SDF output,
     in the same atom order the record uses."""
@@ -86,35 +117,14 @@ def _ligand_write_meta(ligand_description: str, remove_hs: bool = True):
         mol = featurize.read_molecule(ligand_description, remove_hs=remove_hs)
         if isinstance(mol, minichem.MiniMol):
             return mol
-        # RDKit mol -> MiniMol shell for writing
-        elements = [a.GetSymbol() for a in mol.GetAtoms()]
-        bonds, types = [], []
-        tmap = {"SINGLE": 1, "DOUBLE": 2, "TRIPLE": 3, "AROMATIC": 4}
-        for b in mol.GetBonds():
-            bonds.append((b.GetBeginAtomIdx(), b.GetEndAtomIdx()))
-            types.append(tmap.get(str(b.GetBondType()), 1))
-        return minichem.MiniMol(
-            elements=elements,
-            pos=np.asarray(mol.GetConformer().GetPositions(), np.float32),
-            bonds=np.asarray(bonds, np.int32).reshape(-1, 2),
-            bond_types=np.asarray(types, np.int32),
-            charges=np.zeros(len(elements), np.int32),
-        )
+        return _rdkit_to_minimol(mol)
     # SMILES path: rebuild via RDKit exactly as record_from_paths does
     from rdkit import Chem
 
     mol = Chem.MolFromSmiles(ligand_description)
     mol = Chem.RemoveHs(Chem.AddHs(mol)) if remove_hs else Chem.AddHs(mol)
-    elements = [a.GetSymbol() for a in mol.GetAtoms()]
-    bonds = np.asarray(
-        [(b.GetBeginAtomIdx(), b.GetEndAtomIdx()) for b in mol.GetBonds()],
-        np.int32,
-    ).reshape(-1, 2)
-    return minichem.MiniMol(
-        elements=elements, pos=np.zeros((len(elements), 3), np.float32),
-        bonds=bonds, bond_types=np.ones(len(bonds), np.int32),
-        charges=np.zeros(len(elements), np.int32),
-    )
+    return _rdkit_to_minimol(
+        mol, pos=np.zeros((mol.GetNumAtoms(), 3), np.float32))
 
 
 def dock(args):

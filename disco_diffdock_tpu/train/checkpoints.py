@@ -69,3 +69,18 @@ class CheckpointManager:
 
     def exists(self, tag: str) -> bool:
         return os.path.exists(self._path(tag))
+
+    def copy(self, src_tag: str, dst_tag: str) -> bool:
+        """On-disk checkpoint copy (the reference's periodic
+        shutil.copyfile of best_model*.pt, train_ar.py:261-263) — no
+        in-memory state retained between epochs.  Returns False when the
+        source tag was never saved."""
+        import shutil
+
+        src, dst = self._path(src_tag), self._path(dst_tag)
+        if not os.path.exists(src):
+            return False
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+        return True

@@ -482,7 +482,6 @@ def main(argv=None):
 
     wandb_run = maybe_wandb(args.wandb, args.project, args.run_name, vars(args))
     best = {"accuracy": -np.inf, "loss": np.inf, "sequential_accuracy": -np.inf}
-    best_states = {}  # axis -> state snapshot (for best_*_epochN copies)
     scheduler = (ReduceLROnPlateau(mode=args.main_metric_goal,
                                    patience=args.scheduler_patience,
                                    min_lr=args.lr / 100)
@@ -571,11 +570,9 @@ def main(argv=None):
             ckpt.save(f"epoch{epoch + 1}", state)
         if val["accuracy"] >= best["accuracy"]:
             best["accuracy"] = val["accuracy"]
-            best_states["accuracy"] = state
             ckpt.save("best", state)
         if val["loss"] <= best["loss"]:
             best["loss"] = val["loss"]
-            best_states["loss"] = state
             ckpt.save("best_loss", state)
         if val["sequential_accuracy"] >= best["sequential_accuracy"]:
             best["sequential_accuracy"] = val["sequential_accuracy"]
@@ -584,9 +581,11 @@ def main(argv=None):
                 (epoch + 1) % args.best_model_save_frequency == 0:
             # periodic COPIES of the best-so-far checkpoints, not the current
             # state (reference train_ar.py:261-263 shutil.copyfile's
-            # best_model_accuracy.pt / best_model_loss.pt)
-            ckpt.save(f"best_epoch{epoch + 1}", best_states["accuracy"])
-            ckpt.save(f"best_loss_epoch{epoch + 1}", best_states["loss"])
+            # best_model_accuracy.pt / best_model_loss.pt).  On-disk copy:
+            # no live state retained across epochs, and a no-op (not a
+            # crash) when NaN val metrics mean no best was ever saved
+            ckpt.copy("best", f"best_epoch{epoch + 1}")
+            ckpt.copy("best_loss", f"best_loss_epoch{epoch + 1}")
         if scheduler is not None:
             tracked = val[args.main_metric]
             new_opt = scheduler.step(tracked, state.opt_state)

@@ -529,13 +529,13 @@ def main(argv=None):
                     else tracked >= best_val)
         if np.isfinite(tracked) and improved or best_epoch < 0:
             best_val, best_epoch = tracked, epoch
-            best_state = state
             ckpt.save("best", state)
         if args.best_model_save_frequency and \
                 (epoch + 1) % args.best_model_save_frequency == 0:
             # a COPY of the best-so-far checkpoint, not the current state
-            # (reference confidence_train.py:238-239 shutil.copyfile)
-            ckpt.save(f"best_epoch{epoch + 1}", best_state)
+            # (reference confidence_train.py:238-239 shutil.copyfile);
+            # on-disk so no live state is retained across epochs
+            ckpt.copy("best", f"best_epoch{epoch + 1}")
         if scheduler is not None and np.isfinite(tracked):
             new_opt = scheduler.step(tracked, state.opt_state)
             if new_opt is not state.opt_state:

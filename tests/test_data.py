@@ -288,6 +288,12 @@ class TestAromaticity:
         assert hyb(["C", "C", "N"], [(0, 1, 1), (1, 2, 3)], 2) == "SP"
         # thiocarbonyl S (degree 1) stays SP2
         assert hyb(["C", "S"], [(0, 1, 2)], 1) == "SP2"
+        # nitro drawn uncharged/pentavalent N(=O)=O: steric number 3 -> SP2
+        # (regression: the S/P-only hypervalent special case left it SP3)
+        assert hyb(["C", "N", "O", "O"],
+                   [(0, 1, 1), (1, 2, 2), (1, 3, 2)], 1) == "SP2"
+        assert hyb(["C", "N", "O", "O"],
+                   [(0, 1, 1), (1, 2, 2), (1, 3, 2)], 2) == "SP2"
 
     def test_write_sdf_preserves_charges_and_kekule(self):
         """Written poses keep formal charges (M CHG) and localized Kekule

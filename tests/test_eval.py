@@ -282,3 +282,74 @@ def test_no_model_suppresses_confidence_family(tmp_path):
     )
     assert "rmsds_below_2" in metrics
     assert not any(k.startswith("filtered_") for k in metrics)
+
+
+def test_rdkit_to_minimol_keeps_charges_and_kekule(monkeypatch):
+    """The RDKit->MiniMol shell for SDF writing must carry formal charges
+    (M CHG records) and Kekule bond orders (type-4 aromatic bonds are
+    query-only in V2000), not zero/aromatic placeholders."""
+    import sys
+    import types
+
+    class FakeAtom:
+        def __init__(self, sym, chg):
+            self.sym, self.chg = sym, chg
+
+        def GetSymbol(self):
+            return self.sym
+
+        def GetFormalCharge(self):
+            return self.chg
+
+    class FakeBond:
+        def __init__(self, a, b, t):
+            self.a, self.b, self.t = a, b, t
+
+        def GetBeginAtomIdx(self):
+            return self.a
+
+        def GetEndAtomIdx(self):
+            return self.b
+
+        def GetBondType(self):
+            return self.t
+
+    class FakeMol:
+        def __init__(self, atoms, bonds, kek_orders):
+            self.atoms, self.bonds, self.kek = atoms, bonds, kek_orders
+
+        def GetAtoms(self):
+            return self.atoms
+
+        def GetBonds(self):
+            return self.bonds
+
+        def GetNumConformers(self):
+            return 0
+
+    def fake_kekulize(m, clearAromaticFlags=False):
+        for b, order in zip(m.bonds, m.kek):
+            b.t = order
+
+    chem = types.SimpleNamespace(Mol=lambda m: FakeMol(
+        m.atoms, [FakeBond(b.a, b.b, b.t) for b in m.bonds], m.kek),
+        Kekulize=fake_kekulize)
+    monkeypatch.setitem(sys.modules, "rdkit", types.SimpleNamespace(Chem=chem))
+
+    from disco_diffdock_tpu.data.minichem import write_sdf
+    from disco_diffdock_tpu.eval.dock import _rdkit_to_minimol
+
+    # N+ with an "aromatic" bond whose Kekule order is DOUBLE
+    mol = FakeMol(
+        [FakeAtom("N", 1), FakeAtom("C", 0), FakeAtom("O", -1)],
+        [FakeBond(0, 1, "AROMATIC"), FakeBond(1, 2, "SINGLE")],
+        ["DOUBLE", "SINGLE"],
+    )
+    mm = _rdkit_to_minimol(mol)
+    assert mm.charges.tolist() == [1, 0, -1]
+    assert mm.bond_types.tolist() == [4, 1]  # perception kept
+    assert mm.kekule_types.tolist() == [2, 1]  # but V2000 writes Kekule
+    sdf = write_sdf(mm, mm.pos, "q")
+    assert "M  CHG" in sdf
+    body = sdf[sdf.index("V2000"):]
+    assert "  1  2  2  0" in body  # bond written as order 2, not query-4

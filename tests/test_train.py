@@ -253,6 +253,27 @@ class TestRestart:
         assert (out["b"]["new"] == 0).all()   # absent in ckpt -> template
         assert "stale" not in out             # extra ckpt keys dropped
 
+    def test_checkpoint_copy_on_disk(self, tmp_path):
+        """Periodic best_epochN snapshots are on-disk copies of the best
+        checkpoint (reference shutil.copyfile semantics) and a no-op — not a
+        crash — when no best was ever saved (NaN val metrics)."""
+        from disco_diffdock_tpu.train.checkpoints import CheckpointManager
+        from disco_diffdock_tpu.train.train_score import main
+
+        argv = ["--synthetic", "--steps", "1", "--log_dir", str(tmp_path),
+                "--run_name", "c", "--val_inference_freq", "0"]
+        main(argv)
+        ckpt = CheckpointManager(str(tmp_path / "c"))
+        assert ckpt.copy("never_saved", "best_epoch1") is False
+        assert not ckpt.exists("best_epoch1")
+        assert ckpt.copy("last", "best_epoch1") is True
+        a = ckpt.restore_raw("last")
+        b = ckpt.restore_raw("best_epoch1")
+        np.testing.assert_array_equal(
+            jax.tree.leaves(a["step"]), jax.tree.leaves(b["step"]))
+        # overwrite (a later periodic copy) replaces, not errors
+        assert ckpt.copy("last", "best_epoch1") is True
+
     def test_restart_resumes_step(self, tmp_path):
         from disco_diffdock_tpu.train.checkpoints import CheckpointManager
         from disco_diffdock_tpu.train.train_score import main
