@@ -722,3 +722,123 @@ class TestESMFold:
         )
         assert rec is not None and rec["rec_pos"].shape[0] == 8
         assert (tmp_path / "seqonly" / "seqonly_esmfold.pdb").exists()
+
+
+class TestRDKitPathParity:
+    """The RDKit-installed featurization branch (untestable directly here —
+    RDKit is absent) driven through a fake mol that reports RDKit-true
+    values, asserted EQUAL to the minichem fallback on the same molecule.
+    Catches divergence between the two ligand_graph branches
+    (process_mols.py:93-116 parity on both sides)."""
+
+    class _Atom:
+        def __init__(self, z, deg, numh, hyb, arom, chg=0):
+            self.z, self.deg, self.numh = z, deg, numh
+            self.hyb, self.arom, self.chg = hyb, arom, chg
+
+        def GetAtomicNum(self):
+            return self.z
+
+        def GetChiralTag(self):
+            return "CHI_UNSPECIFIED"
+
+        def GetTotalDegree(self):
+            return self.deg
+
+        def GetFormalCharge(self):
+            return self.chg
+
+        def GetImplicitValence(self):
+            return self.numh
+
+        def GetTotalNumHs(self):
+            return self.numh
+
+        def GetNumRadicalElectrons(self):
+            return 0
+
+        def GetHybridization(self):
+            return self.hyb
+
+        def GetIsAromatic(self):
+            return self.arom
+
+    class _Bond:
+        def __init__(self, a, b, t):
+            self.a, self.b, self.t = a, b, t
+
+        def GetBeginAtomIdx(self):
+            return self.a
+
+        def GetEndAtomIdx(self):
+            return self.b
+
+        def GetBondType(self):
+            return self.t
+
+    class _Ring:
+        def __init__(self, rings):
+            self.rings = rings  # list of atom-index sets
+
+        def NumAtomRings(self, i):
+            return sum(i in r for r in self.rings)
+
+        def IsAtomInRingOfSize(self, i, n):
+            return any(i in r and len(r) == n for r in self.rings)
+
+    class _Mol:
+        def __init__(self, atoms, bonds, rings, pos):
+            self.atoms, self.bonds = atoms, bonds
+            self.rings, self.pos = rings, pos
+
+        def GetAtoms(self):
+            return self.atoms
+
+        def GetBonds(self):
+            return self.bonds
+
+        def GetRingInfo(self):
+            return TestRDKitPathParity._Ring(self.rings)
+
+        def GetConformer(self):
+            mol = self
+
+            class C:
+                def GetPositions(self):
+                    return mol.pos
+
+            return C()
+
+    def _toluene_fake(self):
+        # ring C0..C5 (C0 ipso), methyl C6; RDKit-true values after sanitize
+        atoms = [self._Atom(6, 3, 0, "SP2", True)] + \
+                [self._Atom(6, 3, 1, "SP2", True) for _ in range(5)] + \
+                [self._Atom(6, 4, 3, "SP3", False)]
+        bonds = [self._Bond(i, (i + 1) % 6, "AROMATIC") for i in range(6)]
+        bonds.append(self._Bond(0, 6, "SINGLE"))
+        pos = np.arange(21, dtype=np.float32).reshape(7, 3)
+        return self._Mol(atoms, bonds, [set(range(6))], pos)
+
+    def _toluene_mini(self):
+        pos_lines = _sdf_text(["C"] * 7,
+                              _ring_bonds(6, [1, 2, 1, 2, 1, 2]) + [(0, 6, 1)])
+        m = minichem.perceive_aromaticity(minichem.parse_sdf(pos_lines))
+        return minichem.MiniMol(
+            m.elements, np.arange(21, dtype=np.float32).reshape(7, 3),
+            m.bonds, m.bond_types, m.charges, m.kekule_types)
+
+    def test_toluene_both_paths_equal(self, monkeypatch):
+        from disco_diffdock_tpu.data import featurize
+
+        fake = self._toluene_fake()
+        gx = featurize.lig_atom_featurizer_rdkit(fake)
+        monkeypatch.setattr(featurize, "HAS_RDKIT", True)
+        g_rdkit = featurize.ligand_graph(fake)
+        monkeypatch.setattr(featurize, "HAS_RDKIT", False)
+        g_mini = featurize.ligand_graph(self._toluene_mini())
+        np.testing.assert_array_equal(gx, g_mini["lig_x"])
+        np.testing.assert_array_equal(g_rdkit["lig_x"], g_mini["lig_x"])
+        np.testing.assert_array_equal(g_rdkit["lig_z"], g_mini["lig_z"])
+        np.testing.assert_array_equal(g_rdkit["bonds"], g_mini["bonds"])
+        np.testing.assert_array_equal(g_rdkit["bond_attr"], g_mini["bond_attr"])
+        np.testing.assert_allclose(g_rdkit["lig_pos"], g_mini["lig_pos"])
