@@ -466,6 +466,13 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
             n_triple[b] += 1
         if t == 4:
             aromatic[a] = aromatic[b] = True
+    # single-bond neighbours, for the conjugation-aware SP2 demotion below:
+    # which atoms does a plain sigma bond connect me to?
+    single_nbrs: list[list[int]] = [[] for _ in range(n)]
+    for (a, b), t, kt in zip(mol.bonds, mol.bond_types, kek):
+        if kt == 1 and t != 4:
+            single_nbrs[a].append(int(b))
+            single_nbrs[b].append(int(a))
     num_rings, in_ring = ring_info(n, mol.bonds)
 
     feats = np.zeros((n, 16), np.int32)
@@ -479,12 +486,22 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
         # nitro N(=O)=O (SN 3 -> SP2), sulfone/sulfoxide S and phosphate P
         # (SN 4 -> SP3), nitriles/allenes (SN 2 -> SP) and amines/ethers
         # (SN 4 -> SP3) right without per-group special cases; aromatic
-        # atoms report SP2 regardless (furan O is SP2 in RDKit).  Known
-        # approximation (shared with the pre-steric-number code): conjugated
-        # amide/aniline N reads SP3 where RDKit's conjugation pass says SP2.
+        # atoms report SP2 regardless (furan O is SP2 in RDKit).
         ve = _valence_electrons(z) - int(mol.charges[i])
         lone_pairs = max(0, int(ve - bond_order_sum[i] - num_h)) // 2
         sn = G_degree[i] + num_h + lone_pairs
+        # conjugation-aware SP2 demotion (RDKit >= 2020.09 setHybridization):
+        # an SN-4 atom with a lone pair whose p-orbital can conjugate -- a
+        # lone-pair-bearing N/O/S single-bonded to an atom that itself
+        # carries a double/triple/aromatic bond -- reads SP2, not SP3.
+        # This is what makes amide N, aniline N, and ester/enol-ether O SP2
+        # in RDKit.  P is excluded (RDKit Issue211: C(ar)-P not conjugated).
+        # Residual approximation: RDKit additionally requires the *bond* to
+        # be marked conjugated by its electron-counting pass; rare charged/
+        # hypervalent neighbours may disagree at the margin.
+        conjugated = z in (7, 8, 16) and lone_pairs > 0 and any(
+            aromatic[j] or n_double[j] or n_triple[j] for j in single_nbrs[i]
+        )
         if aromatic[i]:
             hyb = "SP2"
         elif sn <= 2:
@@ -492,7 +509,7 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
         elif sn == 3:
             hyb = "SP2"
         elif sn == 4:
-            hyb = "SP3"
+            hyb = "SP2" if conjugated else "SP3"
         elif sn == 5:
             hyb = "SP3D"
         else:

@@ -295,6 +295,36 @@ class TestAromaticity:
         assert hyb(["C", "N", "O", "O"],
                    [(0, 1, 1), (1, 2, 2), (1, 3, 2)], 2) == "SP2"
 
+    def test_conjugation_aware_sp2(self):
+        """RDKit >= 2020.09 demotes SN-4 lone-pair atoms in conjugated
+        environments to SP2: amide N, aniline N, ester O.  Isolated amine N
+        and ether O stay SP3 (regression: all four read SP3 before the
+        conjugation-aware pass)."""
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        def hyb(elements, bonds, idx):
+            x = minichem.featurize_minimol(minichem.perceive_aromaticity(
+                minichem.parse_sdf(_sdf_text(elements, bonds))))
+            return A["possible_hybridization_list"][x[idx, 7]]
+
+        # acetamide CC(=O)N: the amide N is SP2
+        assert hyb(["C", "C", "O", "N"],
+                   [(0, 1, 1), (1, 2, 2), (1, 3, 1)], 3) == "SP2"
+        # methylamine C-N stays SP3
+        assert hyb(["C", "N"], [(0, 1, 1)], 1) == "SP3"
+        # aniline: N on a benzene ring is SP2
+        ring = [(0, 1, 2), (1, 2, 1), (2, 3, 2), (3, 4, 1), (4, 5, 2),
+                (5, 0, 1)]
+        assert hyb(["C"] * 6 + ["N"], ring + [(0, 6, 1)], 6) == "SP2"
+        # methyl acetate CC(=O)OC: the ester (single-bonded) O is SP2
+        assert hyb(["C", "C", "O", "O", "C"],
+                   [(0, 1, 1), (1, 2, 2), (1, 3, 1), (3, 4, 1)], 3) == "SP2"
+        # dimethyl ether O stays SP3
+        assert hyb(["C", "O", "C"], [(0, 1, 1), (1, 2, 1)], 1) == "SP3"
+        # phenylphosphine: P is NOT demoted (RDKit Issue211 — C(ar)-P bonds
+        # are not conjugated)
+        assert hyb(["C"] * 6 + ["P"], ring + [(0, 6, 1)], 6) == "SP3"
+
     def test_write_sdf_preserves_charges_and_kekule(self):
         """Written poses keep formal charges (M CHG) and localized Kekule
         bond orders (regression: charged ligands silently neutralized on
