@@ -452,6 +452,9 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
     # valence math runs on the Kekule orders (kept by perceive_aromaticity);
     # aromatic flags come from the perceived bond types
     kek = mol.kekule_types if mol.kekule_types is not None else mol.bond_types
+    # single_nbrs: which atoms does a plain sigma bond connect me to?  Feeds
+    # the conjugation-aware SP2 demotion below.
+    single_nbrs: list[list[int]] = [[] for _ in range(n)]
     for (a, b), t, kt in zip(mol.bonds, mol.bond_types, kek):
         G_degree[a] += 1
         G_degree[b] += 1
@@ -466,20 +469,25 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
             n_triple[b] += 1
         if t == 4:
             aromatic[a] = aromatic[b] = True
-    # single-bond neighbours, for the conjugation-aware SP2 demotion below:
-    # which atoms does a plain sigma bond connect me to?
-    single_nbrs: list[list[int]] = [[] for _ in range(n)]
-    for (a, b), t, kt in zip(mol.bonds, mol.bond_types, kek):
         if kt == 1 and t != 4:
             single_nbrs[a].append(int(b))
             single_nbrs[b].append(int(a))
     num_rings, in_ring = ring_info(n, mol.bonds)
+    # per-atom atomic numbers and implicit-H counts, needed for neighbour
+    # sigma-count gates in the conjugation test
+    zs = np.array([atomic_number(e) for e in mol.elements], np.int32)
+    num_hs = np.array(
+        [
+            max(0, int(round(_effective_valence(e, int(mol.charges[i])) - bond_order_sum[i])))
+            for i, e in enumerate(mol.elements)
+        ],
+        np.int32,
+    )
 
     feats = np.zeros((n, 16), np.int32)
     for i, e in enumerate(mol.elements):
-        z = atomic_number(e)
-        val = _effective_valence(e, int(mol.charges[i]))
-        num_h = max(0, int(round(val - bond_order_sum[i])))
+        z = int(zs[i])
+        num_h = int(num_hs[i])
         # hybridization from the STERIC NUMBER (sigma neighbors + lone
         # pairs), the rule RDKit applies to main-group atoms: lone pairs =
         # (valence electrons - charge - total bond order) // 2.  This gets
@@ -495,12 +503,19 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
         # lone-pair-bearing N/O/S single-bonded to an atom that itself
         # carries a double/triple/aromatic bond -- reads SP2, not SP3.
         # This is what makes amide N, aniline N, and ester/enol-ether O SP2
-        # in RDKit.  P is excluded (RDKit Issue211: C(ar)-P not conjugated).
-        # Residual approximation: RDKit additionally requires the *bond* to
-        # be marked conjugated by its electron-counting pass; rare charged/
-        # hypervalent neighbours may disagree at the margin.
+        # in RDKit.  Gates mirroring markConjAtomBonds/countAtomElec
+        # (ConjugHybrid.cpp): the multiple-bond centre j must itself be a
+        # conjugation candidate -- sigma-substitution count (degree + numH)
+        # of at most 3 (sulfonyl S has 4, so sulfonamide N stays SP3) and
+        # never P (Issue211: neither C(ar)-P nor P-O-C conjugate, so
+        # phosphate-ester O stays SP3).  j carries a multiple bond to a
+        # third atom plus the sigma bond to i, so its sigma count is >= 2;
+        # the gate is therefore "2 or 3".
         conjugated = z in (7, 8, 16) and lone_pairs > 0 and any(
-            aromatic[j] or n_double[j] or n_triple[j] for j in single_nbrs[i]
+            (aromatic[j] or n_double[j] or n_triple[j])
+            and zs[j] != 15
+            and G_degree[j] + num_hs[j] <= 3
+            for j in single_nbrs[i]
         )
         if aromatic[i]:
             hyb = "SP2"

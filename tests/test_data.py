@@ -324,6 +324,16 @@ class TestAromaticity:
         # phenylphosphine: P is NOT demoted (RDKit Issue211 — C(ar)-P bonds
         # are not conjugated)
         assert hyb(["C"] * 6 + ["P"], ring + [(0, 6, 1)], 6) == "SP3"
+        # methanesulfonamide C-S(=O)(=O)-N: sulfonyl S has sigma count 4, so
+        # RDKit's countAtomElec bars it from conjugating — N stays SP3
+        # (regression: the any-multiple-bond-neighbour test demoted it)
+        assert hyb(["C", "S", "O", "O", "N"],
+                   [(0, 1, 1), (1, 2, 2), (1, 3, 2), (1, 4, 1)], 4) == "SP3"
+        # methyl phosphate C-O-P(=O)(O)(O): P is never a conjugation
+        # candidate (Issue211), so the ester O stays SP3
+        assert hyb(["C", "O", "P", "O", "O", "O"],
+                   [(0, 1, 1), (1, 2, 1), (2, 3, 2), (2, 4, 1), (2, 5, 1)],
+                   1) == "SP3"
 
     def test_write_sdf_preserves_charges_and_kekule(self):
         """Written poses keep formal charges (M CHG) and localized Kekule
