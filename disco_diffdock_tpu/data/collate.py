@@ -111,6 +111,30 @@ def caps_from_datasets(datasets, all_atoms: bool | None = None) -> GraphCaps:
     return caps
 
 
+def ladder_for_datasets(
+    datasets, base: Sequence[GraphCaps] = DEFAULT_BUCKETS,
+    all_atoms: bool | None = None,
+) -> tuple:
+    """Bucket ladder for reference-scale training (the 16k-complex PDBBind
+    tree, reference datasets_utils/pdbbind.py:384-406): the ``base`` buckets
+    that pad less than the exact worst case, plus the exact-fit caps as a
+    final catch-all so no complex is ever dropped.  First-fit assignment then
+    pays worst-case padding only for the tail, and each bucket compiles one
+    program.  Runtime-geometry caps of the base buckets are finite (unlike
+    the catch-all's all-pairs caps) -- trainers must surface the edge
+    -overflow audit (graphs/audit.py) so any high-sigma truncation is
+    counted, not silent."""
+    exact = caps_from_datasets(datasets, all_atoms=all_atoms)
+
+    def saves_padding(b: GraphCaps) -> bool:
+        ok = b.max_lig <= exact.max_lig and b.max_rec <= exact.max_rec
+        if ok and all_atoms:
+            ok = b.max_atoms <= exact.max_atoms
+        return ok and (b.max_lig, b.max_rec) != (exact.max_lig, exact.max_rec)
+
+    return tuple(b for b in base if saves_padding(b)) + (exact,)
+
+
 def pick_bucket(recs: Sequence[dict], buckets: Sequence[GraphCaps] = DEFAULT_BUCKETS) -> GraphCaps:
     for caps in buckets:
         if all(fits(r, caps) for r in recs):

@@ -194,6 +194,34 @@ def print_statistics(dataset: PDBBind) -> dict:
     return stats
 
 
+def assign_buckets(
+    dataset: PDBBind,
+    buckets: Sequence[GraphCaps],
+    multiplicity: int = 1,
+) -> tuple[dict[int, list[int]], list[int]]:
+    """First-fit bucket assignment over memoized per-complex sizes.
+
+    Returns ``(groups, oversized)``: bucket index -> dataset indices, plus
+    the indices (deduplicated) that fit no bucket.
+    """
+    from .collate import fit_counts, fits_counts
+
+    groups: dict[int, list[int]] = {bi: [] for bi in range(len(buckets))}
+    oversized: list[int] = []
+    for idx0 in range(len(dataset) * multiplicity):
+        idx = idx0 % len(dataset)
+        counts = (dataset.sizes(idx) if hasattr(dataset, "sizes")
+                  else fit_counts(dataset[idx]))
+        for bi, caps in enumerate(buckets):
+            if fits_counts(counts, caps):
+                groups[bi].append(idx)
+                break
+        else:
+            if idx0 < len(dataset):
+                oversized.append(idx)
+    return groups, oversized
+
+
 def bucketed_batches(
     dataset: PDBBind,
     batch_size: int,
@@ -204,30 +232,30 @@ def bucketed_batches(
     drop_oversized: bool = True,
     multiplicity: int = 1,
     drop_remainder: bool = True,
+    with_info: bool = False,
 ) -> Iterator:
-    """Yield padded ComplexBatches grouped by size bucket.
+    """Yield padded ComplexBatches grouped by size bucket, LAZILY: records
+    load and collate one batch at a time, so an epoch never holds more than
+    the in-flight batches (plus any prefetch depth) in host memory.
 
     Complexes are assigned to the smallest fitting bucket, shuffled within
     buckets, and emitted as full batches per bucket (so every batch of a
     bucket reuses one compiled program).  ``multiplicity`` repeats the dataset
     (train_multiplicity); complexes with extra matched conformers start from
-    a randomly chosen one each epoch (pdbbind.py:41-42).
+    a randomly chosen one each epoch (pdbbind.py:41-42).  ``with_info`` yields
+    ``(batch, {"caps", "bucket", "names", "indices"})`` so callers can key
+    per-bucket compiled programs and per-complex caches.  Complexes exceeding
+    the largest bucket are dropped with a LOUD warning (or raise when
+    ``drop_oversized=False``) -- never silently.
     """
-    from .collate import fits_counts
-
-    groups: dict[int, list[int]] = {bi: [] for bi in range(len(buckets))}
-    for idx0 in range(len(dataset) * multiplicity):
-        idx = idx0 % len(dataset)
-        counts = (dataset.sizes(idx) if hasattr(dataset, "sizes")
-                  else fit_counts(dataset[idx]))
-        placed = False
-        for bi, caps in enumerate(buckets):
-            if fits_counts(counts, caps):
-                groups[bi].append(idx)
-                placed = True
-                break
-        if not placed and not drop_oversized:
-            raise ValueError(f"complex {dataset.names[idx]} exceeds all buckets")
+    groups, oversized = assign_buckets(dataset, buckets, multiplicity)
+    if oversized:
+        names = [dataset.names[i] for i in oversized[:10]]
+        msg = (f"{len(oversized)} complexes exceed the largest bucket "
+               f"and were dropped: {names}{'...' if len(oversized) > 10 else ''}")
+        if not drop_oversized:
+            raise ValueError(msg)
+        print(f"| WARNING: {msg}")
     order = []
     for bi, idxs in groups.items():
         if shuffle:
@@ -246,4 +274,12 @@ def bucketed_batches(
                 rec = dict(rec)
                 rec["lig_pos"] = ec[rng.randint(len(ec))]
             recs.append(rec)
-        yield collate(recs, buckets[bi], esm_dim=esm_dim)
+        cb = collate(recs, buckets[bi], esm_dim=esm_dim)
+        if with_info:
+            yield cb, {
+                "caps": buckets[bi], "bucket": bi,
+                "names": [dataset.names[i] for i in idxs],
+                "indices": list(idxs),
+            }
+        else:
+            yield cb

@@ -62,6 +62,86 @@ def make_receptor(rng: np.random.RandomState, n_res: int):
     return pos - pos.mean(0)
 
 
+def make_complex_record(
+    seed: int = 0,
+    n_lig: int = 10,
+    n_res: int = 16,
+    esm_dim: int = 0,
+    receptor_radius: float = 15.0,
+    c_alpha_max_neighbors: int = 8,
+    all_atoms: bool = False,
+    atoms_per_res: int = 2,
+    atom_radius: float = 5.0,
+    atom_max_neighbors: int = 8,
+) -> dict:
+    """One raw HeteroComplex record (the dict ``collate`` consumes) -- the
+    synthetic analogue of ``featurize.build_complex_record`` for tests of the
+    bucketing/streaming data path without RDKit or fixture files."""
+    rng = np.random.RandomState(seed)
+    pos, bonds, tor, masks = make_ligand(rng, n_lig)
+    rpos = make_receptor(rng, n_res)
+    pos = pos + rpos[rng.randint(n_res)] * 0.5
+    bidir = np.concatenate([bonds, bonds[:, ::-1]], 0).astype(np.int32)
+    bond_attr = np.zeros((len(bidir), 4), np.float32)
+    bond_attr[np.arange(len(bidir)), rng.randint(0, 4, len(bidir))] = 1.0
+    lig_x = np.stack(
+        [rng.randint(0, dim, n_lig) for dim in LIG_FEATURE_DIMS], 1
+    ).astype(np.int32)
+    s, d = knn_edges_host(rpos, receptor_radius, c_alpha_max_neighbors)
+    rec = dict(
+        lig_x=lig_x, lig_pos=pos, bonds=bidir, bond_attr=bond_attr,
+        rec_code=rng.randint(0, 38, n_res).astype(np.float32),
+        rec_pos=rpos, rec_src=s.astype(np.int32), rec_dst=d.astype(np.int32),
+        tor_edges=tor, mask_rotate=masks,
+        orig_pos=pos.copy(), rdkit_pos=pos.copy(),
+        original_center=np.zeros(3, np.float32),
+    )
+    if esm_dim:
+        rec["esm"] = rng.randn(n_res, esm_dim).astype(np.float32)
+    if all_atoms:
+        na = n_res * atoms_per_res
+        res_of_atom = np.repeat(np.arange(n_res), atoms_per_res)
+        apos = rpos[res_of_atom] + rng.randn(na, 3).astype(np.float32) * 1.5
+        s_, d_ = knn_edges_host(apos, atom_radius, atom_max_neighbors)
+        rec.update(
+            atom_x=np.stack([rng.randint(0, 38, na), rng.randint(0, 119, na),
+                             rng.randint(0, 23, na), rng.randint(0, 38, na)],
+                            1).astype(np.int32),
+            atom_pos=apos, atom_src=s_.astype(np.int32),
+            atom_dst=d_.astype(np.int32), atom_res=res_of_atom.astype(np.int32),
+        )
+    return rec
+
+
+class RecordDataset:
+    """In-memory record list with the ``PDBBind`` loader interface
+    (``names`` / ``__len__`` / ``__getitem__`` / memoized ``sizes``) plus a
+    load counter, so tests can assert the streaming loaders stay lazy."""
+
+    def __init__(self, records, names=None):
+        self.records = list(records)
+        self.names = list(names) if names is not None else [
+            f"synth{i}" for i in range(len(self.records))]
+        self.loads = 0
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, i):
+        self.loads += 1
+        return self.records[i]
+
+    def sizes(self, i):
+        from .collate import fit_counts
+
+        cache = getattr(self, "_size_cache", None)
+        if cache is None:
+            cache = self._size_cache = {}
+        if i not in cache:
+            cache[i] = fit_counts(self.records[i])
+        return cache[i]
+
+
 def make_complex_batch(
     seed: int = 0,
     batch: int = 2,

@@ -59,6 +59,10 @@ def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
         out_specs=(P(), P()),
         check_rep=False,
     )
+    # NOT donated: the scoped EMA shadow intentionally aliases the live
+    # encoder params (train/ema.py scope semantics), and XLA rejects
+    # donating the same buffer twice; HBM headroom at ~20M params makes
+    # double-buffering free anyway
     return jax.jit(sharded)
 
 

@@ -19,6 +19,7 @@ and a plateau scheduler steps on val accuracy (:240).
 from __future__ import annotations
 
 import argparse
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,62 @@ def generate_ar_labels(encoder, enc_vars, batches, key):
         logits, mask = run(batch)
         out.append((np.asarray(logits), np.asarray(mask)))
     return out
+
+
+def generate_ar_labels_to_disk(encoder_for, enc_vars, stream, label_dir) -> int:
+    """Phase 1, STREAMING: run the oracle encoder bucket-by-bucket over a
+    ``(batch, info)`` stream and cache per-complex TRIMMED latent logits on
+    disk (the reference caches latents per complex,
+    autoregressive/dataset_ar.py:160-175) -- the split is never materialized
+    in host RAM.  Already-cached complexes are skipped, so interrupted runs
+    resume.  Returns the number of complexes written."""
+    import os
+
+    os.makedirs(label_dir, exist_ok=True)
+    fns: dict = {}
+    n_done = 0
+    for batch, info in stream:
+        paths = [os.path.join(label_dir, f"{nm}.npz") for nm in info["names"]]
+        if all(os.path.exists(p) for p in paths):
+            continue
+        caps = info["caps"]
+        if caps not in fns:
+            enc = encoder_for(caps)
+            fns[caps] = jax.jit(lambda b, e=enc: e.apply(
+                enc_vars, b, apply_gumbel=False, deterministic=True,
+                use_running_average=True))
+        logits, _ = fns[caps](batch)
+        logits = np.asarray(logits)
+        lig_mask = np.asarray(batch.lig_mask)
+        rec_mask = np.asarray(batch.rec_mask)
+        NL = lig_mask.shape[1]
+        for b, path in enumerate(paths):
+            if os.path.exists(path):
+                continue
+            nl, nr = int(lig_mask[b].sum()), int(rec_mask[b].sum())
+            # tmp must end in .npz or savez_compressed appends it and the
+            # os.replace below misses the file (pdbbind.py:99 pattern)
+            tmp = f"{path}.tmp{os.getpid()}.npz"
+            np.savez_compressed(tmp, logits_lig=logits[b, :, :nl],
+                                logits_rec=logits[b, :, NL:NL + nr])
+            os.replace(tmp, path)
+            n_done += 1
+    return n_done
+
+
+def load_ar_labels(label_dir, names, latent_dim: int, NL: int, NR: int):
+    """Reassemble a batch's padded (B, Ld, NL+NR) oracle-logit array from the
+    per-complex disk cache (padding slots stay 0 -- they are masked by
+    node_mask before any use)."""
+    import os
+
+    soft = np.zeros((len(names), latent_dim, NL + NR), np.float32)
+    for b, nm in enumerate(names):
+        with np.load(os.path.join(label_dir, f"{nm}.npz")) as z:
+            ll, lr = z["logits_lig"], z["logits_rec"]
+        soft[b, :, : ll.shape[1]] = ll
+        soft[b, :, NL:NL + lr.shape[1]] = lr
+    return soft
 
 
 def make_ar_train_step(model, tx, input_latent_dim, trunk_frozen: bool,
@@ -244,6 +301,15 @@ def main(argv=None):
     p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--bucket_mode", default="auto",
+                   choices=["auto", "exact", "ladder"],
+                   help="exact: one worst-case bucket (fixture scale); "
+                        "ladder: DEFAULT_BUCKETS + exact catch-all (bounded "
+                        "padding at 16k-complex scale); auto picks ladder "
+                        "for >256 complexes")
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="batches collated ahead by the background prefetch "
+                        "thread (DataLoader num_workers analogue)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--epochs", "--n_epochs", dest="epochs", type=int, default=2)
     p.add_argument("--warmup_epochs", type=int, default=1)
@@ -340,7 +406,7 @@ def main(argv=None):
         assert args.original_model_dir and args.data_dir, (
             "real-data AR training needs --original_model_dir and --data_dir"
         )
-        from ..data.collate import caps_from_datasets
+        from ..data.collate import caps_from_datasets, ladder_for_datasets
         from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
         from .loading import load_run_configs, restore_variables
 
@@ -357,7 +423,13 @@ def main(argv=None):
         )
         ds = PDBBind(PDBBindConfig(split_path=args.split_train, **ds_cfg))
         ds_val = PDBBind(PDBBindConfig(split_path=args.split_val, **ds_cfg))
-        caps = caps_from_datasets([ds, ds_val])
+        bucket_mode = args.bucket_mode
+        if bucket_mode == "auto":
+            bucket_mode = "ladder" if len(ds) + len(ds_val) > 256 else "exact"
+        buckets = (ladder_for_datasets([ds, ds_val])
+                   if bucket_mode == "ladder"
+                   else (caps_from_datasets([ds, ds_val]),))
+        caps = buckets[-1]
         score_cfg, enc_cfg, _ = load_run_configs(args.original_model_dir)
         assert enc_cfg is not None, (
             "--original_model_dir must be a DisCo run (encoder in its yml)"
@@ -366,21 +438,11 @@ def main(argv=None):
         import dataclasses as _dc
 
         enc_cfg = _dc.replace(enc_cfg, apply_gumbel_softmax=False)
-        batches = list(bucketed_batches(
-            ds, args.batch_size, np.random.RandomState(0), buckets=(caps,),
-            esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
-            drop_remainder=False,
-        ))
-        val_batches = list(bucketed_batches(
-            ds_val, args.batch_size, np.random.RandomState(0), buckets=(caps,),
-            esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
-            drop_remainder=False,
-        ))
-        print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes in "
-              f"{len(batches)}+{len(val_batches)} batches, caps: {caps}")
+        print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes, "
+              f"bucket_mode={bucket_mode} ({len(buckets)} buckets), "
+              f"largest caps: {caps}")
         # phase 1 uses the TRAINED encoder from the wrapper checkpoint
         wrapper_vars = restore_variables(args.original_model_dir, args.ckpt)
-        encoder = TPEncoder(cfg=enc_cfg, caps=caps)
         enc_vars = {
             "params": wrapper_vars["params"]["encoder"],
             "batch_stats": (wrapper_vars["batch_stats"] or {}).get("encoder", {}),
@@ -390,31 +452,111 @@ def main(argv=None):
         warm_score_params = wrapper_vars["params"]["score_model"]
         warm_score_stats = (wrapper_vars["batch_stats"] or {}).get("score_model")
 
+    run_dir = f"{args.log_dir}/{args.run_name}"
+
     # ---- phase 1: oracle-encoder soft latent labels (train + val splits,
     # reference dataset_ar.py instantiated for both loaders)
-    labels = generate_ar_labels(encoder, enc_vars, batches, jax.random.PRNGKey(1))
-    val_labels = generate_ar_labels(encoder, enc_vars, val_batches, jax.random.PRNGKey(1))
-    print(f"phase 1 done: {len(labels)} train + {len(val_labels)} val label "
-          f"batches, logits {labels[0][0].shape}")
+    if args.synthetic:
+        labels = generate_ar_labels(encoder, enc_vars, batches, jax.random.PRNGKey(1))
+        val_labels = generate_ar_labels(encoder, enc_vars, val_batches, jax.random.PRNGKey(1))
+        print(f"phase 1 done: {len(labels)} train + {len(val_labels)} val "
+              f"label batches, logits {labels[0][0].shape}")
+        if args.overfit:
+            batches, labels = batches[:1], labels[:1]
+            val_batches, val_labels = batches, labels
 
-    if args.overfit:
-        batches, labels = batches[:1], labels[:1]
-        val_batches, val_labels = batches, labels
+        def train_data(seed):
+            return [
+                (b, soft, np.concatenate([np.asarray(b.lig_mask),
+                                          np.asarray(b.rec_mask)], 1), caps)
+                for b, (soft, _) in zip(batches, labels)
+            ]
 
-    # ---- phase 2
-    model = PretrainedScoreEncoder(
-        score_cfg=score_cfg, caps=caps, latent_dim=1,
-        input_latent_dim=args.latent_dim, ns=args.ar_ns,
-        latent_hidden_dim=args.latent_hidden_dim,
-        latent_no_batchnorm=args.latent_no_batchnorm,
-        latent_dropout=args.latent_dropout,
-    )
-    B, NL = batches[0].lig_x.shape[:2]
-    NR = batches[0].rec_x.shape[1]
+        def val_data():
+            return [
+                (b, soft, np.concatenate([np.asarray(b.lig_mask),
+                                          np.asarray(b.rec_mask)], 1), caps)
+                for b, (soft, _) in zip(val_batches, val_labels)
+            ]
+
+        example_batch, example_caps = batches[0], caps
+    else:
+        from ..data.prefetch import prefetch
+
+        _encoders: dict = {}
+
+        def encoder_for(c):
+            if c not in _encoders:
+                _encoders[c] = TPEncoder(cfg=enc_cfg, caps=c)
+            return _encoders[c]
+
+        def _stream(dset, seed, shuffle):
+            return bucketed_batches(
+                dset, args.batch_size, np.random.RandomState(seed),
+                buckets=buckets, esm_dim=score_cfg.esm_embedding_dim,
+                shuffle=shuffle, drop_remainder=False, with_info=True,
+            )
+
+        label_dir = os.path.join(run_dir, "ar_labels")
+        n_new = generate_ar_labels_to_disk(
+            encoder_for, enc_vars, _stream(ds, 0, False), label_dir)
+        n_new += generate_ar_labels_to_disk(
+            encoder_for, enc_vars, _stream(ds_val, 0, False), label_dir)
+        print(f"phase 1 done: {n_new} newly cached label sets in {label_dir}")
+
+        def _with_labels(stream):
+            for b, info in stream:
+                NL, NR = b.lig_x.shape[1], b.rec_x.shape[1]
+                soft = load_ar_labels(label_dir, info["names"],
+                                      args.latent_dim, NL, NR)
+                node_mask = np.concatenate(
+                    [np.asarray(b.lig_mask), np.asarray(b.rec_mask)], 1)
+                yield b, soft, node_mask, info["caps"]
+
+        if args.overfit:
+            first = [next(_with_labels(_stream(ds, 0, False)))]
+
+            def train_data(seed):
+                return first
+
+            def val_data():
+                return first
+
+            example_batch, example_caps = first[0][0], first[0][3]
+        else:
+            def train_data(seed):
+                return prefetch(_with_labels(_stream(ds, seed, True)),
+                                depth=args.prefetch_depth)
+
+            def val_data():
+                return prefetch(_with_labels(_stream(ds_val, 0, False)),
+                                depth=args.prefetch_depth)
+
+            eb, einfo = next(iter(_stream(ds, 0, False)))
+            example_batch, example_caps = eb, einfo["caps"]
+
+    # ---- phase 2: one model per bucket (params are capacity-independent),
+    # sharing a single TrainState
+    _models: dict = {}
+
+    def model_for(c):
+        if c not in _models:
+            _models[c] = PretrainedScoreEncoder(
+                score_cfg=score_cfg, caps=c, latent_dim=1,
+                input_latent_dim=args.latent_dim, ns=args.ar_ns,
+                latent_hidden_dim=args.latent_hidden_dim,
+                latent_no_batchnorm=args.latent_no_batchnorm,
+                latent_dropout=args.latent_dropout,
+            )
+        return _models[c]
+
+    model = model_for(example_caps)
+    B, NL = example_batch.lig_x.shape[:2]
+    NR = example_batch.rec_x.shape[1]
     lat0 = (jnp.zeros((B, NL, args.latent_dim)), jnp.zeros((B, NR, args.latent_dim)))
     variables = jax.jit(
         lambda b: model.init(jax.random.PRNGKey(2), b, lat0, jnp.zeros((B,), jnp.int32))
-    )(batches[0])
+    )(example_batch)
     if warm_score_params is not None and args.use_pretrained_score:
         params = dict(variables["params"])
         params["pretrained_score_model"] = warm_score_params
@@ -445,24 +587,42 @@ def main(argv=None):
         from ..parallel import make_mesh, replicate, shard_batch, shard_step
 
         mesh = make_mesh(args.n_devices)
-        frozen_step = shard_step(
-            make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True,
-                               axis_name="data"), mesh, n_sharded_args=5)
-        free_step = shard_step(
-            make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False,
-                               axis_name="data"), mesh, n_sharded_args=5)
+        if args.batch_size % args.n_devices != 0:
+            raise SystemExit("--n_devices must divide --batch_size")
         state = replicate(state, mesh)
-    else:
-        frozen_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=True))
-        free_step = jax.jit(make_ar_train_step(model, tx, args.latent_dim, trunk_frozen=False))
-    eval_fn = jax.jit(make_ar_eval_step(model))
+    # per-(bucket, frozen) compiled steps, built lazily on first use
+    _steps: dict = {}
+    _evals: dict = {}
+    _seqs: dict = {}
 
-    @jax.jit
-    def seq_decode(variables, batch, key):
-        def apply_fn(b, lat, dec):
-            return model.apply(variables, b, lat, dec,
-                               deterministic=True, use_running_average=True)
-        return encode_ar(apply_fn, batch, key, args.latent_dim, 1000.0)
+    def step_for(c, frozen: bool):
+        k = (c, frozen)
+        if k not in _steps:
+            raw = make_ar_train_step(
+                model_for(c), tx, args.latent_dim, trunk_frozen=frozen,
+                axis_name="data" if mesh is not None else None)
+            _steps[k] = (shard_step(raw, mesh, n_sharded_args=5)
+                         if mesh is not None else jax.jit(raw))
+        return _steps[k]
+
+    def eval_for(c):
+        if c not in _evals:
+            _evals[c] = jax.jit(make_ar_eval_step(model_for(c)))
+        return _evals[c]
+
+    def seq_decode_for(c):
+        if c not in _seqs:
+            m = model_for(c)
+
+            @jax.jit
+            def seq_decode(variables, batch, key):
+                def apply_fn(b, lat, dec):
+                    return m.apply(variables, b, lat, dec,
+                                   deterministic=True, use_running_average=True)
+                return encode_ar(apply_fn, batch, key, args.latent_dim, 1000.0)
+
+            _seqs[c] = seq_decode
+        return _seqs[c]
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, ar_model=score_cfg, caps=caps,
@@ -500,21 +660,32 @@ def main(argv=None):
                     mode=args.main_metric_goal,
                     patience=args.scheduler_patience, min_lr=args.lr / 100)
         frozen_now = freeze_warmup and epoch < args.warmup_epochs
-        step_fn = frozen_step if frozen_now else free_step
         ms = []
-        for batch, (soft, node_mask) in list(zip(batches, labels)) * max(1, args.train_multiplicity):
-            key, k1, k2 = jax.random.split(key, 3)
-            b2, lat, dec, lab = prepare_ar_sample(
-                rng, batch, soft, node_mask, args.latent_dim, k1,
-                no_sampling=args.no_sampling, no_randomness=args.no_randomness)
-            nm = jnp.asarray(node_mask)
-            if mesh is not None:
-                b2, lat, dec, lab, nm = (
-                    shard_batch(x, mesh) for x in (b2, lat, dec, lab, nm))
-            state, m = step_fn(state, b2, lat, dec, lab, nm, k2)
-            ms.append({k3: float(v) for k3, v in m.items()})
-        print(f"epoch {epoch}: loss={np.mean([m['loss'] for m in ms]):.4f} "
-              f"acc={np.mean([m['accuracy'] for m in ms]):.3f} "
+        for rep in range(max(1, args.train_multiplicity)):
+            data = train_data(epoch * 131 + rep)
+            try:
+                for batch, soft, node_mask, c in data:
+                    key, k1, k2 = jax.random.split(key, 3)
+                    b2, lat, dec, lab = prepare_ar_sample(
+                        rng, batch, soft, node_mask, args.latent_dim, k1,
+                        no_sampling=args.no_sampling,
+                        no_randomness=args.no_randomness)
+                    nm = jnp.asarray(node_mask)
+                    if mesh is not None:
+                        b2, lat, dec, lab, nm = (
+                            shard_batch(x, mesh) for x in (b2, lat, dec, lab, nm))
+                    state, m = step_for(c, frozen_now)(
+                        state, b2, lat, dec, lab, nm, k2)
+                    # device dicts accumulate async; ONE stacked fetch per
+                    # epoch (a float() per step would sync every step)
+                    ms.append(m)
+            finally:
+                getattr(data, "close", lambda: None)()
+        ms = jax.device_get(jax.tree.map(lambda *xs: jnp.stack(xs), *ms))
+        train_loss = float(np.mean(ms["loss"]))
+        train_acc = float(np.mean(ms["accuracy"]))
+        print(f"epoch {epoch}: loss={train_loss:.4f} "
+              f"acc={train_acc:.3f} "
               f"({'frozen' if frozen_now else 'unfrozen'} trunk)")
 
         # held-out val: per-idx teacher-forced accuracy + full sequential
@@ -523,33 +694,42 @@ def main(argv=None):
         vloss, vacc = [], []
         per_idx = {d: [] for d in range(args.latent_dim)}
         seq_hits, seq_n = 0, 0
-        for vi, (batch, (soft, node_mask)) in enumerate(
-                list(zip(val_batches, val_labels)) * max(1, args.val_multiplicity)):
-            # fixed rotation per batch so the metric is epoch-comparable;
-            # same no_randomness pose source as training (raw RDKit conformer)
-            vsrc = (batch.replace(
-                lig_pos=batch.extras.get("rdkit_pos", batch.lig_pos))
-                if args.no_randomness else batch)
-            vb = rotate_ligand(vsrc, jax.random.fold_in(jax.random.PRNGKey(11), vi))
-            for d in range(args.latent_dim):
-                lat, dec, lab = teacher_forced_inputs(
-                    batch, soft, node_mask, args.latent_dim, d,
-                    no_sampling=args.no_sampling)
-                lo, ac = eval_fn(variables_now, vb, lat, dec, lab,
-                                 jnp.asarray(node_mask))
-                vloss.append(float(lo))
-                vacc.append(float(ac))
-                per_idx[d].append(float(ac))
-            lat_l, lat_r = seq_decode(
-                variables_now, vb, jax.random.fold_in(jax.random.PRNGKey(9), vi))
-            pred_nodes = np.concatenate(
-                [np.asarray(lat_l), np.asarray(lat_r)], 1).argmax(1)  # (B, Ld)
-            soft_m = np.where(np.asarray(node_mask)[:, None, :],
-                              np.asarray(soft), -np.inf)
-            true_nodes = soft_m.argmax(-1)
-            gm = np.asarray(batch.graph_mask, bool)
-            seq_hits += int((pred_nodes[gm] == true_nodes[gm]).all(-1).sum())
-            seq_n += int(gm.sum())
+        vi = 0
+        for _ in range(max(1, args.val_multiplicity)):
+            vdata = val_data()
+            try:
+                for batch, soft, node_mask, c in vdata:
+                    # fixed rotation per batch so the metric is epoch
+                    # -comparable; same no_randomness pose source as
+                    # training (raw RDKit conformer)
+                    vsrc = (batch.replace(
+                        lig_pos=batch.extras.get("rdkit_pos", batch.lig_pos))
+                        if args.no_randomness else batch)
+                    vb = rotate_ligand(
+                        vsrc, jax.random.fold_in(jax.random.PRNGKey(11), vi))
+                    for d in range(args.latent_dim):
+                        lat, dec, lab = teacher_forced_inputs(
+                            batch, soft, node_mask, args.latent_dim, d,
+                            no_sampling=args.no_sampling)
+                        lo, ac = eval_for(c)(variables_now, vb, lat, dec, lab,
+                                             jnp.asarray(node_mask))
+                        vloss.append(float(lo))
+                        vacc.append(float(ac))
+                        per_idx[d].append(float(ac))
+                    lat_l, lat_r = seq_decode_for(c)(
+                        variables_now, vb,
+                        jax.random.fold_in(jax.random.PRNGKey(9), vi))
+                    pred_nodes = np.concatenate(
+                        [np.asarray(lat_l), np.asarray(lat_r)], 1).argmax(1)  # (B, Ld)
+                    soft_m = np.where(np.asarray(node_mask)[:, None, :],
+                                      np.asarray(soft), -np.inf)
+                    true_nodes = soft_m.argmax(-1)
+                    gm = np.asarray(batch.graph_mask, bool)
+                    seq_hits += int((pred_nodes[gm] == true_nodes[gm]).all(-1).sum())
+                    seq_n += int(gm.sum())
+                    vi += 1
+            finally:
+                getattr(vdata, "close", lambda: None)()
         val = {
             "loss": float(np.mean(vloss)),
             "accuracy": float(np.mean(vacc)),
@@ -561,8 +741,7 @@ def main(argv=None):
               f"acc={val['accuracy']:.3f} seq_acc={val['sequential_accuracy']:.3f} "
               f"[{idx_str}]")
         if wandb_run:
-            wandb_run.log({"loss": float(np.mean([m['loss'] for m in ms])),
-                           "accuracy": float(np.mean([m['accuracy'] for m in ms])),
+            wandb_run.log({"loss": train_loss, "accuracy": train_acc,
                            **{f"val_{k3}": v for k3, v in val.items()}},
                           step=epoch)
         ckpt.save("last", state)

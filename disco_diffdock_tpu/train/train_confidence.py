@@ -73,6 +73,87 @@ def generate_confidence_dataset(
     return out
 
 
+def _fit_pos(pos: np.ndarray, NL: int) -> np.ndarray:
+    """Re-pad cached pose arrays to a batch's ligand capacity (caches written
+    by another run -- cache_ids_to_combine -- may have used another bucket;
+    slots beyond the true atom count are padding either way)."""
+    if pos.shape[1] == NL:
+        return pos
+    if pos.shape[1] > NL:
+        return pos[:, :NL]
+    out = np.zeros((pos.shape[0], NL, 3), pos.dtype)
+    out[:, : pos.shape[1]] = pos
+    return out
+
+
+def ensure_pose_caches(
+    runtime_for, pick_caps, dset, names, samples_per_complex, esm_dim,
+    scfg, sigma, base_key, cache_dir, cache_ids,
+) -> int:
+    """Phase 1, STREAMING: guarantee every (complex, cache id) pose cache
+    file exists, sampling only the missing ones -- one collated batch in
+    flight at a time, never the materialized split (the eager per-complex
+    batch list was host-RAM infeasible at the reference's 16k scale).
+    Keys are deterministic per (cache id, complex index), so interrupted
+    runs resume with identical poses.  Returns the number of caches written.
+    """
+    from ..data.collate import collate, replicate_record
+
+    os.makedirs(cache_dir, exist_ok=True)
+    run_fns: dict = {}
+    n_new = 0
+    for ci, n in enumerate(names):
+        missing = [
+            (j, cid) for j, cid in enumerate(cache_ids)
+            if not os.path.exists(os.path.join(cache_dir, f"{n}_cache{cid}.npz"))
+        ]
+        if not missing:
+            continue
+        rec = dset.get(n)
+        c = pick_caps(rec)
+        batch = collate(replicate_record(rec, samples_per_complex), c,
+                        esm_dim=esm_dim)
+        score_view, score_vars, latent_fn = runtime_for(c)
+        if c not in run_fns:
+            @jax.jit
+            def run(b, k, _sv=score_view, _v=score_vars, _lf=latent_fn):
+                k0, k1, k2 = jax.random.split(k, 3)
+                latent = _lf(b, k2) if _lf is not None else None
+                rb = randomize_position(k0, b, scfg.no_torsion, False,
+                                        sigma.tr_sigma_max)
+                return sampling(_sv, _v, rb, k1, scfg, sigma,
+                                latent=latent)[0].lig_pos
+
+            run_fns[c] = run
+        mask = np.asarray(batch.lig_mask[0])
+        true = np.asarray(batch.extras["orig_pos"])[:, mask]
+        for j, cid in missing:
+            k = jax.random.fold_in(jax.random.fold_in(base_key, j), ci)
+            pos = np.asarray(run_fns[c](batch, k))
+            rmsd = np.sqrt(((pos[:, mask] - true) ** 2).sum(-1).mean(-1))
+            path = os.path.join(cache_dir, f"{n}_cache{cid}.npz")
+            # tmp must end in .npz or savez_compressed appends it and the
+            # os.replace below misses the file (pdbbind.py:99 pattern)
+            tmp = f"{path}.tmp{os.getpid()}.npz"
+            np.savez_compressed(tmp, pos=pos, rmsd=rmsd)
+            os.replace(tmp, path)
+            n_new += 1
+    return n_new
+
+
+def load_pose_cache(cache_dir: str, name: str, cache_ids) -> tuple:
+    """Concatenated (pos, rmsd) for one complex across cache ids
+    (confidence/dataset.py:100-124)."""
+    pos_l, rmsd_l = [], []
+    for cid in cache_ids:
+        with np.load(os.path.join(cache_dir, f"{name}_cache{cid}.npz")) as z:
+            pos_l.append(z["pos"])
+            rmsd_l.append(z["rmsd"])
+    NL = max(p.shape[1] for p in pos_l)
+    return (np.concatenate([_fit_pos(p, NL) for p in pos_l]),
+            np.concatenate(rmsd_l))
+
+
 def confidence_labels(rmsds: np.ndarray, cutoffs) -> np.ndarray:
     """BCE label (rmsd < 2) or multi-cutoff class index."""
     if cutoffs is None:
@@ -162,6 +243,15 @@ def main(argv=None):
     p.add_argument("--split_val", default="data/splits/timesplit_no_lig_overlap_val")
     p.add_argument("--cache_path", default="data/cache_tpu")
     p.add_argument("--limit_complexes", type=int, default=0)
+    p.add_argument("--bucket_mode", default="auto",
+                   choices=["auto", "exact", "ladder"],
+                   help="exact: one worst-case bucket (fixture scale); "
+                        "ladder: DEFAULT_BUCKETS + exact catch-all (bounded "
+                        "padding at 16k-complex scale); auto picks ladder "
+                        "for >256 complexes")
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="batches collated ahead by the background prefetch "
+                        "thread (DataLoader num_workers analogue)")
     p.add_argument("--samples_per_complex", type=int, default=4)
     p.add_argument("--inference_steps", type=int, default=4)
     p.add_argument("--epochs", "--n_epochs", dest="epochs", type=int, default=1)
@@ -316,26 +406,46 @@ def main(argv=None):
         )
         ds = PDBBind(PDBBindConfig(split_path=args.split_train, **ds_cfg))
         ds_val = PDBBind(PDBBindConfig(split_path=args.split_val, **ds_cfg))
-        caps = caps_from_datasets([ds, ds_val], all_atoms=True)
+        bucket_mode = args.bucket_mode
+        if bucket_mode == "auto":
+            bucket_mode = "ladder" if len(ds) + len(ds_val) > 256 else "exact"
+        if bucket_mode == "ladder":
+            from ..data.collate import ladder_for_datasets
+
+            buckets = ladder_for_datasets([ds, ds_val], all_atoms=True)
+        else:
+            buckets = (caps_from_datasets([ds, ds_val], all_atoms=True),)
+        caps = buckets[-1]
         print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes, "
-              f"fitted caps: {caps}")
+              f"bucket_mode={bucket_mode} ({len(buckets)} buckets), "
+              f"largest caps: {caps}")
         # pull the score run's feature dims so rec_x widths line up
         from .loading import load_run_configs
 
         trained_score_cfg, _, _ = load_run_configs(args.original_model_dir)
         esm_dim = trained_score_cfg.esm_embedding_dim
         names = list(ds.names)
-        batches = [
-            collate(replicate_record(ds.get(n), args.samples_per_complex), caps,
-                    esm_dim=esm_dim)
-            for n in names
-        ]
         val_names = list(ds_val.names)
-        val_batches = [
-            collate(replicate_record(ds_val.get(n), args.samples_per_complex), caps,
-                    esm_dim=esm_dim)
-            for n in val_names
-        ]
+
+        from ..data.collate import fits
+
+        def pick_caps(rec):
+            for b in buckets:
+                if fits(rec, b):
+                    return b
+            return caps  # the exact catch-all always fits
+
+        # one score runtime per bucket for phase 1 (variables/cfg identical
+        # across buckets; only the runtime edge capacities differ)
+        _runtimes: dict = {}
+
+        def runtime_for(c):
+            if c not in _runtimes:
+                sv, svars, lf, _, _ = build_score_runtime(
+                    args.original_model_dir, c, tag=args.ckpt)
+                _runtimes[c] = (sv, svars, lf)
+            return _runtimes[c]
+
         score_model, score_vars, latent_fn, score_cfg, _ = build_score_runtime(
             args.original_model_dir, caps, tag=args.ckpt,
         )
@@ -357,35 +467,90 @@ def main(argv=None):
     cache_ids = ([str(i) for i in args.cache_ids_to_combine]
                  if args.cache_ids_to_combine else [str(args.cache_creation_id)])
 
-    def gen(bs, base_key, nm):
-        # one dataset per cache id, poses concatenated per complex
-        # (confidence/dataset.py:100-124)
-        per_id = [
-            generate_confidence_dataset(
-                score_model, score_vars, bs, scfg, sigma,
-                jax.random.fold_in(base_key, j),
-                cache_dir=cache_dir, cache_id=cid, latent_fn=latent_fn,
-                names=nm,
-            )
-            for j, cid in enumerate(cache_ids)
-        ]
-        return [
-            (np.concatenate([d[ci][0] for d in per_id]),
-             np.concatenate([d[ci][1] for d in per_id]))
-            for ci in range(len(bs))
-        ]
+    if args.synthetic:
+        def gen(bs, base_key, nm):
+            # one dataset per cache id, poses concatenated per complex
+            # (confidence/dataset.py:100-124)
+            per_id = [
+                generate_confidence_dataset(
+                    score_model, score_vars, bs, scfg, sigma,
+                    jax.random.fold_in(base_key, j),
+                    cache_dir=cache_dir, cache_id=cid, latent_fn=latent_fn,
+                    names=nm,
+                )
+                for j, cid in enumerate(cache_ids)
+            ]
+            return [
+                (np.concatenate([d[ci][0] for d in per_id]),
+                 np.concatenate([d[ci][1] for d in per_id]))
+                for ci in range(len(bs))
+            ]
 
-    data = gen(batches, jax.random.PRNGKey(1), names)
-    # the reference generates a ConfidenceDataset for the val loader too
-    # (confidence_train.py:297-307): held-out poses for per-epoch val metrics
-    val_data = gen(
-        val_batches, jax.random.PRNGKey(7),
-        val_names if val_names is not None
-        else [f"valcomplex{i}" for i in range(len(val_batches))],
-    )
-    print(f"phase 1 done: {len(data)} train + {len(val_data)} val complexes "
-          f"x {args.samples_per_complex} poses; "
-          f"rmsd range [{min(d[1].min() for d in data):.2f}, {max(d[1].max() for d in data):.2f}]")
+        data = gen(batches, jax.random.PRNGKey(1), names)
+        # the reference generates a ConfidenceDataset for the val loader too
+        # (confidence_train.py:297-307): held-out per-epoch val poses
+        val_data = gen(val_batches, jax.random.PRNGKey(7),
+                       [f"valcomplex{i}" for i in range(len(val_batches))])
+        print(f"phase 1 done: {len(data)} train + {len(val_data)} val "
+              f"complexes x {args.samples_per_complex} poses; rmsd range "
+              f"[{min(d[1].min() for d in data):.2f}, "
+              f"{max(d[1].max() for d in data):.2f}]")
+
+        def train_items(seed):
+            return iter([(b, d[0], d[1], caps) for b, d in zip(batches, data)])
+
+        def val_items():
+            return iter([(b, d[0], d[1], caps)
+                         for b, d in zip(val_batches, val_data)])
+
+        example_batch, example_caps = batches[0], caps
+    else:
+        from ..data.collate import collate, replicate_record
+        from ..data.prefetch import prefetch
+
+        # STREAMING phase 1: only missing (complex, cache id) pose sets are
+        # sampled; one collated batch in flight, resumable
+        n_new = ensure_pose_caches(
+            runtime_for, pick_caps, ds, names, args.samples_per_complex,
+            esm_dim, scfg, sigma, jax.random.PRNGKey(1), cache_dir, cache_ids)
+        n_new += ensure_pose_caches(
+            runtime_for, pick_caps, ds_val, val_names,
+            args.samples_per_complex, esm_dim, scfg, sigma,
+            jax.random.PRNGKey(7), cache_dir, cache_ids)
+        all_rmsd = np.concatenate(
+            [load_pose_cache(cache_dir, n, cache_ids)[1] for n in names])
+        print(f"phase 1 done: {n_new} new pose caches; {len(names)} train + "
+              f"{len(val_names)} val complexes x "
+              f"{args.samples_per_complex * len(cache_ids)} poses; train "
+              f"rmsd range [{all_rmsd.min():.2f}, {all_rmsd.max():.2f}]")
+
+        def _items(dset, nms, seed, shuffle):
+            order = list(nms)
+            if shuffle:
+                np.random.RandomState(seed).shuffle(order)
+
+            def g():
+                for n in order:
+                    rec = dset.get(n)
+                    c = pick_caps(rec)
+                    batch = collate(replicate_record(rec, args.samples_per_complex),
+                                    c, esm_dim=esm_dim)
+                    pos, rmsd = load_pose_cache(cache_dir, n, cache_ids)
+                    yield batch, pos, rmsd, c
+
+            return prefetch(g(), depth=args.prefetch_depth)
+
+        def train_items(seed):
+            return _items(ds, names, seed, True)
+
+        def val_items():
+            return _items(ds_val, val_names, 0, False)
+
+        rec0 = ds.get(names[0])
+        example_caps = pick_caps(rec0)
+        example_batch = collate(
+            replicate_record(rec0, args.samples_per_complex), example_caps,
+            esm_dim=esm_dim)
 
     # ---- phase 2
     mode = "rmsd" if args.rmsd_prediction else (
@@ -415,8 +580,15 @@ def main(argv=None):
     )
     from .plateau import ReduceLROnPlateau, make_adam
 
-    model = AllAtomScoreModel(cfg=conf_cfg, caps=caps)
-    b0 = batches[0].set_time(0.0, 0.0, 0.0)
+    _models: dict = {}
+
+    def model_for(c):
+        if c not in _models:
+            _models[c] = AllAtomScoreModel(cfg=conf_cfg, caps=c)
+        return _models[c]
+
+    model = model_for(example_caps)
+    b0 = example_batch.set_time(0.0, 0.0, 0.0)
     variables = jax.jit(model.init)(jax.random.PRNGKey(2), b0)
     if args.transfer_weights and not args.synthetic:
         from .loading import merge_matching
@@ -445,13 +617,26 @@ def main(argv=None):
         from ..parallel import make_mesh, replicate, shard_batch, shard_step
 
         mesh = make_mesh(args.n_devices)
-        step_fn = shard_step(
-            make_confidence_train_step(model, tx, mode, axis_name="data"),
-            mesh, n_sharded_args=2)
+        if args.samples_per_complex % args.n_devices != 0:
+            raise SystemExit("--n_devices must divide --samples_per_complex")
         state = replicate(state, mesh)
-    else:
-        step_fn = jax.jit(make_confidence_train_step(model, tx, mode))
-    eval_fn = jax.jit(make_confidence_eval_step(model, mode))
+    # per-bucket compiled steps, built lazily on first use
+    _step_fns: dict = {}
+    _eval_fns: dict = {}
+
+    def step_for(c):
+        if c not in _step_fns:
+            raw = make_confidence_train_step(
+                model_for(c), tx, mode,
+                axis_name="data" if mesh is not None else None)
+            _step_fns[c] = (shard_step(raw, mesh, n_sharded_args=2)
+                            if mesh is not None else jax.jit(raw))
+        return _step_fns[c]
+
+    def eval_for(c):
+        if c not in _eval_fns:
+            _eval_fns[c] = jax.jit(make_confidence_eval_step(model_for(c), mode))
+        return _eval_fns[c]
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, confidence_model=conf_cfg, caps=caps)
@@ -470,27 +655,39 @@ def main(argv=None):
                  if args.scheduler == "plateau" else None)
     for epoch in range(args.epochs):
         metrics = []
-        for batch, (pos, rmsd) in list(zip(batches, data)) * max(1, args.multiplicity):
-            # one cached pose per complex copy (dataset.py:160-166), with
-            # optional balanced resampling of positives/negatives
-            idx = rng.randint(0, len(rmsd), batch.num_graphs)
-            if args.balanced and (rmsd < 2).any() and (rmsd >= 2).any():
-                want_pos = rng.rand(batch.num_graphs) < 0.5
-                pos_idx, neg_idx = np.where(rmsd < 2)[0], np.where(rmsd >= 2)[0]
-                idx = np.where(want_pos, rng.choice(pos_idx, batch.num_graphs),
-                               rng.choice(neg_idx, batch.num_graphs))
-            lab = confidence_labels(rmsd[idx], args.rmsd_classification_cutoff)
-            if args.rmsd_prediction:
-                lab = rmsd[idx].astype(np.float32)
-            b = batch.replace(lig_pos=jnp.asarray(pos[idx])).set_time(0.0, 0.0, 0.0)
-            key, k = jax.random.split(key)
-            lab = jnp.asarray(lab)
-            if mesh is not None:
-                b, lab = shard_batch(b, mesh), shard_batch(lab, mesh)
-            state, m = step_fn(state, b, lab, k)
-            metrics.append({k2: float(v) for k2, v in m.items()})
-        loss = np.mean([m["loss"] for m in metrics])
-        acc = np.mean([m["accuracy"] for m in metrics])
+        for rep in range(max(1, args.multiplicity)):
+            items = train_items(epoch * 131 + rep)
+            try:
+                for batch, pos, rmsd, c in items:
+                    # one cached pose per complex copy (dataset.py:160-166),
+                    # with optional balanced positive/negative resampling
+                    idx = rng.randint(0, len(rmsd), batch.num_graphs)
+                    if args.balanced and (rmsd < 2).any() and (rmsd >= 2).any():
+                        want_pos = rng.rand(batch.num_graphs) < 0.5
+                        pos_idx, neg_idx = np.where(rmsd < 2)[0], np.where(rmsd >= 2)[0]
+                        idx = np.where(want_pos,
+                                       rng.choice(pos_idx, batch.num_graphs),
+                                       rng.choice(neg_idx, batch.num_graphs))
+                    lab = confidence_labels(rmsd[idx],
+                                            args.rmsd_classification_cutoff)
+                    if args.rmsd_prediction:
+                        lab = rmsd[idx].astype(np.float32)
+                    p = _fit_pos(pos, batch.lig_pos.shape[1])[idx]
+                    b = batch.replace(lig_pos=jnp.asarray(p)).set_time(0.0, 0.0, 0.0)
+                    key, k = jax.random.split(key)
+                    lab = jnp.asarray(lab)
+                    if mesh is not None:
+                        b, lab = shard_batch(b, mesh), shard_batch(lab, mesh)
+                    state, m = step_for(c)(state, b, lab, k)
+                    # device dicts accumulate async; ONE stacked fetch per
+                    # epoch (a float() per step would sync every step)
+                    metrics.append(m)
+            finally:
+                getattr(items, "close", lambda: None)()
+        metrics = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *metrics))
+        loss = float(np.mean(metrics["loss"]))
+        acc = float(np.mean(metrics["accuracy"]))
         print(f"epoch {epoch}: train loss={loss:.4f} acc={acc:.3f}")
 
         # held-out val pass (confidence_train.py:149-200): fixed pose draw
@@ -498,17 +695,22 @@ def main(argv=None):
         val_rng = np.random.RandomState(1234)
         vmetrics, vscores, vlabels = [], [], []
         variables_now = {"params": state.params, "batch_stats": state.batch_stats}
-        for batch, (pos, rmsd) in zip(val_batches, val_data):
-            idx = val_rng.randint(0, len(rmsd), batch.num_graphs)
-            lab = confidence_labels(rmsd[idx], args.rmsd_classification_cutoff)
-            if args.rmsd_prediction:
-                lab = rmsd[idx].astype(np.float32)
-            b = batch.replace(lig_pos=jnp.asarray(pos[idx])).set_time(0.0, 0.0, 0.0)
-            m, out = eval_fn(variables_now, b, jnp.asarray(lab))
-            vmetrics.append({k2: float(v) for k2, v in m.items()})
-            if mode == "bce":
-                vlabels.append((rmsd[idx] < 2).astype(np.float32))
-                vscores.append(np.asarray(out).reshape(-1))
+        vitems = val_items()
+        try:
+            for batch, pos, rmsd, c in vitems:
+                idx = val_rng.randint(0, len(rmsd), batch.num_graphs)
+                lab = confidence_labels(rmsd[idx], args.rmsd_classification_cutoff)
+                if args.rmsd_prediction:
+                    lab = rmsd[idx].astype(np.float32)
+                p = _fit_pos(pos, batch.lig_pos.shape[1])[idx]
+                b = batch.replace(lig_pos=jnp.asarray(p)).set_time(0.0, 0.0, 0.0)
+                m, out = eval_for(c)(variables_now, b, jnp.asarray(lab))
+                vmetrics.append({k2: float(v) for k2, v in m.items()})
+                if mode == "bce":
+                    vlabels.append((rmsd[idx] < 2).astype(np.float32))
+                    vscores.append(np.asarray(out).reshape(-1))
+        finally:
+            getattr(vitems, "close", lambda: None)()
         val = {
             "loss": float(np.mean([m["loss"] for m in vmetrics])),
             "accuracy": float(np.mean([m["accuracy"] for m in vmetrics])),

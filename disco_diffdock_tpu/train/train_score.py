@@ -92,13 +92,17 @@ def make_wrapper_train_step(model, tx, sigma, alpha, beta, axis_name=None,
     return step
 
 
-def inference_epoch(model, variables, batches, sigma, key, steps=20,
+def inference_epoch(model_for, variables, batches, sigma, key, steps=20,
                     is_wrapper=False, latent_temperature=0.01):
     """Real-sampler validation (utils/training.py:180-231): one pose per
-    complex, plain RMSD vs the crystal pose, %<2A and %<5A."""
+    complex, plain RMSD vs the crystal pose, %<2A and %<5A.  ``model_for``
+    maps a batch's GraphCaps to the matching-capacity model (params are
+    capacity-independent, so one state serves every bucket); ``batches``
+    yields ``(batch, info)`` pairs (see bucketed_batches with_info)."""
     scfg = SamplerConfig(inference_steps=steps)
     rmsds = []
-    for batch in batches:
+    for batch, info in batches:
+        model = model_for(info["caps"])
         key, k1, k2, k3 = jax.random.split(key, 4)
         if is_wrapper:
             latent = model.apply(
@@ -132,6 +136,9 @@ def inference_epoch(model, variables, batches, sigma, key, steps=20,
         m = np.asarray(batch.lig_mask)
         rmsd = np.sqrt((np.sum(diff**2, -1) * m).sum(-1) / m.sum(-1))
         rmsds.append(rmsd)
+    if not rmsds:
+        return {"valinf_rmsds_lt2": float("nan"),
+                "valinf_rmsds_lt5": float("nan")}
     rmsds = np.concatenate(rmsds)
     return {
         "valinf_rmsds_lt2": 100.0 * float((rmsds < 2).mean()),
@@ -153,6 +160,19 @@ def main(argv=None):
                    dest="num_dataloader_workers", type=int, default=1,
                    help="host preprocessing Pool size (reference --num_workers)")
     p.add_argument("--esm_embeddings_path", default=None)
+    p.add_argument("--bucket_mode", default="auto",
+                   choices=["auto", "exact", "ladder"],
+                   help="graph-capacity strategy: 'exact' fits ONE worst-case"
+                        " bucket over train+val (no edge can drop; right for"
+                        " small/fixture trees); 'ladder' uses the"
+                        " DEFAULT_BUCKETS size ladder + an exact catch-all"
+                        " (bounded padding at reference scale; per-bucket"
+                        " compiled steps; runtime edge caps audited per"
+                        " epoch).  'auto' picks ladder for >256 complexes")
+    p.add_argument("--prefetch_depth", type=int, default=2,
+                   help="host batches collated ahead of the device by the "
+                        "background prefetch thread (the DataLoader "
+                        "num_workers analogue, pdbbind.py:384-406)")
     # ---- model hyperparameters (reference utils/parsing.py:70-112 names;
     # defaults = the shipped DisCo-DiffDock-S score model yml, not the
     # reference parser's defaults)
@@ -325,14 +345,23 @@ def main(argv=None):
         nd = max(1, args.n_devices)
         sb = ((4 + nd - 1) // nd) * nd  # >=4 and divisible by the mesh
         train_batches = [
-            make_complex_batch(seed=s, batch=sb, n_lig=10, n_res=24, caps=caps,
-                               esm_dim=16, c_alpha_max_neighbors=8,
-                               all_atoms=args.all_atoms, atoms_per_res=2)
+            (make_complex_batch(seed=s, batch=sb, n_lig=10, n_res=24, caps=caps,
+                                esm_dim=16, c_alpha_max_neighbors=8,
+                                all_atoms=args.all_atoms, atoms_per_res=2),
+             {"caps": caps})
             for s in range(2)
         ]
-        val_batches = train_batches[:1]
-        inf_batches = val_batches
-        traininf_batches = train_batches[:1]
+        buckets = (caps,)
+        bucket_mode = "exact"
+
+        def train_stream(seed):
+            return iter(train_batches)
+
+        def val_stream():
+            return iter(train_batches[:1])
+
+        inf_stream = val_stream
+        traininf_stream = val_stream
     else:
         from ..data.collate import caps_from_datasets
         from ..data.pdbbind import PDBBind, PDBBindConfig, bucketed_batches
@@ -397,25 +426,73 @@ def main(argv=None):
         )
         ds_train = PDBBind(PDBBindConfig(split_path=args.split_train, **ds_cfg))
         ds_val = PDBBind(PDBBindConfig(split_path=args.split_val, **ds_cfg))
-        # one exact-fit capacity profile over train+val: no edge slot can
-        # overflow, and the whole run compiles one train program
-        caps = caps_from_datasets([ds_train, ds_val])
-        print(f"HAPPENING | fitted caps: {caps}")
-        val_batches = list(bucketed_batches(
-            ds_val, args.batch_size, np.random.RandomState(0), buckets=(caps,),
-            esm_dim=score_cfg.esm_embedding_dim, shuffle=False,
-            drop_remainder=False,
-        ))
-        # the val-LOSS epoch sees the full val split (reference train.py:43-46
-        # keys best-by-loss on all of it); only the real-inference epoch is
-        # capped at num_inference_complexes (train.py:48-53)
+        # capacity strategy: ONE exact-fit worst-case bucket (no edge slot
+        # can overflow, one compiled program -- fixture scale) or the size
+        # ladder + exact catch-all (bounded padding at the reference's
+        # 16k-complex scale, one program per bucket, runtime caps audited)
+        bucket_mode = args.bucket_mode
+        if bucket_mode == "auto":
+            bucket_mode = ("ladder" if len(ds_train) + len(ds_val) > 256
+                           else "exact")
+        if bucket_mode == "ladder":
+            from ..data.collate import ladder_for_datasets
+
+            buckets = ladder_for_datasets([ds_train, ds_val],
+                                          all_atoms=args.all_atoms)
+        else:
+            buckets = (caps_from_datasets([ds_train, ds_val]),)
+        caps = buckets[-1]  # largest; persisted for downstream consumers
+        from ..data.pdbbind import assign_buckets
+
+        groups, _ = assign_buckets(ds_train, buckets)
+        print(f"HAPPENING | bucket_mode={bucket_mode}: "
+              + ", ".join(
+                  f"b{bi}(lig<={buckets[bi].max_lig},"
+                  f"rec<={buckets[bi].max_rec})={len(ix)}"
+                  for bi, ix in groups.items() if ix)
+              + f"; largest caps: {caps}")
+
+        # all loaders STREAM: one collated batch in flight at a time (plus
+        # prefetch depth) -- never the materialized split (the reference
+        # equivalently streams through DataLoader workers,
+        # datasets_utils/pdbbind.py:384-406)
+        def train_stream(seed):
+            return bucketed_batches(
+                ds_train, args.batch_size, np.random.RandomState(seed),
+                buckets=buckets, esm_dim=score_cfg.esm_embedding_dim,
+                drop_remainder=len(ds_train) >= args.batch_size,
+                with_info=True,
+            )
+
+        def val_stream():
+            # the val-LOSS epoch sees the full val split (reference
+            # train.py:43-46 keys best-by-loss on all of it)
+            return bucketed_batches(
+                ds_val, args.batch_size, np.random.RandomState(0),
+                buckets=buckets, esm_dim=score_cfg.esm_embedding_dim,
+                shuffle=False, drop_remainder=False, with_info=True,
+            )
+
+        # only the real-inference epoch caps at num_inference_complexes
+        # (train.py:48-53)
         n_keep = max(1, args.num_inference_complexes // args.batch_size)
-        inf_batches = val_batches[:n_keep]
-        traininf_batches = list(bucketed_batches(
-            ds_train, args.batch_size, np.random.RandomState(0),
-            buckets=(caps,), esm_dim=score_cfg.esm_embedding_dim,
-            shuffle=False, drop_remainder=False,
-        ))[:n_keep] if args.train_inference_freq else []
+
+        def inf_stream():
+            import itertools
+
+            return itertools.islice(val_stream(), n_keep)
+
+        def traininf_stream():
+            import itertools
+
+            if not args.train_inference_freq:
+                return iter(())
+            return itertools.islice(
+                bucketed_batches(
+                    ds_train, args.batch_size, np.random.RandomState(0),
+                    buckets=buckets, esm_dim=score_cfg.esm_embedding_dim,
+                    shuffle=False, drop_remainder=False, with_info=True,
+                ), n_keep)
 
     run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, score_model=score_cfg,
@@ -423,19 +500,23 @@ def main(argv=None):
                 **({"caps": caps} if caps else {}))
     ckpt = CheckpointManager(run_dir)
 
-    model = build_model(score_cfg, enc_cfg, caps,
-                        training_latent_temperature=args.training_latent_temperature)
+    # one model PER BUCKET (params are capacity-independent -- capacities
+    # only size the runtime edge arrays), sharing one TrainState
+    _models: dict = {}
+
+    def model_for(c):
+        if c not in _models:
+            _models[c] = build_model(
+                score_cfg, enc_cfg, c,
+                training_latent_temperature=args.training_latent_temperature)
+        return _models[c]
+
     init_rngs = {
         "params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1),
         "droprate": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3),
     }
-    if args.synthetic:
-        example = train_batches[0]
-    else:
-        example = next(iter(bucketed_batches(
-            ds_train, args.batch_size, np.random.RandomState(0), buckets=(caps,),
-            esm_dim=score_cfg.esm_embedding_dim, drop_remainder=False,
-        )))
+    example, example_info = next(iter(train_stream(0)))
+    model = model_for(example_info["caps"])
     variables = jax.jit(lambda b: model.init(init_rngs, b, deterministic=False))(example)
 
     from .plateau import ReduceLROnPlateau, get_learning_rate, make_adam
@@ -515,26 +596,78 @@ def main(argv=None):
         from ..parallel import make_mesh, replicate, shard_batch, shard_train_step
 
         mesh = make_mesh(args.n_devices)
-        assert args.batch_size % args.n_devices == 0 or args.synthetic, (
-            "--n_devices must divide --batch_size")
+        # hard error in ALL modes (synthetic included): an uneven shard
+        # would silently train on a wrong per-device batch
+        if args.batch_size % args.n_devices != 0:
+            raise SystemExit("--n_devices must divide --batch_size "
+                             f"({args.batch_size} % {args.n_devices} != 0)")
     axis = "data" if mesh is not None else None
     lw = dict(tr_weight=args.tr_weight, rot_weight=args.rot_weight,
               tor_weight=args.tor_weight, no_torsion=args.no_torsion)
-    if enc_cfg is not None:
-        raw_step = make_wrapper_train_step(
-            model, tx, sigma, args.sampling_alpha, args.sampling_beta,
-            axis_name=axis, **lw)
-    else:
-        raw_step = make_train_step(
-            model, tx, sigma, args.sampling_alpha, args.sampling_beta,
-            axis_name=axis, **lw)
     if mesh is not None:
-        step_fn = shard_train_step(raw_step, mesh)
         state = replicate(state, mesh)
-    else:
-        step_fn = jax.jit(raw_step)
-    val_fn = jax.jit(make_val_step(model, sigma, wrapper=enc_cfg is not None,
-                                   **lw))
+    # per-bucket compiled programs, built lazily on a bucket's first batch
+    # (eval already compiles per bucket, eval/evaluate.py); the single
+    # TrainState flows through all of them
+    _step_fns: dict = {}
+    _val_fns: dict = {}
+
+    def step_for(c):
+        if c not in _step_fns:
+            make = (make_wrapper_train_step if enc_cfg is not None
+                    else make_train_step)
+            raw = make(model_for(c), tx, sigma, args.sampling_alpha,
+                       args.sampling_beta, axis_name=axis, **lw)
+            # state NOT donated: the scoped EMA shadow aliases the live
+            # encoder params by design (train/ema.py), which XLA rejects
+            # as a double donation; at ~20M params double-buffering is free
+            _step_fns[c] = (shard_train_step(raw, mesh) if mesh is not None
+                            else jax.jit(raw))
+        return _step_fns[c]
+
+    def val_for(c):
+        if c not in _val_fns:
+            _val_fns[c] = jax.jit(make_val_step(
+                model_for(c), sigma, wrapper=enc_cfg is not None, **lw))
+        return _val_fns[c]
+
+    # per-epoch edge-overflow audit (finite ladder runtime caps CAN truncate
+    # high-sigma cross edges; the exact worst-case bucket cannot): one t=1
+    # randomized-pose forward per bucket, overflow counters sown by
+    # graphs/radius.py and surfaced in the epoch log (graphs/audit.py)
+    _audit_fns: dict = {}
+
+    def audit_for(c):
+        if c not in _audit_fns:
+            m = model_for(c)
+            if enc_cfg is not None:
+                ld = score_cfg.latent_dim
+
+                def fwd(v, b):
+                    return m.apply(
+                        v, b, mutable=["intermediates"],
+                        method=lambda mm, bb: mm.score_model(
+                            bb,
+                            latent=(jnp.zeros((bb.num_graphs,
+                                               bb.lig_x.shape[1], ld)),
+                                    jnp.zeros((bb.num_graphs,
+                                               bb.rec_x.shape[1], ld))),
+                            unconditional=jnp.ones((bb.num_graphs, 1)),
+                            deterministic=True, use_running_average=True))
+            else:
+                def fwd(v, b):
+                    return m.apply(v, b, deterministic=True,
+                                   use_running_average=True,
+                                   mutable=["intermediates"])
+
+            def run(v, b, k):
+                rb = randomize_position(k, b, args.no_torsion, False,
+                                        sigma.tr_sigma_max)
+                _, st = fwd(v, rb.set_time(1.0, 1.0, 1.0))
+                return st["intermediates"]
+
+            _audit_fns[c] = jax.jit(run)
+        return _audit_fns[c]
 
     key = jax.random.PRNGKey(42)
     best_loss = np.inf
@@ -548,31 +681,41 @@ def main(argv=None):
                   else "min"),
             patience=args.scheduler_patience, min_lr=args.lr / 100,
         )
+    from ..data.prefetch import prefetch
+
     n_epochs = 1 if args.synthetic else args.n_epochs
     for epoch in range(n_epochs):
         t0 = time.time()
         losses = []
         steps = args.steps if args.synthetic else None
         it = 0
+        audit_batches: dict = {}  # last-seen batch per bucket, for the audit
         # train_multiplicity: extra passes over the set with fresh noise
         # draws per pass (reference parsing.py:94 / pdbbind multiplicity)
         rep = 0
         while True:
-            batches = train_batches if args.synthetic else bucketed_batches(
-                ds_train, args.batch_size,
-                np.random.RandomState(epoch * 131 + rep),
-                buckets=(caps,), esm_dim=score_cfg.esm_embedding_dim,
-                drop_remainder=len(ds_train) >= args.batch_size,
-            )
-            for batch in batches:
-                key, k = jax.random.split(key)
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
-                state, aux = step_fn(state, batch, k)
-                losses.append(float(aux["loss"]))
-                it += 1
-                if steps and it >= steps:
-                    break
+            stream = train_stream(epoch * 131 + rep)
+            if not args.synthetic:
+                # background host collation overlaps device compute
+                stream = prefetch(stream, depth=args.prefetch_depth)
+            try:
+                for batch, info in stream:
+                    c = info["caps"]
+                    key, k = jax.random.split(key)
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, aux = step_for(c)(state, batch, k)
+                    if len(buckets) > 1:
+                        audit_batches[c] = batch
+                    # keep the loss ON DEVICE: a float() here would force a
+                    # host round-trip (~28 ms RTT on the tunneled platform)
+                    # every optimizer step, serializing host and device
+                    losses.append(aux["loss"])
+                    it += 1
+                    if steps and it >= steps:
+                        break
+            finally:
+                getattr(stream, "close", lambda: None)()
             rep += 1
             # synthetic: cycle the fixed batches until --steps optimizer
             # steps have run; real data: train_multiplicity passes
@@ -581,10 +724,28 @@ def main(argv=None):
                     break
             elif rep >= max(1, args.train_multiplicity):
                 break
-        mean_loss = float(np.mean(losses))
+        # one stacked transfer for the whole epoch's losses
+        mean_loss = float(np.mean(jax.device_get(jnp.stack(losses))))
         print(f"epoch {epoch}: train_loss={mean_loss:.4f} ({time.time() - t0:.1f}s, {it} steps)")
         if wandb_run:
             wandb_run.log({"train_loss": mean_loss}, step=epoch)
+
+        if audit_batches:
+            # finite ladder caps may truncate edges at high sigma -- count
+            # them LOUDLY every epoch (one worst-case forward per bucket)
+            from ..graphs.audit import _collect_overflow
+
+            for c, ab in sorted(audit_batches.items(),
+                                key=lambda kv: kv[0].max_rec):
+                key, k = jax.random.split(key)
+                inter = audit_for(c)(state.variables(), ab, k)
+                ov = _collect_overflow(jax.device_get(inter))
+                tag = f"bucket(lig<={c.max_lig},rec<={c.max_rec})"
+                if any(ov.values()):
+                    print(f"| WARNING: epoch {epoch} edge-overflow audit "
+                          f"{tag}: {ov} true edges dropped at t=1 caps")
+                else:
+                    print(f"epoch {epoch}: edge-overflow audit {tag}: 0")
 
         # validation loss epoch (reference test_epoch every epoch); best
         # checkpoints key off VAL loss (train.py:66-77), not train loss
@@ -598,9 +759,11 @@ def main(argv=None):
         # train.py:41-42 copies EMA into the model before both epochs)
         eval_params = state.ema.shadow if args.use_ema else None
         for _ in range(max(1, args.val_multiplicity)):
-            for vb in val_batches:
+            vstream = val_stream() if args.synthetic else prefetch(
+                val_stream(), depth=args.prefetch_depth)
+            for vb, vinfo in vstream:
                 key, k = jax.random.split(key)
-                aux, tvals, gmask = val_fn(
+                aux, tvals, gmask = val_for(vinfo["caps"])(
                     state.variables(), vb, k, ema_params=eval_params)
                 gm = np.asarray(gmask)
                 tvals = np.asarray(tvals)[gm]
@@ -628,9 +791,9 @@ def main(argv=None):
         if args.val_inference_freq and (epoch + 1) % args.val_inference_freq == 0 or args.synthetic:
             key, k = jax.random.split(key)
             metrics = inference_epoch(
-                model,
+                model_for,
                 {"params": inf_params, "batch_stats": state.batch_stats},
-                inf_batches,
+                inf_stream(),
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
                 latent_temperature=args.sampling_latent_temperature,
@@ -646,13 +809,12 @@ def main(argv=None):
                 ckpt.save("best_inference", state)
                 ckpt.save("best_ema_inference", state.replace(params=state.ema.shadow))
 
-        if args.train_inference_freq and (epoch + 1) % args.train_inference_freq == 0 \
-                and traininf_batches:
+        if args.train_inference_freq and (epoch + 1) % args.train_inference_freq == 0:
             key, k = jax.random.split(key)
             tmetrics = inference_epoch(
-                model,
+                model_for,
                 {"params": inf_params, "batch_stats": state.batch_stats},
-                traininf_batches,
+                traininf_stream(),
                 sigma, k, steps=args.inference_steps,
                 is_wrapper=enc_cfg is not None,
                 latent_temperature=args.sampling_latent_temperature,
