@@ -164,6 +164,7 @@ def reverse_diffusion(
     cfg: SamplerConfig,
     sigma: SigmaSchedule,
     t_schedule: Optional[np.ndarray] = None,
+    noise_override=None,
 ):
     """Run the reverse SDE as (a chain of) ``lax.scan``s.
 
@@ -174,6 +175,14 @@ def reverse_diffusion(
     model with different edge capacities).  Returns the final ComplexBatch
     (and the position trajectory (steps, B, NL, 3) if
     ``cfg.return_trajectory``).
+
+    ``noise_override``: optional pre-drawn noise ``(tr_z (S,B,3),
+    rot_z (S,B,3), tor_z (S,B,R))`` for S EXECUTED steps, consumed in place
+    of the PRNG draws -- this decouples RNG-stream differences from math
+    differences so torch-oracle trajectory parity tests can share one noise
+    sequence with the reference twin (utils/sampling.py:148-168's torch
+    randn draws).  The per-step noise mask (no_random / no_final_step_noise)
+    still applies.
     """
     steps = cfg.inference_steps
     if t_schedule is None:
@@ -240,11 +249,24 @@ def reverse_diffusion(
     B = batch.num_graphs
     R = batch.tor_edges.shape[1]
 
+    if noise_override is not None:
+        no_tr, no_rot, no_tor = (jnp.asarray(x, jnp.float32)
+                                 for x in noise_override)
+        assert no_tr.shape[0] == steps, (
+            f"noise_override covers {no_tr.shape[0]} steps, "
+            f"{steps} will execute")
+
     def make_step(seg_fn, use_cfg):
         def step(carry, xs):
             pos, k = carry
-            t_cur, dt_cur, nz = xs
-            k, k_tr, k_rot, k_tor = jax.random.split(k, 4)
+            if noise_override is not None:
+                t_cur, dt_cur, nz, tr_n, rot_n, tor_n = xs
+            else:
+                t_cur, dt_cur, nz = xs
+                k, k_tr, k_rot, k_tor = jax.random.split(k, 4)
+                tr_n = jax.random.normal(k_tr, (B, 3))
+                rot_n = jax.random.normal(k_rot, (B, 3))
+                tor_n = jax.random.normal(k_tor, (B, R))
 
             b = batch.replace(lig_pos=pos).set_time(t_cur, t_cur, t_cur)
             tr_sigma, rot_sigma, tor_sigma = sigma.t_to_sigma(t_cur, t_cur, t_cur)
@@ -263,9 +285,9 @@ def reverse_diffusion(
             rot_g = rot_sigma * rot_g_const
             tor_g = tor_sigma * tor_g_const
 
-            tr_z = nz * jax.random.normal(k_tr, (B, 3))
-            rot_z = nz * jax.random.normal(k_rot, (B, 3))
-            tor_z = nz * jax.random.normal(k_tor, (B, R))
+            tr_z = nz * tr_n
+            rot_z = nz * rot_n
+            tor_z = nz * tor_n
 
             if cfg.ode:
                 tr_perturb = 0.5 * tr_g**2 * dt_cur * tr_score
@@ -330,6 +352,8 @@ def reverse_diffusion(
     trajs = []
     for (i, j, fn, on) in runs:
         xs = (jnp.asarray(t[i:j]), jnp.asarray(dt[i:j]), jnp.asarray(noise_on[i:j]))
+        if noise_override is not None:
+            xs = xs + (no_tr[i:j], no_rot[i:j], no_tor[i:j])
         carry, traj = jax.lax.scan(make_step(fn, on), carry, xs)
         if cfg.return_trajectory:
             trajs.append(traj)
@@ -352,6 +376,7 @@ def sampling(
     confidence_batch: Optional[ComplexBatch] = None,
     t_schedule=None,
     shared_rec: bool = False,
+    noise_override=None,
 ):
     """High-level sampling: score model + optional latents + confidence.
 
@@ -386,7 +411,8 @@ def sampling(
     else:
         score_fn = make_score_fn(model)
 
-    final, traj = reverse_diffusion(score_fn, batch, key, cfg, sigma, t_schedule)
+    final, traj = reverse_diffusion(score_fn, batch, key, cfg, sigma,
+                                    t_schedule, noise_override=noise_override)
 
     confidence = None
     if confidence_model is not None:

@@ -321,7 +321,9 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
             if np.linalg.norm(g["lig_pos"][i] - g["rec_pos"][j]) < cutoff:
                 x_src.append(i)
                 x_dst.append(j)
-    x_src, x_dst = np.asarray(x_src), np.asarray(x_dst)
+    # int64 even when EMPTY (np.asarray([]) is float64; a far-drifted pose
+    # mid-trajectory can legitimately have zero cross pairs)
+    x_src, x_dst = np.asarray(x_src, np.int64), np.asarray(x_dst, np.int64)
     vec_x = pos_r[x_dst] - pos_l[x_src]
     dist_x = torch.sqrt(((vec_x + 1e-12) ** 2).sum(-1))
     cross_eattr = [
@@ -371,10 +373,10 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
             full = torch.cat([eattr, attrs[rt][src][:, :ns], xfeat[:, :ns]], -1)
             w = t_conv_mlp(lp, grp, full, len(tp.weight_splits))
             msg = tp(xfeat, esh, w)
-            sums[rt].index_add_(0, torch.from_numpy(np.asarray(src)), msg)
+            idx = torch.from_numpy(np.asarray(src, np.int64))
+            sums[rt].index_add_(0, idx, msg)
             counts[rt].index_add_(
-                0, torch.from_numpy(np.asarray(src)),
-                torch.ones((len(src), 1), dtype=torch.float64))
+                0, idx, torch.ones((len(src), 1), dtype=torch.float64))
         outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
         if cfg.batch_norm:
             bnp = lp["MaskedIrrepsBatchNorm_0"]
@@ -698,10 +700,10 @@ def oracle_encoder_trunk(params, stats, cfg, g: dict, orig: np.ndarray):
             full = torch.cat([eattr, attrs[rt][src][:, :ns], xfeat[:, :ns]], -1)
             w = t_conv_mlp(lp, grp, full, len(tp.weight_splits))
             msg = tp(xfeat, esh, w)
-            sums[rt].index_add_(0, torch.from_numpy(np.asarray(src)), msg)
+            idx = torch.from_numpy(np.asarray(src, np.int64))
+            sums[rt].index_add_(0, idx, msg)
             counts[rt].index_add_(
-                0, torch.from_numpy(np.asarray(src)),
-                torch.ones((len(src), 1), dtype=torch.float64))
+                0, idx, torch.ones((len(src), 1), dtype=torch.float64))
         outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
         if cfg.batch_norm:
             bnp = lp["MaskedIrrepsBatchNorm_0"]
@@ -1077,6 +1079,10 @@ class TestReverseStepParity:
         final, _, _ = sampling(
             model, variables, batch, jax.random.PRNGKey(5), scfg, sigma)
         final_pos = np.asarray(final.lig_pos)
+        # fixture-health guard: the trajectory must stay physically bounded
+        # (damped heads), else the tolerance below stops meaning anything
+        assert np.abs(final_pos).max() < 500, (
+            f"fixture trajectory exploded: |pos|max={np.abs(final_pos).max():.1f}")
 
         params = jax.tree.map(np.asarray, variables["params"])
         stats = jax.tree.map(np.asarray, variables["batch_stats"])
@@ -1311,6 +1317,10 @@ class TestCFGReverseStepParity:
             model, variables, batch, jax.random.PRNGKey(5), scfg, sigma,
             latent=lat)
         final_pos = np.asarray(final.lig_pos)
+        # fixture-health guard: the trajectory must stay physically bounded
+        # (damped heads), else the tolerance below stops meaning anything
+        assert np.abs(final_pos).max() < 500, (
+            f"fixture trajectory exploded: |pos|max={np.abs(final_pos).max():.1f}")
 
         params = jax.tree.map(np.asarray, variables["params"])
         stats = jax.tree.map(np.asarray, variables["batch_stats"])
@@ -1611,3 +1621,266 @@ class TestSecondOrderReprParity:
             R = len(g["tor_edges"])
             np.testing.assert_allclose(tor[gi][:R], o_tor, rtol=3e-4, atol=3e-5,
                                        err_msg=f"tor graph {gi}")
+
+
+class TestTrajectoryParity:
+    """FULL-TRAJECTORY oracle parity (utils/sampling.py:105-198): the JAX
+    sampler and a numpy/torch twin share ONE pre-drawn noise sequence
+    (sampler.py noise_override), so every step's drift, noise scaling,
+    segment boundary, CFG window transition, no_final_step_noise and
+    actual_steps final-dt handling must line up for the final poses to agree
+    -- RNG-stream differences are decoupled, math differences are not."""
+
+    STEPS = 20
+
+    @staticmethod
+    def _damp_heads(variables, factor=0.05):
+        """Stabilize an UNTRAINED random net for multi-step rollouts.  The
+        tr/rot scale heads consume the prediction NORM (score_model.py:
+        508-517), which itself grows with the coordinate scale, and with
+        random params tr_scale is asymptotically LINEAR in tr_norm -- a
+        positive feedback loop that explodes 20-step trajectories to ~1e11
+        and amplifies f32-vs-f64 drift past any tolerance without testing
+        anything extra.  Zeroing the dense1 kernel row that reads the norm
+        makes the step SIZE depend only on the bounded sigma embedding,
+        while directions, trunk math, sigma scaling, noise and conformer
+        mechanics -- what these tests pin -- are untouched; the oracle twin
+        consumes the same zeroed params.  The final Dense is also damped so
+        per-step drift stays small against the noise (same rationale as
+        _randomize's fan scaling)."""
+
+        def scale(path, leaf):
+            flat = " ".join(str(p) for p in path)
+            if any(h in flat for h in ("tr_final_dense2", "rot_final_dense2",
+                                       "tor_final_dense2")):
+                return leaf * factor
+            if ("kernel" in flat and leaf.ndim == 2
+                    and ("tr_final_dense1" in flat
+                         or "rot_final_dense1" in flat)):
+                return leaf.at[0].set(0.0)  # row 0 = the norm input
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(scale, variables)
+
+    def _noise(self, seed, steps, B, R):
+        rng = np.random.RandomState(seed)
+        return (rng.randn(steps, B, 3).astype(np.float32),
+                rng.randn(steps, B, 3).astype(np.float32),
+                rng.randn(steps, B, R).astype(np.float32))
+
+    def _oracle_trajectory(self, params, stats, cfg, sigma, batch, gi, noise,
+                           t_grid, dt_grid, noise_on, temp=None,
+                           cfg_weight=0.0, cfg_window=(1.0, 0.0), lat=None):
+        """Numpy twin of the reverse SDE for one graph: per step, torch
+        -oracle scores on the CURRENT pose, Euler-Maruyama (optionally
+        low-temperature / CFG-extrapolated) update, oracle conformer apply."""
+        from tests.test_parity_torch import _oracle_modify_conformer
+
+        g = _unpad_graph(batch, gi)
+        nl = len(g["lig_pos"])
+        Rg = len(g["tor_edges"])
+        pos = g["lig_pos"].astype(np.float64)
+        tr_n, rot_n, tor_n = noise
+        consts = {
+            "tr": (sigma.tr_sigma_min, sigma.tr_sigma_max),
+            "rot": (sigma.rot_sigma_min, sigma.rot_sigma_max),
+            "tor": (sigma.tor_sigma_min, sigma.tor_sigma_max),
+        }
+        for s, (t, dt) in enumerate(zip(t_grid, dt_grid)):
+            g["lig_pos"] = pos.astype(np.float32)
+            if lat is not None:
+                glat = (lat[0][gi, :nl], lat[1][gi]
+                        [: len(g["rec_pos"])])
+            else:
+                glat = None
+            scores = oracle_forward(params, stats, cfg, sigma, g, float(t),
+                                    lat=glat)
+            if cfg_weight != 0.0 and cfg_window[1] <= t <= cfg_window[0]:
+                zlat = ((np.zeros_like(glat[0]), np.zeros_like(glat[1]))
+                        if glat is not None else None)
+                unc = oracle_forward(params, stats, cfg, sigma, g, float(t),
+                                     lat=zlat, unconditional=True)
+                scores = tuple(c + cfg_weight * (c - u)
+                               for c, u in zip(scores, unc))
+            z = {"tr": tr_n[s, gi] * noise_on[s],
+                 "rot": rot_n[s, gi] * noise_on[s],
+                 "tor": tor_n[s, gi, :Rg] * noise_on[s]}
+            sig = dict(zip(("tr", "rot", "tor"),
+                           sigma.t_to_sigma(float(t), float(t), float(t))))
+            out = {}
+            for ci, name in enumerate(("tr", "rot", "tor")):
+                smin, smax = consts[name]
+                gcoef = sig[name] * math.sqrt(2 * math.log(smax / smin))
+                sc = scores[ci]
+                if temp is not None and temp[0][ci] != 1.0:
+                    ts, psi, tsd = temp[0][ci], temp[1][ci], temp[2][ci]
+                    sd = math.exp(tsd * math.log(smax) + (1 - tsd) * math.log(smin))
+                    lam = (sd + sig[name]) / (sd + sig[name] / ts)
+                    out[name] = (gcoef**2 * dt * (lam + ts * psi / 2) * sc
+                                 + gcoef * math.sqrt(dt * (1 + psi)) * z[name])
+                else:
+                    out[name] = (gcoef**2 * dt * sc
+                                 + gcoef * math.sqrt(dt) * z[name])
+            pos = _oracle_modify_conformer(
+                pos, out["tr"], out["rot"], g["tor_edges"],
+                g["tor_mask_rotate"], out["tor"])
+        return pos
+
+    def _grids(self, steps, actual=None, final_noise=False):
+        from disco_diffdock_tpu.geom.diffusion import get_t_schedule
+
+        t = np.asarray(get_t_schedule(steps), np.float32)
+        dt = np.concatenate([t[:-1] - t[1:], [t[-1]]]).astype(np.float32)
+        if actual and actual < steps:
+            t, dt = t[:actual], dt[:actual].copy()
+            dt[-1] = t[-1]
+        noise_on = np.ones(len(t), np.float32)
+        if not final_noise:
+            noise_on[-1] = 0.0
+        return t, dt, noise_on
+
+    def test_segmented_plain_trajectory(self, setup):
+        """20 steps across a 12+8 segment boundary (two separately compiled
+        scans, different capacity profiles), no_final_step_noise."""
+        import dataclasses as _dc
+
+        from disco_diffdock_tpu.sampling import SamplerConfig, sampling
+
+        model, variables, batch = setup
+        variables = self._damp_heads(variables)
+        sigma = model.sigma
+        B, R = batch.num_graphs, batch.tor_edges.shape[1]
+        noise = self._noise(41, self.STEPS, B, R)
+        # same worst-case (non-truncating) geometry, different padding: the
+        # segment mechanism is exercised without changing any true edge
+        caps2 = _dc.replace(CAPS, rec_edge_cap=16 * 10, tor_edge_cap=4 * 12 + 8)
+        model2 = TensorProductScoreModel(cfg=CFG, caps=caps2)
+        scfg = SamplerConfig(inference_steps=self.STEPS,
+                             no_final_step_noise=True)
+        final, _, _ = sampling([(12, model), (8, model2)], variables, batch,
+                               jax.random.PRNGKey(5), scfg, sigma,
+                               noise_override=noise)
+        final_pos = np.asarray(final.lig_pos)
+        # fixture-health guard: the trajectory must stay physically bounded
+        # (damped heads), else the tolerance below stops meaning anything
+        assert np.abs(final_pos).max() < 500, (
+            f"fixture trajectory exploded: |pos|max={np.abs(final_pos).max():.1f}")
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        t, dt, noise_on = self._grids(self.STEPS)
+        for gi in range(B):
+            want = self._oracle_trajectory(
+                params, stats, CFG, sigma, batch, gi, noise, t, dt, noise_on)
+            nl = len(want)
+            np.testing.assert_allclose(
+                final_pos[gi][:nl], want, rtol=2e-3, atol=2e-3,
+                err_msg=f"20-step segmented trajectory, graph {gi}")
+
+    def test_lowtemp_actual_steps_trajectory(self, setup):
+        """--actual_steps truncation (14 of 20; the final executed step
+        integrates the remaining time to t=0) under the shipped 9-constant
+        low-temperature scaling, with injected noise."""
+        from disco_diffdock_tpu.sampling import SamplerConfig, sampling
+
+        model, variables, batch = setup
+        variables = self._damp_heads(variables)
+        sigma = model.sigma
+        B, R = batch.num_graphs, batch.tor_edges.shape[1]
+        ACTUAL = 14
+        noise = self._noise(43, ACTUAL, B, R)
+        temp = ((1.546842681537956, 4.005218254154881, 3.6499018519649384),
+                (1.1826298582329897, 0.9209708061994818, 0.2768632399747332),
+                (0.5911354109955666, 0.6379099342794536, 0.3566754905393134))
+        scfg = SamplerConfig(
+            inference_steps=self.STEPS, actual_steps=ACTUAL,
+            no_final_step_noise=True, temp_sampling=temp[0],
+            temp_psi=temp[1], temp_sigma_data=temp[2])
+        final, _, _ = sampling(model, variables, batch,
+                               jax.random.PRNGKey(5), scfg, sigma,
+                               noise_override=noise)
+        final_pos = np.asarray(final.lig_pos)
+        # fixture-health guard: the trajectory must stay physically bounded
+        # (damped heads), else the tolerance below stops meaning anything
+        assert np.abs(final_pos).max() < 500, (
+            f"fixture trajectory exploded: |pos|max={np.abs(final_pos).max():.1f}")
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        t, dt, noise_on = self._grids(self.STEPS, actual=ACTUAL)
+        for gi in range(B):
+            want = self._oracle_trajectory(
+                params, stats, CFG, sigma, batch, gi, noise, t, dt, noise_on,
+                temp=temp)
+            nl = len(want)
+            np.testing.assert_allclose(
+                final_pos[gi][:nl], want, rtol=2e-3, atol=2e-3,
+                err_msg=f"low-temp actual_steps trajectory, graph {gi}")
+
+    def test_cfg_window_trajectory(self):
+        """The CFG window opens AND closes mid-trajectory (cfg_start=0.7,
+        cfg_end=0.25 on the 20-step grid): in-window steps extrapolate
+        c + w(c - u), out-of-window steps must not."""
+        from disco_diffdock_tpu.sampling import SamplerConfig, sampling
+
+        ILD = 2
+        cfg = ScoreModelConfig(
+            ns=4, nv=2, num_conv_layers=5, esm_embedding_dim=6, dropout=0.0,
+            latent_dim=ILD, latent_vocab=1, latent_droprate=0.1,
+            compute_dtype="float32",
+        )
+        batch = make_complex_batch(
+            seed=31, batch=2, n_lig=10, n_res=14, caps=CAPS, esm_dim=6,
+            c_alpha_max_neighbors=6,
+        )
+        model = TensorProductScoreModel(cfg=cfg, caps=CAPS)
+        B, NL = batch.lig_x.shape[:2]
+        NR = batch.rec_x.shape[1]
+        R = batch.tor_edges.shape[1]
+        lat_l = np.zeros((B, NL, ILD), np.float32)
+        lat_r = np.zeros((B, NR, ILD), np.float32)
+        rng = np.random.RandomState(7)
+        for gi in range(B):
+            nl = int(np.asarray(batch.lig_mask[gi]).sum())
+            nr = int(np.asarray(batch.rec_mask[gi]).sum())
+            for s in range(ILD):
+                a = rng.randint(0, nl + nr)
+                if a < nl:
+                    lat_l[gi, a, s] = 1.0
+                else:
+                    lat_r[gi, a - nl, s] = 1.0
+        lat = (jnp.asarray(lat_l), jnp.asarray(lat_r))
+        variables = model.init(
+            jax.random.PRNGKey(0), batch, latent=lat,
+            unconditional=jnp.zeros((B, 1)))
+        variables = self._damp_heads(_randomize(variables, seed=29))
+
+        w, start, end = 0.5, 0.7, 0.25
+        noise = self._noise(47, self.STEPS, B, R)
+        sigma = SigmaSchedule()
+        scfg = SamplerConfig(inference_steps=self.STEPS,
+                             no_final_step_noise=True,
+                             cfg_weight=w, cfg_start=start, cfg_end=end)
+        final, _, _ = sampling(model, variables, batch,
+                               jax.random.PRNGKey(5), scfg, sigma,
+                               latent=lat, noise_override=noise)
+        final_pos = np.asarray(final.lig_pos)
+        # fixture-health guard: the trajectory must stay physically bounded
+        # (damped heads), else the tolerance below stops meaning anything
+        assert np.abs(final_pos).max() < 500, (
+            f"fixture trajectory exploded: |pos|max={np.abs(final_pos).max():.1f}")
+
+        params = jax.tree.map(np.asarray, variables["params"])
+        stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        t, dt, noise_on = self._grids(self.STEPS)
+        # the window must actually open and close inside the grid
+        on = (t >= end) & (t <= start)
+        assert 0 < on.sum() < len(t) and not on[0] and not on[-1]
+        for gi in range(B):
+            want = self._oracle_trajectory(
+                params, stats, cfg, sigma, batch, gi, noise, t, dt, noise_on,
+                cfg_weight=w, cfg_window=(start, end), lat=(lat_l, lat_r))
+            nl = len(want)
+            np.testing.assert_allclose(
+                final_pos[gi][:nl], want, rtol=2e-3, atol=2e-3,
+                err_msg=f"CFG-window trajectory, graph {gi}")
