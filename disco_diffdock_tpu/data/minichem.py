@@ -15,8 +15,14 @@ import numpy as np
 
 from .features import ALLOWABLE_FEATURES, safe_index
 
-# standard valences for implicit-H estimation
-_VALENCE = {"H": 1, "C": 4, "N": 3, "O": 2, "S": 2, "P": 3, "F": 1, "Cl": 1, "Br": 1, "I": 1, "B": 3}
+# RDKit PeriodicTable valence LISTS for implicit-H estimation (ascending;
+# the implicit count comes from the first row fitting the explicit valence)
+_VALENCE_LISTS = {
+    "H": (1,), "B": (3,), "C": (4,), "N": (3,), "O": (2,), "F": (1,),
+    "Al": (3,), "Si": (4,), "P": (3, 5), "S": (2, 4, 6), "Cl": (1,),
+    "Ga": (3,), "Ge": (4,), "As": (3, 5), "Se": (2, 4, 6), "Br": (1,),
+    "Sn": (4,), "Sb": (3, 5), "Te": (2, 4, 6), "I": (1,),
+}
 _ELEMENT_Z = {
     "H": 1, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9, "P": 15, "S": 16,
     "CL": 17, "BR": 35, "I": 53, "SE": 34, "SI": 14, "FE": 26, "ZN": 30,
@@ -260,16 +266,31 @@ def atomic_number(element: str) -> int:
     return _ELEMENT_Z.get(element.upper(), -1)
 
 
-def _effective_valence(element: str, charge: int) -> int:
-    """Default valence adjusted for formal charge (RDKit's valence model for
-    the common organics): N+ -> 4, O- -> 1, C+/- -> 3, B- -> 4, S+ -> 3."""
-    el = element.capitalize()
-    val = _VALENCE.get(el, 4)
-    if el in ("C", "Si"):
-        return max(0, val - abs(charge))
-    if el == "B":
-        return max(0, val - charge)
-    return max(0, val + charge)
+def _implicit_h_count(element: str, z: int, charge: int,
+                      explicit_valence: float) -> int:
+    """RDKit's calculateImplicitValence (Atom.cpp): walk the element's
+    allowed-valence LIST, shifted by formal charge, and return the headroom
+    of the first row that fits the explicit (Kekule) valence.  Multi-valent
+    S/P/Se/As/Te carry their hypervalent rows (S 2/4/6, P 3/5), so neutral S
+    with three sigma bonds reads ONE implicit H (the valence-4 row), not
+    zero; elements with no list (metals -- RDKit's list there is {-1},
+    unconstrained) never gain implicit Hs.  The charge sign flips for early
+    atoms (outer shell < 4 electrons: B-, Al-) and for positive carbon
+    (RDKit GitHub #539), giving B- -> 4, C+ -> 3, N+ -> 4, O- -> 1,
+    S+ -> 3/5/7."""
+    valens = _VALENCE_LISTS.get(element.capitalize())
+    if valens is None:
+        return 0
+    chg = charge
+    if z > 1 and _valence_electrons(z) < 4:  # RDKit isEarlyAtom
+        chg = -chg
+    if z == 6 and chg > 0:
+        chg = -chg
+    ev = int(round(explicit_valence))
+    for v in valens:
+        if ev <= v + chg:
+            return v + chg - ev
+    return 0
 
 
 def _valence_electrons(z: int) -> int:
@@ -478,7 +499,8 @@ def featurize_minimol(mol: MiniMol) -> np.ndarray:
     zs = np.array([atomic_number(e) for e in mol.elements], np.int32)
     num_hs = np.array(
         [
-            max(0, int(round(_effective_valence(e, int(mol.charges[i])) - bond_order_sum[i])))
+            _implicit_h_count(e, int(zs[i]), int(mol.charges[i]),
+                              float(bond_order_sum[i]))
             for i, e in enumerate(mol.elements)
         ],
         np.int32,

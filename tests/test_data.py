@@ -393,6 +393,49 @@ class TestAromaticity:
         x = minichem.featurize_minimol(m)
         assert A["possible_numH_list"][x[1, 5]] == 3
 
+    def test_exotic_valence_implicit_h(self):
+        """RDKit walks the element's allowed-valence LIST (S 2/4/6, P 3/5),
+        so hypervalent S/P still gain implicit Hs from the next row up, and
+        metals (no list) never do (regression: a single default valence
+        clamped hypervalent atoms to 0 H and granted Fe 4-minus-degree Hs)."""
+        from disco_diffdock_tpu.data.features import ALLOWABLE_FEATURES as A
+
+        def nh(elements, bonds, idx, charges=None):
+            x = minichem.featurize_minimol(minichem.parse_sdf(
+                _sdf_text(elements, bonds, charges=charges or [])))
+            return A["possible_numH_list"][x[idx, 5]]
+
+        # trimethylsulfonium-like NEUTRAL S with 3 sigma bonds: RDKit fits
+        # the valence-4 row -> 1 implicit H (old model: max(0, 2-3) = 0)
+        assert nh(["C", "S", "C", "C"],
+                  [(0, 1, 1), (1, 2, 1), (1, 3, 1)], 1) == 1
+        # methylphosphine C-PH2: valence-3 row -> 2 H
+        assert nh(["C", "P"], [(0, 1, 1)], 1) == 2
+        # C-P(=O)(C): explicit valence 4 fits the valence-5 row -> 1 H
+        assert nh(["C", "P", "O", "C"],
+                  [(0, 1, 1), (1, 2, 2), (1, 3, 1)], 1) == 1
+        # phosphate P(=O)(O)(O)(O): explicit 5 = row 5 exactly -> 0 H
+        assert nh(["P", "O", "O", "O", "O"],
+                  [(0, 1, 2), (0, 2, 1), (0, 3, 1), (0, 4, 1)], 0) == 0
+        # sulfoxide S (explicit 4 = row 4) and sulfone S (explicit 6): 0 H
+        assert nh(["C", "S", "C", "O"],
+                  [(0, 1, 1), (1, 2, 1), (1, 3, 2)], 1) == 0
+        assert nh(["C", "S", "C", "O", "O"],
+                  [(0, 1, 1), (1, 2, 1), (1, 3, 2), (1, 4, 2)], 1) == 0
+        # thiol S: plain valence-2 row -> 1 H
+        assert nh(["C", "S"], [(0, 1, 1)], 1) == 1
+        # S+ with three bonds: charge shifts the list to 3/5/7 -> 0 H
+        assert nh(["C", "S", "C", "C"],
+                  [(0, 1, 1), (1, 2, 1), (1, 3, 1)], 1, charges=[(1, 1)]) == 0
+        # metals have NO valence list: a 2-coordinate Fe gets 0 implicit H
+        # (old model: default valence 4 granted it 2)
+        assert nh(["O", "Fe", "O"], [(0, 1, 1), (1, 2, 1)], 1) == 0
+        # borohydride-like B(-) with one bond: early-atom charge flip -> 3 H
+        assert nh(["C", "B"], [(0, 1, 1)], 1, charges=[(1, -1)]) == 3
+        # over-valent N (bad file, N with 5 sigma bonds): no row fits -> 0
+        assert nh(["N", "C", "C", "C", "C", "C"],
+                  [(0, i, 1) for i in range(1, 6)], 0) == 0
+
     def test_read_molecule_perceives(self, tmp_path):
         p = tmp_path / "benzene.sdf"
         p.write_text(_sdf_text(["C"] * 6, _ring_bonds(6, [1, 2, 1, 2, 1, 2])))
