@@ -68,6 +68,15 @@ class ScoreModelConfig:
     # Pallas conv fusion: False, "message" (MLP+TP in VMEM), or "block"
     use_pallas_conv: "bool | str" = False
     fuse_w2: bool = False  # concatenate per-block TP-weight matmuls into one
+    # jax.checkpoint each conv edge block: backward recomputes the per-edge
+    # intermediates instead of storing them (several-fold smaller training
+    # HBM footprint for ~1 extra forward of FLOPs; nn/conv.py remat)
+    remat: bool = False
+    # share one materialized one-hot per edge set across all conv layers
+    # (True, default) vs rebuild the iota-compare one-hot at every use so
+    # XLA may fuse it into each dot operand and skip the HBM re-reads
+    # (False).  A/B probe: benchmarks/onehot_ab.py
+    cache_onehots: bool = True
     confidence_mode: bool = False
     # legacy encoder variant (models/layers.py:81-116); the reference defaults
     # this to True for configs predating the flag (model_utils.py:62) -- the
@@ -113,6 +122,7 @@ class EncoderConfig:
     use_oracle: bool = True
     input_latent_dim: int = 0
     apply_gumbel_softmax: bool = True
+    remat: bool = False  # see ScoreModelConfig.remat
     latent_virtual_nodes: bool = False
     latent_nodes_residual: bool = False
 

@@ -92,7 +92,7 @@ class AllAtomScoreModel(nn.Module):
                         in_irreps=in_ir, sh_irreps=self.sh_irreps, out_irreps=out_ir,
                         n_edge_features=3 * ns, residual=False,
                         batch_norm=cfg.batch_norm, dropout=cfg.dropout,
-                        n_scalars=ns,
+                        n_scalars=ns, remat=cfg.remat,
                         name=f"conv{i}_{j}",
                     )
                 )
@@ -114,6 +114,7 @@ class AllAtomScoreModel(nn.Module):
                 in_irreps=final_irreps, sh_irreps=self.sh_irreps,
                 out_irreps="2x1o + 2x1e", n_edge_features=2 * ns,
                 residual=False, batch_norm=cfg.batch_norm, dropout=cfg.dropout,
+                remat=cfg.remat,
                 name="final_conv",
             )
             self.tr_final_dense1 = nn.Dense(ns)
@@ -127,6 +128,7 @@ class AllAtomScoreModel(nn.Module):
                     in_irreps=final_irreps, sh_irreps=str(self.final_tp_tor.irreps_out),
                     out_irreps=f"{ns}x0o + {ns}x0e", n_edge_features=3 * ns,
                     residual=False, batch_norm=cfg.batch_norm, dropout=cfg.dropout,
+                    remat=cfg.remat,
                     name="tor_bond_conv",
                 )
                 self.tor_final_dense1 = nn.Dense(ns, use_bias=False)

@@ -140,6 +140,7 @@ class TPEncoder(nn.Module):
                 dropout=cfg.dropout,
                 edge_groups=4,
                 n_scalars=ns,
+                remat=cfg.remat,
                 name=f"conv{i}",
             )
             for i in range(cfg.num_conv_layers)

@@ -168,6 +168,7 @@ class TensorProductScoreModel(nn.Module):
                 compute_dtype=self.compute_dtype,
                 use_pallas=cfg.use_pallas_conv,
                 fuse_w2=cfg.fuse_w2,
+                remat=cfg.remat,
                 name=f"conv{i}",
             )
             for i in range(cfg.num_conv_layers)
@@ -193,6 +194,7 @@ class TensorProductScoreModel(nn.Module):
                 residual=False,
                 batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout,
+                remat=cfg.remat,
                 name="final_conv",
             )
             self.tr_final_dense1 = nn.Dense(ns)
@@ -210,6 +212,7 @@ class TensorProductScoreModel(nn.Module):
                     residual=False,
                     batch_norm=cfg.batch_norm,
                     dropout=cfg.dropout,
+                    remat=cfg.remat,
                     name="tor_bond_conv",
                 )
                 self.tor_final_dense1 = nn.Dense(ns, use_bias=False)
@@ -375,15 +378,19 @@ class TensorProductScoreModel(nn.Module):
                  for i in range(cfg.latent_dim)], axis=1,
             )  # (B, latent_dim, tot_scalar_size)
 
-        # ---- conv trunk (one-hots built once; edges fixed within a forward)
+        # ---- conv trunk (one-hots built once; edges fixed within a forward.
+        # cache_onehots=False passes None so each layer rebuilds them at the
+        # point of use -- the A/B probe for XLA fusing the iota-compare into
+        # the dot operand instead of re-reading the materialized one-hot)
+        _c = (lambda oh: oh) if cfg.cache_onehots else (lambda oh: None)
         attrs = {"lig": lig_attr, "rec": rec_attr}
         masks = {"lig": batch.lig_mask, "rec": batch.rec_mask[r1]}
         for li, layer in enumerate(self.conv_layers):
             blocks = [
-                ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0, onehots=lig_oh),
-                ConvBlock(cross_edges, "lig", "rec", cross_eattr, cross_sh, 1, onehots=cross_oh),
-                ConvBlock(rec_edges, "rec", "rec", rec_eattr, rec_sh, 2, onehots=rec_oh),
-                ConvBlock(cross_edges.flip(), "rec", "lig", cross_eattr, cross_sh, 3, onehots=crossT_oh),
+                ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0, onehots=_c(lig_oh)),
+                ConvBlock(cross_edges, "lig", "rec", cross_eattr, cross_sh, 1, onehots=_c(cross_oh)),
+                ConvBlock(rec_edges, "rec", "rec", rec_eattr, rec_sh, 2, onehots=_c(rec_oh)),
+                ConvBlock(cross_edges.flip(), "rec", "lig", cross_eattr, cross_sh, 3, onehots=_c(crossT_oh)),
             ]
             attrs = layer(
                 attrs, masks, blocks,

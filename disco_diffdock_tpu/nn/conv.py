@@ -153,6 +153,14 @@ class TPConvLayer(nn.Module):
     # gathers/scatters stay in XLA (ops/pallas_conv.py edge_message)
     use_pallas: Any = False
     fuse_w2: bool = False  # one wide w2 matmul instead of per-block matmuls
+    # training-memory rematerialization: jax.checkpoint around each edge
+    # block's gather->MLP->TP->scatter, so the backward pass recomputes the
+    # per-edge intermediates (gathered features, MLP hidden, TP weight
+    # blocks, messages -- the 100s-of-MB temps at worst-case caps) instead
+    # of storing them; only node-level activations and the layer-shared
+    # one-hots persist per layer.  Trades ~1 extra forward of FLOPs for
+    # a several-fold cut in training HBM footprint.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -289,6 +297,50 @@ class TPConvLayer(nn.Module):
                 )
                 ones = jnp.ones(blk.edge_attr.shape[:2] + (1,), cdt)
                 ns_count[blk.src_type] = ns_count[blk.src_type] + scatter_mm(oh_src, ones)
+                continue
+            if self.remat:
+                # checkpointed PURE edge-block function: inputs are the
+                # (layer-shared, already-live) one-hots plus node-level
+                # arrays, outputs are node-level sums -- nothing per-edge
+                # survives the forward pass.  Dropout runs as an explicit
+                # bernoulli on a key drawn OUTSIDE the checkpoint so the
+                # recompute is deterministic (nn.Dropout's make_rng cannot
+                # be called inside jax.checkpoint).
+                dropout_on = self.dropout > 0.0 and not deterministic
+                key = self.make_rng("dropout") if dropout_on else None
+                apnd, rate = blk.append_scalars, self.dropout
+                w1, b1, w2, b2 = mlps[blk.group]
+
+                def edge_block_fn(oh_s, oh_d, dst_attr, src_nodes,
+                                  eattr_base, sh, k, w1, b1, w2, b2):
+                    x = gather_mm(oh_d, dst_attr.astype(cdt))
+                    e = eattr_base.astype(cdt)
+                    if apnd:
+                        if src_nodes is not None:
+                            s_src = gather_mm(
+                                oh_s, src_nodes[..., :ns].astype(cdt))
+                        else:
+                            s_src = jnp.zeros(e.shape[:2] + (ns,), cdt)
+                        e = bcat([e, s_src, x[..., :ns]])
+                    h = nn.relu(e @ w1.astype(cdt) + b1.astype(cdt))
+                    if dropout_on:
+                        keep = 1.0 - rate
+                        h = jnp.where(jax.random.bernoulli(k, keep, h.shape),
+                                      h / keep, 0.0)
+                    w = tuple(
+                        (h @ wk.astype(cdt) + bk.astype(cdt))
+                        if wk is not None else None
+                        for wk, bk in zip(w2, b2))
+                    m = tp(x, sh.astype(cdt), w, w_layout=w_layout)
+                    ones = jnp.ones(m.shape[:2] + (1,), cdt)
+                    return scatter_mm(oh_s, m), scatter_mm(oh_s, ones)
+
+                s, c = jax.checkpoint(edge_block_fn)(
+                    oh_src, oh_dst, node_attrs[blk.dst_type],
+                    node_attrs.get(blk.src_type), blk.edge_attr,
+                    blk.edge_sh, key, w1, b1, w2, b2)
+                sums[blk.src_type] = sums[blk.src_type] + s
+                ns_count[blk.src_type] = ns_count[blk.src_type] + c
                 continue
             x = gather_mm(oh_dst, node_attrs[blk.dst_type].astype(cdt))
             eattr = blk.edge_attr.astype(cdt)

@@ -311,6 +311,10 @@ def main(argv=None):
                    help="batches collated ahead by the background prefetch "
                         "thread (DataLoader num_workers analogue)")
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint conv edge blocks (several-fold "
+                        "smaller training HBM footprint, ~1 extra forward "
+                        "of recompute)")
     p.add_argument("--epochs", "--n_epochs", dest="epochs", type=int, default=2)
     p.add_argument("--warmup_epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -383,10 +387,12 @@ def main(argv=None):
         score_cfg = ScoreModelConfig(
             ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
             latent_dim=args.latent_dim, latent_vocab=1, latent_droprate=0.1,
+            remat=args.remat,
         )
         enc_cfg = EncoderConfig(
             ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0,
             latent_dim=args.latent_dim, apply_gumbel_softmax=False,
+            remat=args.remat,
         )
         batches = [
             make_complex_batch(seed=s, batch=4, n_lig=10, n_res=16, caps=caps,
@@ -437,7 +443,11 @@ def main(argv=None):
         args.latent_dim = enc_cfg.latent_dim
         import dataclasses as _dc
 
-        enc_cfg = _dc.replace(enc_cfg, apply_gumbel_softmax=False)
+        enc_cfg = _dc.replace(enc_cfg, apply_gumbel_softmax=False,
+                              remat=args.remat)
+        if args.remat:
+            # remat is a runtime memory knob, not a checkpoint property
+            score_cfg = _dc.replace(score_cfg, remat=True)
         print(f"HAPPENING | {len(ds)} train / {len(ds_val)} val complexes, "
               f"bucket_mode={bucket_mode} ({len(buckets)} buckets), "
               f"largest caps: {caps}")

@@ -253,6 +253,10 @@ def main(argv=None):
                    help="batches collated ahead by the background prefetch "
                         "thread (DataLoader num_workers analogue)")
     p.add_argument("--samples_per_complex", type=int, default=4)
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint conv edge blocks (several-fold "
+                        "smaller training HBM footprint, ~1 extra forward "
+                        "of recompute)")
     p.add_argument("--inference_steps", type=int, default=4)
     p.add_argument("--epochs", "--n_epochs", dest="epochs", type=int, default=1)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -577,6 +581,7 @@ def main(argv=None):
         confidence_no_batchnorm=args.confidence_no_batchnorm,
         num_confidence_outputs=n_out,
         all_atoms=True, latent_dim=0, latent_droprate=0.0,
+        remat=args.remat,
     )
     from .plateau import ReduceLROnPlateau, make_adam
 

@@ -309,6 +309,12 @@ def main(argv=None):
                         "(utils/model_utils.py:98-99)")
     p.add_argument("--use_latents", action="store_true", default=True)
     p.add_argument("--no_latents", dest="use_latents", action="store_false")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each conv edge block: backward "
+                        "recomputes per-edge intermediates instead of "
+                        "storing them -- several-fold smaller training HBM "
+                        "footprint for ~1 extra forward of FLOPs (bigger "
+                        "batches / buckets per chip)")
     p.add_argument("--sampling_alpha", type=float, default=1.0)
     p.add_argument("--sampling_beta", type=float, default=1.0)
     from .config_overlay import add_config_arg, apply_config_overlay
@@ -336,10 +342,11 @@ def main(argv=None):
             latent_dim=2 if use_latents else 0, latent_vocab=1,
             latent_droprate=0.1 if use_latents else 0.0,
             all_atoms=args.all_atoms, no_torsion=args.no_torsion,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype, remat=args.remat,
         )
         enc_cfg = (
-            EncoderConfig(ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16, dropout=0.0)
+            EncoderConfig(ns=8, nv=2, num_conv_layers=3, esm_embedding_dim=16,
+                          dropout=0.0, remat=args.remat)
             if use_latents else None
         )
         nd = max(1, args.n_devices)
@@ -390,7 +397,7 @@ def main(argv=None):
             new_cross_attention=args.new_cross_attention,
             cross_attention_heads=args.cross_attention_heads,
             cross_attention_dim=args.cross_attention_dim,
-            compute_dtype=args.compute_dtype,
+            compute_dtype=args.compute_dtype, remat=args.remat,
         )
         enc_cfg = EncoderConfig(
             ns=args.encoder_ns, nv=args.encoder_nv,
@@ -410,6 +417,7 @@ def main(argv=None):
             latent_hidden_dim=args.latent_hidden_dim,
             latent_virtual_nodes=args.latent_virtual_nodes,
             latent_nodes_residual=args.latent_nodes_residual,
+            remat=args.remat,
         ) if use_latents else None
         ds_cfg = dict(
             data_dir=args.data_dir,
