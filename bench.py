@@ -58,14 +58,16 @@ def get_baseline_seconds() -> float | None:
     return None
 
 
-def build():
+def build(cache_onehots: bool = True):
     from disco_diffdock_tpu.config import GraphCaps, ScoreModelConfig
     from disco_diffdock_tpu.data.synthetic import make_complex_batch
     from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
     from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
     from disco_diffdock_tpu.sampling import SamplerConfig, randomize_position, sampling
 
-    cfg = ScoreModelConfig(latent_dim=0, latent_droprate=0.0, dropout=0.0, compute_dtype="bfloat16")
+    cfg = ScoreModelConfig(latent_dim=0, latent_droprate=0.0, dropout=0.0,
+                           compute_dtype="bfloat16",
+                           cache_onehots=cache_onehots)
 
     def caps_with(cross_cap):
         return GraphCaps(
