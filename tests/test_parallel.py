@@ -108,6 +108,23 @@ def test_train_cli_n_devices_synthetic(tmp_path):
     ])
 
 
+def test_train_cli_uneven_shards_error(tmp_path):
+    """Uneven shard counts are a HARD error in every mode (VERDICT r3 item
+    7): the synthetic escape hatch that let `--batch_size 4 --n_devices 3`
+    shard a silently wrong per-device batch is gone."""
+    import pytest
+
+    from disco_diffdock_tpu.train.train_score import main
+
+    with pytest.raises(SystemExit, match="must divide"):
+        main([
+            "--synthetic", "--steps", "1", "--n_devices", "2",
+            "--batch_size", "3", "--no_latents",
+            "--ns", "4", "--nv", "2", "--num_conv_layers", "2",
+            "--run_name", "dp_uneven", "--log_dir", str(tmp_path),
+        ])
+
+
 class TestShardedEval:
     def test_sharded_eval_matches_unsharded(self, tmp_path):
         """Mesh-sharded evaluation (batch axis over 8 virtual devices)
