@@ -173,17 +173,29 @@ def measure_train(step, state, batch) -> float:
     """Optimizer steps/sec.  Each dispatch consumes the previous TrainState,
     so the chain self-serializes on device; fetching the LAST step's loss is
     the one host sync that forces the whole chain (block_until_ready does not
-    wait on the tunneled platform -- see the verify skill / scatter_ab.py)."""
+    wait on the tunneled platform -- see the verify skill / scatter_ab.py).
+
+    Warm-in: a freshly compiled/loaded executable runs ~10x slow for about
+    its first dozen executions on this tunneled platform (measured 0.96 vs
+    9.2 steps/sec, profile_notes.md round-4 addendum), so a full UNTIMED
+    window runs first and the reported figure is the median of three timed
+    windows at steady state."""
     key = jax.random.PRNGKey(7)
-    state, aux = step(state, batch, key)  # compile + warmup
+    state, aux = step(state, batch, key)  # compile
     np.asarray(aux["loss"])
-    t0 = time.perf_counter()
-    for i in range(TRAIN_STEPS):
-        state, aux = step(state, batch, jax.random.fold_in(key, i))
-    loss = float(np.asarray(aux["loss"]))
-    dt = (time.perf_counter() - t0) / TRAIN_STEPS
-    assert np.isfinite(loss), f"non-finite train loss {loss}"
-    return 1.0 / dt
+    for i in range(TRAIN_STEPS):  # warm-in window (untimed)
+        state, aux = step(state, batch, jax.random.fold_in(key, 1000 + i))
+    np.asarray(aux["loss"])
+    rates = []
+    for w in range(3):
+        t0 = time.perf_counter()
+        for i in range(TRAIN_STEPS):
+            state, aux = step(state, batch,
+                              jax.random.fold_in(key, w * TRAIN_STEPS + i))
+        loss = float(np.asarray(aux["loss"]))
+        assert np.isfinite(loss), f"non-finite train loss {loss}"
+        rates.append(TRAIN_STEPS / (time.perf_counter() - t0))
+    return float(np.median(rates))
 
 
 def audit_trajectory(run_traj, batch, key) -> dict:

@@ -67,13 +67,51 @@ def analyze():
     return report
 
 
-def write_md(report: dict) -> str:
+def analyze_train():
+    """Cost analysis + measured throughput of the flagship TRAINING step
+    (the DisCo ModelWrapper optimizer step bench.py measures): train MFU at
+    bench shapes, the VERDICT r3 item-2 companion to the inference table.
+    The trainers run f32 (reference default), so the MFU row is quoted
+    against the bf16 MXU peak with that caveat -- the f32-native rate is
+    lower, making the quoted MFU a lower bound on MXU occupancy."""
+    import bench
+
+    step, state, batch = bench.build_train()
+    key = jax.random.PRNGKey(7)
+    lowered = step.lower(state, batch, key)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", float("nan")))
+    bytes_accessed = float(cost.get("bytes accessed", float("nan")))
+
+    sps = bench.measure_train(step, state, batch)
+    sec = 1.0 / sps
+    return {
+        "workload": f"wrapper train step (encoder+gumbel+droprate+score), "
+                    f"batch {bench.TRAIN_BATCH}, {bench.N_LIG}-atom/"
+                    f"{bench.N_RES}-res worst-case caps, f32",
+        "hlo_flops": flops,
+        "hlo_bytes_accessed": bytes_accessed,
+        "arithmetic_intensity_flops_per_byte": flops / bytes_accessed,
+        "seconds_per_step": sec,
+        "steps_per_sec": sps,
+        "complexes_per_sec_trained": sps * bench.TRAIN_BATCH,
+        "achieved_tflops": flops / sec / 1e12,
+        "mfu_vs_v5e_bf16_peak": flops / sec / V5E_PEAK_BF16_FLOPS,
+        "achieved_hbm_gbps": bytes_accessed / sec / 1e9,
+        "hbm_utilization": bytes_accessed / sec / V5E_HBM_BYTES_PER_S,
+    }
+
+
+def write_md(report: dict, train: dict | None = None) -> str:
     ai = report["arithmetic_intensity_flops_per_byte"]
     ridge = report["ridge_point_flops_per_byte"]
     bound = "memory-bandwidth-bound" if ai < ridge else "compute-bound"
     roofline_ceiling = min(1.0, ai / ridge)
     frac_of_roofline = report["mfu_vs_v5e_bf16_peak"] / roofline_ceiling
-    return f"""# MFU / roofline for the flagship benchmark
+    md = f"""# MFU / roofline for the flagship benchmark
 
 Measured on one TPU v5e chip via XLA cost analysis of the compiled bench
 program (the exact HLO that runs), `python benchmarks/mfu.py --write`.
@@ -108,13 +146,43 @@ registers/VMEM; the HBM utilization row is therefore an upper bound on
 actual bandwidth demand, and the true roofline ceiling is at least the
 quoted one.
 """
+    if train is not None:
+        md += f"""
+## Flagship TRAINING step (bench.py `train_steps_per_sec`)
+
+| Quantity | Value |
+|---|---|
+| Workload | {train["workload"]} |
+| HLO FLOPs / step | {train["hlo_flops"]:.3e} |
+| HLO bytes accessed / step | {train["hlo_bytes_accessed"]:.3e} |
+| Arithmetic intensity | {train["arithmetic_intensity_flops_per_byte"]:.1f} FLOP/byte |
+| Optimizer steps/sec | {train["steps_per_sec"]:.3f} |
+| Complexes/sec trained | {train["complexes_per_sec_trained"]:.2f} |
+| Achieved compute | {train["achieved_tflops"]:.2f} TFLOP/s |
+| MFU vs 197 TFLOP/s bf16 peak | {train["mfu_vs_v5e_bf16_peak"]:.1%} |
+| Achieved HBM bandwidth (HLO upper bound) | {train["achieved_hbm_gbps"]:.0f} GB/s |
+
+The train step runs f32 (the trainers' and the reference's default), so
+the MFU row understates MXU occupancy relative to the f32-native rate;
+the step is dominated by the same per-edge TP work as inference plus its
+backward pass, at the exact worst-case t=1 edge caps (training samples
+t~U(0,1), so the full 10240-pair cross grid must fit every step).  Where
+the HLO-bytes row exceeds the 819 GB/s physical peak it is direct proof
+of the overcount caveat above: XLA's fusions keep most per-edge
+intermediates in VMEM, so HLO buffer traffic is not HBM traffic.
+"""
+    return md
 
 
 if __name__ == "__main__":
     report = analyze()
     print(json.dumps(report, indent=2))
+    train = None
+    if "--train" in sys.argv:
+        train = analyze_train()
+        print(json.dumps(train, indent=2))
     if "--write" in sys.argv:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mfu.md")
         with open(path, "w") as f:
-            f.write(write_md(report))
+            f.write(write_md(report, train))
         print(f"wrote {path}")
