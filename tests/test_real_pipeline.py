@@ -100,6 +100,28 @@ class TestConfidenceTraining:
         with np.load(os.path.join(cache, "fix1_cache0.npz")) as z:
             assert z["pos"].shape[0] == 2 and z["rmsd"].shape == (2,)
 
+    def test_ladder_mode_cli(self, dirs, score_run, capsys, tmp_path):
+        """--bucket_mode ladder from the confidence CLI: the streaming
+        bucket path (shared with the score trainer) runs the two-phase
+        recipe end-to-end (fixtures collapse to the exact catch-all
+        bucket; multi-bucket equivalence is pinned in test_streaming)."""
+        from disco_diffdock_tpu.train.train_confidence import main
+
+        main([
+            "--original_model_dir", score_run,
+            "--data_dir", DATA,
+            "--split_train", os.path.join(SPLITS, "fixture_train"),
+            "--split_val", os.path.join(SPLITS, "fixture_val"),
+            "--cache_path", dirs["cache"], "--bucket_mode", "ladder",
+            "--samples_per_complex", "2", "--inference_steps", "2",
+            "--epochs", "1", "--ns", "4", "--nv", "2", "--num_conv_layers", "2",
+            "--run_name", "conf_ladder", "--log_dir", str(tmp_path),
+        ])
+        out = capsys.readouterr().out
+        assert "bucket_mode=ladder" in out
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "conf_ladder", "ckpt_best"))
+
     def test_auc_metric_rejected_for_nonbinary_modes(self):
         """--main_metric auc with a multiclass/regression label mode errors
         at parse time (regression: AUC was silently NaN every epoch, so the
@@ -130,6 +152,25 @@ class TestARTraining:
         # best selected by held-out val metrics, along all three axes
         for tag in ("ckpt_best", "ckpt_best_loss", "ckpt_best_seq", "ckpt_last"):
             assert os.path.exists(os.path.join(dirs["runs"], "ar", tag)), tag
+
+    def test_ladder_mode_cli(self, dirs, score_run, capsys, tmp_path):
+        """--bucket_mode ladder from the AR CLI: label generation + training
+        through the streaming bucket path."""
+        from disco_diffdock_tpu.train.train_ar import main
+
+        main([
+            "--original_model_dir", score_run,
+            "--data_dir", DATA,
+            "--split_train", os.path.join(SPLITS, "fixture_train"),
+            "--split_val", os.path.join(SPLITS, "fixture_val"),
+            "--cache_path", dirs["cache"], "--bucket_mode", "ladder",
+            "--batch_size", "2", "--epochs", "1", "--warmup_epochs", "1",
+            "--run_name", "ar_ladder", "--log_dir", str(tmp_path),
+        ])
+        out = capsys.readouterr().out
+        assert "bucket_mode=ladder" in out
+        assert os.path.exists(
+            os.path.join(str(tmp_path), "ar_ladder", "ckpt_best"))
 
 
 class TestEvaluateReal:
