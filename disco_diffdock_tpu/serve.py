@@ -218,6 +218,63 @@ class DockingService:
             return {"name": name, "poses": poses,
                     "seconds": round(time.time() - t0, 3)}
 
+    def warmup(self, samples: int = 10, steps: int = 20, n_buckets: int = 1,
+               executions: int = 12, seed: int = 0) -> list:
+        """Pre-compile and warm-execute the first ``n_buckets`` docking
+        programs so no user request pays compile + warm-in.
+
+        A freshly compiled (or cache-loaded) executable runs up to ~10x
+        below steady state for roughly its first dozen executions on a
+        tunneled TPU (benchmarks/profile_notes.md, methodology addendum
+        #3); without warmup that cost lands on the first requests per
+        bucket.  The program cache is keyed ``(caps, steps)`` but jit
+        re-traces per batch shape, so warm with the ``samples``/``steps``
+        values production requests will actually send.
+        """
+        from .data.collate import collate, fits, replicate_record
+        from .data.synthetic import make_complex_record
+
+        all_atoms = (self.score_cfg.all_atoms
+                     or (self._conf_cfg is not None and self._conf_cfg.all_atoms))
+        warmed = []
+        with self._lock:
+            for caps in self.buckets[:n_buckets]:
+                rec = None
+                # shrink until the synthetic complex fits (tiny fixture-run
+                # caps can have tor_cap < the spanning-tree torsion count)
+                for n_lig in (min(8, caps.max_lig), 4, 3):
+                    cand = make_complex_record(
+                        seed=seed, n_lig=n_lig,
+                        n_res=min(16, caps.max_rec),
+                        esm_dim=self.score_cfg.esm_embedding_dim,
+                        all_atoms=all_atoms,
+                    )
+                    if fits(cand, caps):
+                        rec = cand
+                        break
+                if rec is None:
+                    raise ValueError(
+                        f"could not build a warmup complex fitting {caps}")
+                batch = collate(replicate_record(rec, samples), caps,
+                                esm_dim=self.score_cfg.esm_embedding_dim)
+                t0 = time.time()
+                run = self._program(caps, steps)
+                key = jax.random.PRNGKey(seed)
+                final = None
+                for i in range(max(int(executions), 1)):
+                    final, _, _ = run(batch, jax.random.fold_in(key, i))
+                # host fetch = device sync (block_until_ready is unreliable
+                # through the tunnel); TPU executes dispatches in issue
+                # order, so fetching the last result drains the whole chain
+                np.asarray(final.lig_pos)
+                dt = time.time() - t0
+                warmed.append({"max_lig": caps.max_lig, "max_rec": caps.max_rec,
+                               "seconds": round(dt, 3)})
+                print(f"HAPPENING | warmed bucket lig<={caps.max_lig} "
+                      f"rec<={caps.max_rec} x{executions} runs "
+                      f"({samples} samples, {steps} steps) in {dt:.1f}s")
+        return warmed
+
     @property
     def program_count(self):
         return len(self._programs)
@@ -307,6 +364,19 @@ def main(argv=None):
                    help="let requests reference host filesystem paths "
                         "(protein_path / ligand files); off by default since "
                         "it is an arbitrary-file-read surface")
+    p.add_argument("--warmup", type=int, default=0, metavar="N",
+                   help="pre-compile and warm-execute the first N bucket "
+                        "programs in dock()'s first-fit priority order (the "
+                        "run's exact training caps, then the default ladder "
+                        "smallest-first) so the first requests per bucket "
+                        "don't pay compile + executable warm-in")
+    p.add_argument("--warmup_samples", type=int, default=10,
+                   help="pose count warmup batches use (jit re-traces per "
+                        "samples value — match production requests)")
+    p.add_argument("--warmup_steps", type=int, default=20)
+    p.add_argument("--warmup_executions", type=int, default=12,
+                   help="executions per warmed program (steady state takes "
+                        "~a dozen on a tunneled TPU)")
     args = p.parse_args(argv)
     service = DockingService(args.model_dir, args.confidence_model_dir, args.ckpt,
                              allow_paths=args.allow_paths,
@@ -315,6 +385,9 @@ def main(argv=None):
                              confidence_ckpt=args.confidence_ckpt,
                              softmax_latent_temperature=args.softmax_latent_temperature,
                              allow_seed_latents=args.allow_seed_latents)
+    if args.warmup:
+        service.warmup(samples=args.warmup_samples, steps=args.warmup_steps,
+                       n_buckets=args.warmup, executions=args.warmup_executions)
     server = HTTPServer((args.host, args.port), make_handler(service))
     print(f"HAPPENING | serving on http://{args.host}:{args.port} "
           f"(POST /dock, GET /healthz)")

@@ -344,6 +344,22 @@ class TestServe:
         with pytest.raises(SystemExit, match="encoder"):
             DockingService(run_dir, ar_model_dir=str(tmp_path / "whatever"))
 
+    def test_warmup_precompiles_buckets(self, dirs, score_run):
+        """service.warmup builds and warm-executes the bucket programs at
+        startup so no user request pays compile + executable warm-in
+        (profile_notes.md addendum #3: ~a dozen executions to steady state
+        on a tunneled TPU)."""
+        from disco_diffdock_tpu.serve import DockingService
+
+        service = DockingService(score_run, allow_seed_latents=True)
+        assert service.program_count == 0
+        warmed = service.warmup(samples=2, steps=2, n_buckets=1, executions=2)
+        assert service.program_count == 1
+        assert len(warmed) == 1 and warmed[0]["seconds"] > 0
+        # idempotent: re-warming reuses the cached program
+        service.warmup(samples=2, steps=2, n_buckets=1, executions=1)
+        assert service.program_count == 1
+
     def test_http_dock_roundtrip(self, dirs, score_run):
         """serve.py: one process owns the chip; programs compile per bucket
         and are reused across requests (second request is compile-free)."""
