@@ -133,8 +133,9 @@ def build_train():
     """Flagship TRAINING program at bench shapes: the DisCo ModelWrapper step
     (TPEncoder + gumbel latents + latent droprate + score model -- what
     configs/disco_diffdockS_score.yml trains; reference train.py epoch loop)
-    on a 24-complex batch of 32-atom/320-res complexes with exact worst-case
-    edge caps (training samples t~U(0,1), so t=1 cross edges must all fit)."""
+    on a TRAIN_BATCH-complex batch of 32-atom/320-res complexes with exact
+    worst-case edge caps (training samples t~U(0,1), so t=1 cross edges must
+    all fit; see the TRAIN_BATCH comment for why 8, not the preset's 24)."""
     import optax
 
     from disco_diffdock_tpu.config import (

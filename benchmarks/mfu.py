@@ -7,8 +7,9 @@ same timed loop as bench.py, and the TPU v5e peak numbers:
     peak bf16 matmul: 197 TFLOP/s        (v5e datasheet)
     peak HBM bandwidth: 819 GB/s
 
-Prints a JSON report and (with --write) refreshes benchmarks/mfu.md.
-Run on the real chip: `python benchmarks/mfu.py [--write]`.
+Prints a JSON report; --train adds the flagship-training measurement;
+--write (requires --train) refreshes benchmarks/mfu.md in full.
+Run on the real chip: `python benchmarks/mfu.py [--train [--write]]`.
 """
 from __future__ import annotations
 
@@ -114,7 +115,7 @@ def write_md(report: dict, train: dict | None = None) -> str:
     md = f"""# MFU / roofline for the flagship benchmark
 
 Measured on one TPU v5e chip via XLA cost analysis of the compiled bench
-program (the exact HLO that runs), `python benchmarks/mfu.py --write`.
+program (the exact HLO that runs), `python benchmarks/mfu.py --train --write`.
 
 | Quantity | Value |
 |---|---|
@@ -182,6 +183,12 @@ if __name__ == "__main__":
         train = analyze_train()
         print(json.dumps(train, indent=2))
     if "--write" in sys.argv:
+        if train is None:
+            # mfu.md is a complete artifact (inference + training sections);
+            # rewriting it without --train would silently delete the
+            # committed flagship-training table
+            raise SystemExit("--write refreshes ALL of mfu.md; add --train "
+                             "so the training section is measured, not erased")
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mfu.md")
         with open(path, "w") as f:
             f.write(write_md(report, train))

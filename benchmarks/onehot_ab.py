@@ -32,8 +32,13 @@ def main():
     progs = {}
     for name, cache in (("cached", True), ("rebuild", False)):
         run, _, batch = bench.build(cache_onehots=cache)
-        out = run(batch, key)
-        np.asarray(out)  # compile + warm
+        # full untimed warm-in window: a fresh executable runs below steady
+        # state for ~its first dozen executions on the tunneled platform
+        # (profile_notes.md addendum #3); one call is NOT enough
+        out = None
+        for i in range(12):
+            out = run(batch, jax.random.fold_in(key, i))
+        np.asarray(out)  # host fetch = the only reliable sync here
         progs[name] = (run, batch)
 
     reps, windows = 5, 3

@@ -145,14 +145,26 @@ def pick_bucket(recs: Sequence[dict], buckets: Sequence[GraphCaps] = DEFAULT_BUC
     )
 
 
-def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 1280):
-    """Pad records into a ComplexBatch (numpy -> device on first use)."""
+def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 1280,
+            pad_graphs_to: int | None = None):
+    """Pad records into a ComplexBatch (numpy -> device on first use).
+
+    ``pad_graphs_to`` pads the BATCH axis to a fixed size by repeating real
+    records, marked invalid in ``graph_mask`` so the loss/metrics exclude
+    them (one compiled program per bucket even for remainder batches, and no
+    complex is ever dropped).  Repeats rather than zero-dummies: a zeros
+    complex has degenerate geometry whose NaNs would poison the masked loss
+    (NaN * 0 == NaN)."""
     import jax.numpy as jnp
 
     from ..graphs.containers import ComplexBatch, ListEdges
 
     if caps is None:
         caps = pick_bucket(recs)
+    n_valid = len(recs)
+    if pad_graphs_to is not None and n_valid < pad_graphs_to:
+        recs = list(recs) + [recs[i % n_valid]
+                             for i in range(pad_graphs_to - n_valid)]
     B = len(recs)
     NL, NR = caps.max_lig, caps.max_rec
     all_atoms = recs[0].get("atom_pos") is not None
@@ -256,7 +268,7 @@ def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 
         tor_edges=jnp.asarray(out["tor_edges"]),
         tor_mask_rotate=jnp.asarray(out["tor_mask_rotate"]),
         tor_mask=jnp.asarray(out["tor_mask"]),
-        graph_mask=jnp.ones((B,), bool),
+        graph_mask=jnp.asarray(np.arange(B) < n_valid),
         original_center=jnp.asarray(out["center"]),
         atom_x=jnp.asarray(out["atom_x"]) if all_atoms else None,
         atom_pos=jnp.asarray(out["atom_pos"]) if all_atoms else None,

@@ -232,6 +232,7 @@ def bucketed_batches(
     drop_oversized: bool = True,
     multiplicity: int = 1,
     drop_remainder: bool = True,
+    pad_remainder: bool = False,
     with_info: bool = False,
 ) -> Iterator:
     """Yield padded ComplexBatches grouped by size bucket, LAZILY: records
@@ -247,6 +248,14 @@ def bucketed_batches(
     per-bucket compiled programs and per-complex caches.  Complexes exceeding
     the largest bucket are dropped with a LOUD warning (or raise when
     ``drop_oversized=False``) -- never silently.
+
+    Remainder semantics (a bucket's member count modulo ``batch_size``):
+    ``pad_remainder`` emits the final partial group padded to ``batch_size``
+    with repeated records masked out via ``graph_mask`` (fixed shapes, no
+    complex dropped -- the right mode for compiled training, where
+    ``drop_remainder`` would PERMANENTLY exclude every complex in a bucket
+    with fewer than ``batch_size`` members); ``drop_remainder=False`` emits
+    it at its natural smaller size (one extra compile per remainder shape).
     """
     groups, oversized = assign_buckets(dataset, buckets, multiplicity)
     if oversized:
@@ -260,7 +269,8 @@ def bucketed_batches(
     for bi, idxs in groups.items():
         if shuffle:
             rng.shuffle(idxs)
-        stop = len(idxs) - batch_size + 1 if drop_remainder else len(idxs)
+        stop = (len(idxs) - batch_size + 1
+                if drop_remainder and not pad_remainder else len(idxs))
         for i in range(0, max(stop, 0), batch_size):
             order.append((bi, idxs[i : i + batch_size]))
     if shuffle:
@@ -274,12 +284,13 @@ def bucketed_batches(
                 rec = dict(rec)
                 rec["lig_pos"] = ec[rng.randint(len(ec))]
             recs.append(rec)
-        cb = collate(recs, buckets[bi], esm_dim=esm_dim)
+        cb = collate(recs, buckets[bi], esm_dim=esm_dim,
+                     pad_graphs_to=batch_size if pad_remainder else None)
         if with_info:
             yield cb, {
                 "caps": buckets[bi], "bucket": bi,
                 "names": [dataset.names[i] for i in idxs],
-                "indices": list(idxs),
+                "indices": list(idxs),  # valid rows only; pads are repeats
             }
         else:
             yield cb

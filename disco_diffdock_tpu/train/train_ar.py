@@ -501,10 +501,13 @@ def main(argv=None):
             return _encoders[c]
 
         def _stream(dset, seed, shuffle):
+            # pad_remainder (not a smaller last batch): fixed shapes keep one
+            # compiled program per bucket AND keep batches DP-shardable;
+            # padded repeats are graph_mask-ed out of loss/metrics
             return bucketed_batches(
                 dset, args.batch_size, np.random.RandomState(seed),
                 buckets=buckets, esm_dim=score_cfg.esm_embedding_dim,
-                shuffle=shuffle, drop_remainder=False, with_info=True,
+                shuffle=shuffle, pad_remainder=True, with_info=True,
             )
 
         label_dir = os.path.join(run_dir, "ar_labels")
@@ -519,6 +522,14 @@ def main(argv=None):
                 NL, NR = b.lig_x.shape[1], b.rec_x.shape[1]
                 soft = load_ar_labels(label_dir, info["names"],
                                       args.latent_dim, NL, NR)
+                B, n_valid = b.lig_x.shape[0], soft.shape[0]
+                if n_valid < B:
+                    # remainder rows are collate's repeats (row k >= n_valid
+                    # duplicates record (k - n_valid) % n_valid); align the
+                    # labels the same way (masked out of loss regardless)
+                    idx = [k if k < n_valid else (k - n_valid) % n_valid
+                           for k in range(B)]
+                    soft = soft[idx]
                 node_mask = np.concatenate(
                     [np.asarray(b.lig_mask), np.asarray(b.rec_mask)], 1)
                 yield b, soft, node_mask, info["caps"]
@@ -620,6 +631,27 @@ def main(argv=None):
             _evals[c] = jax.jit(make_ar_eval_step(model_for(c)))
         return _evals[c]
 
+    # per-epoch edge-overflow audit: finite ladder caps CAN truncate cross
+    # edges at the randomized conditioning pose (ar_conditioning draws
+    # tr_sigma_max translations unless --no_randomness), silently starving
+    # the trunk of real edges -- surface the count per bucket, per epoch
+    # (the ladder_for_datasets contract; mirrors train_score.py's audit)
+    _audits: dict = {}
+
+    def audit_for(c):
+        if c not in _audits:
+            m = model_for(c)
+
+            @jax.jit
+            def run(variables, b, lat, dec):
+                _, st = m.apply(variables, b, lat, dec,
+                                deterministic=True, use_running_average=True,
+                                mutable=["intermediates"])
+                return st["intermediates"]
+
+            _audits[c] = run
+        return _audits[c]
+
     def seq_decode_for(c):
         if c not in _seqs:
             m = model_for(c)
@@ -634,7 +666,6 @@ def main(argv=None):
             _seqs[c] = seq_decode
         return _seqs[c]
 
-    run_dir = f"{args.log_dir}/{args.run_name}"
     save_config(run_dir, ar_model=score_cfg, caps=caps,
                 ar={"ns": args.ar_ns,
                     "latent_hidden_dim": args.latent_hidden_dim,
@@ -671,6 +702,7 @@ def main(argv=None):
                     patience=args.scheduler_patience, min_lr=args.lr / 100)
         frozen_now = freeze_warmup and epoch < args.warmup_epochs
         ms = []
+        audit_inputs: dict = {}  # last-seen (pre-shard) inputs per bucket
         for rep in range(max(1, args.train_multiplicity)):
             data = train_data(epoch * 131 + rep)
             try:
@@ -681,6 +713,8 @@ def main(argv=None):
                         no_sampling=args.no_sampling,
                         no_randomness=args.no_randomness)
                     nm = jnp.asarray(node_mask)
+                    if not args.synthetic and len(buckets) > 1:
+                        audit_inputs[c] = (b2, lat, dec)
                     if mesh is not None:
                         b2, lat, dec, lab, nm = (
                             shard_batch(x, mesh) for x in (b2, lat, dec, lab, nm))
@@ -697,6 +731,23 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={train_loss:.4f} "
               f"acc={train_acc:.3f} "
               f"({'frozen' if frozen_now else 'unfrozen'} trunk)")
+
+        if audit_inputs:
+            from ..graphs.audit import _collect_overflow
+
+            variables_now = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+            for c, (ab, alat, adec) in sorted(audit_inputs.items(),
+                                              key=lambda kv: kv[0].max_rec):
+                inter = audit_for(c)(variables_now, ab, alat, adec)
+                ov = _collect_overflow(jax.device_get(inter))
+                tag = f"bucket(lig<={c.max_lig},rec<={c.max_rec})"
+                if any(ov.values()):
+                    print(f"| WARNING: epoch {epoch} edge-overflow audit "
+                          f"{tag}: {ov} true edges dropped at the "
+                          f"conditioning pose")
+                else:
+                    print(f"epoch {epoch}: edge-overflow audit {tag}: 0")
 
         # held-out val: per-idx teacher-forced accuracy + full sequential
         # encode_ar accuracy every epoch (train_ar.py:150-216)

@@ -115,6 +115,24 @@ def ensure_pose_caches(
                         esm_dim=esm_dim)
         score_view, score_vars, latent_fn = runtime_for(c)
         if c not in run_fns:
+            # finite ladder caps CAN truncate high-sigma cross edges during
+            # the phase-1 reverse trajectories, silently corrupting the RMSD
+            # labels -- audit the t=1 worst case once per bucket (the
+            # ladder_for_datasets contract; same pattern as evaluate.py)
+            from ..graphs.audit import audit_worst_case
+
+            ov = audit_worst_case(
+                score_view, score_vars, batch,
+                jax.random.fold_in(base_key, 7919 + len(run_fns)),
+                tr_sigma_max=sigma.tr_sigma_max, latent_fn=latent_fn)
+            tag = f"bucket(lig<={c.max_lig},rec<={c.max_rec})"
+            if any(v > 0 for v in ov.values()):
+                print(f"| WARNING: pose-cache edge-overflow audit {tag}: "
+                      f"{ov} true edges dropped at t=1 caps -- RMSD labels "
+                      f"may be affected")
+            else:
+                print(f"HAPPENING | pose-cache edge-overflow audit {tag}: 0")
+
             @jax.jit
             def run(b, k, _sv=score_view, _v=score_vars, _lf=latent_fn):
                 k0, k1, k2 = jax.random.split(k, 3)
@@ -453,6 +471,9 @@ def main(argv=None):
         score_model, score_vars, latent_fn, score_cfg, _ = build_score_runtime(
             args.original_model_dir, caps, tag=args.ckpt,
         )
+        # seed the per-bucket cache so a complex landing in the catch-all
+        # bucket doesn't restore + build the identical runtime a second time
+        _runtimes[caps] = (score_model, score_vars, latent_fn)
         if args.transfer_weights:
             # confidence trunk takes the ORIGINAL score run's architecture so
             # its weights transfer key-for-key (confidence_train.py:285-294)

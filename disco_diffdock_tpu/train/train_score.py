@@ -465,11 +465,14 @@ def main(argv=None):
         # equivalently streams through DataLoader workers,
         # datasets_utils/pdbbind.py:384-406)
         def train_stream(seed):
+            # pad_remainder: a bucket's final partial group is padded with
+            # graph_mask-ed repeats -- dropping it would PERMANENTLY exclude
+            # every complex in a bucket with < batch_size members, and a
+            # smaller last batch would break DP shard divisibility
             return bucketed_batches(
                 ds_train, args.batch_size, np.random.RandomState(seed),
                 buckets=buckets, esm_dim=score_cfg.esm_embedding_dim,
-                drop_remainder=len(ds_train) >= args.batch_size,
-                with_info=True,
+                pad_remainder=True, with_info=True,
             )
 
         def val_stream():
@@ -769,19 +772,24 @@ def main(argv=None):
         for _ in range(max(1, args.val_multiplicity)):
             vstream = val_stream() if args.synthetic else prefetch(
                 val_stream(), depth=args.prefetch_depth)
-            for vb, vinfo in vstream:
-                key, k = jax.random.split(key)
-                aux, tvals, gmask = val_for(vinfo["caps"])(
-                    state.variables(), vb, k, ema_params=eval_params)
-                gm = np.asarray(gmask)
-                tvals = np.asarray(tvals)[gm]
-                per = {k2: np.asarray(v)[gm] for k2, v in aux.items()}
-                vloss_sum += float(per["loss"].sum())
-                vloss_n += len(per["loss"])
-                if intervals > 1:
-                    idx = sigma_interval_index(tvals, intervals)
-                    meter.add([per["loss"], per["tr_loss"], per["rot_loss"],
-                               per["tor_loss"]], interval_idx=[idx] * 4)
+            try:
+                for vb, vinfo in vstream:
+                    key, k = jax.random.split(key)
+                    aux, tvals, gmask = val_for(vinfo["caps"])(
+                        state.variables(), vb, k, ema_params=eval_params)
+                    gm = np.asarray(gmask)
+                    tvals = np.asarray(tvals)[gm]
+                    per = {k2: np.asarray(v)[gm] for k2, v in aux.items()}
+                    vloss_sum += float(per["loss"].sum())
+                    vloss_n += len(per["loss"])
+                    if intervals > 1:
+                        idx = sigma_interval_index(tvals, intervals)
+                        meter.add([per["loss"], per["tr_loss"],
+                                   per["rot_loss"], per["tor_loss"]],
+                                  interval_idx=[idx] * 4)
+            finally:
+                if not args.synthetic:
+                    vstream.close()
         val_loss = vloss_sum / max(vloss_n, 1)
         print(f"epoch {epoch}: val_loss={val_loss:.4f}")
         if intervals > 1:

@@ -119,6 +119,9 @@ class TestConfidenceTraining:
         ])
         out = capsys.readouterr().out
         assert "bucket_mode=ladder" in out
+        # phase-1 sampling audits its finite caps per bucket (the
+        # ladder_for_datasets contract): truncation is counted, not silent
+        assert "pose-cache edge-overflow audit" in out
         assert os.path.exists(
             os.path.join(str(tmp_path), "conf_ladder", "ckpt_best"))
 

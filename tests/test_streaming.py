@@ -205,6 +205,71 @@ class TestLadderCLI:
         assert made["train"].loads <= 4 * n, made["train"].loads
 
 
+class TestPadRemainder:
+    """A bucket's final partial group pads to batch_size with graph_mask-ed
+    repeats: fixed shapes (one program per bucket, DP-shardable) and no
+    complex ever dropped -- drop_remainder would PERMANENTLY exclude every
+    complex in a bucket with fewer than batch_size members."""
+
+    def test_collate_pad_graphs_to(self):
+        from disco_diffdock_tpu.data.collate import collate
+
+        recs = [make_complex_record(seed=s, n_lig=8, n_res=12) for s in range(3)]
+        b = collate(recs, SMALL, esm_dim=0, pad_graphs_to=4)
+        assert b.num_graphs == 4
+        np.testing.assert_array_equal(np.asarray(b.graph_mask),
+                                      [True, True, True, False])
+        # pads repeat real records (zero-dummies would have degenerate
+        # geometry whose NaNs poison the masked loss: NaN * 0 == NaN)
+        np.testing.assert_array_equal(np.asarray(b.lig_pos[3]),
+                                      np.asarray(b.lig_pos[0]))
+
+    def test_stream_pads_and_covers_small_buckets(self):
+        ds = mixed_dataset(n_small=6, n_big=3)  # big bucket: 3 < batch 4
+        seen = []
+        for batch, info in bucketed_batches(
+                ds, 4, np.random.RandomState(0), buckets=(SMALL, BIG),
+                esm_dim=0, pad_remainder=True, with_info=True):
+            assert batch.num_graphs == 4  # fixed shape for every batch
+            assert int(np.asarray(batch.graph_mask).sum()) == len(info["names"])
+            seen += info["names"]
+        # full coverage incl. the 3-member big bucket, no duplicates
+        assert sorted(seen) == sorted(ds.names)
+
+    def test_masked_loss_equals_partial_batch(self):
+        """Padded repeats are invisible to results: per-graph val losses on
+        the valid rows equal the unpadded partial batch's, and the
+        graph_mask-weighted mean matches."""
+        from disco_diffdock_tpu.config import ScoreModelConfig
+        from disco_diffdock_tpu.data.collate import collate
+        from disco_diffdock_tpu.geom.diffusion import SigmaSchedule
+        from disco_diffdock_tpu.models.score_model import TensorProductScoreModel
+        from disco_diffdock_tpu.train.steps import make_val_step
+
+        recs = [make_complex_record(seed=s, n_lig=8, n_res=12) for s in range(3)]
+        cfg = ScoreModelConfig(ns=4, nv=2, num_conv_layers=2,
+                               esm_embedding_dim=0, dropout=0.0,
+                               latent_dim=0, latent_droprate=0.0,
+                               compute_dtype="float32")
+        sigma = SigmaSchedule()
+        model = TensorProductScoreModel(cfg=cfg, caps=SMALL)
+        b_part = collate(recs, SMALL, esm_dim=0)
+        b_pad = collate(recs, SMALL, esm_dim=0, pad_graphs_to=4)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), b_part)
+        val = jax.jit(make_val_step(model, sigma))
+        aux_p, _, gm_p = val(variables, b_part, jax.random.PRNGKey(3))
+        aux_f, _, gm_f = val(variables, b_pad, jax.random.PRNGKey(3))
+        assert np.asarray(gm_p).all() and not np.asarray(gm_f)[3]
+        np.testing.assert_allclose(np.asarray(aux_f["loss"])[:3],
+                                   np.asarray(aux_p["loss"]),
+                                   rtol=2e-4, atol=2e-5)
+        gm = np.asarray(gm_f, np.float32)
+        masked_mean = (np.asarray(aux_f["loss"]) * gm).sum() / gm.sum()
+        np.testing.assert_allclose(masked_mean,
+                                   np.asarray(aux_p["loss"]).mean(),
+                                   rtol=2e-4, atol=2e-5)
+
+
 class TestMultiBucketEquivalence:
     def test_val_loss_independent_of_bucket(self):
         """The same complexes collated into two different-capacity buckets
