@@ -131,7 +131,6 @@ def dock(args):
     from .evaluate import evaluate_complexes  # noqa: F401 (shared helpers)
     from ..config import ScoreModelConfig
     from ..models.all_atom_score_model import AllAtomScoreModel
-    from ..models.ar import PretrainedScoreEncoder, encode_ar
     from ..models.score_model import TensorProductScoreModel
     from ..train.checkpoints import load_config
     from ..train.loading import (
@@ -205,28 +204,13 @@ def dock(args):
                                       args.confidence_ckpt, use_ema=False)
 
     if enc_cfg is not None and args.ar_model_dir:
-        from ..sampling import ar_conditioning_pose
-        from ..train.loading import ar_kwargs_from_run, ar_no_randomness_from_run
+        from ..train.loading import build_ar_latent_fn
 
-        ar_model = PretrainedScoreEncoder(
-            score_cfg=score_cfg, caps=caps, latent_dim=1,
-            input_latent_dim=score_cfg.latent_dim,
-            **ar_kwargs_from_run(args.ar_model_dir),
+        latent_fn = build_ar_latent_fn(
+            args.ar_model_dir, score_cfg, caps, ar_ckpt=args.ar_ckpt,
+            softmax_latent_temperature=args.softmax_latent_temperature,
+            shared_rec=True,  # one complex, S poses
         )
-        ar_vars = restore_variables(args.ar_model_dir, args.ar_ckpt, use_ema=False)
-        ar_no_rand = ar_no_randomness_from_run(args.ar_model_dir)
-
-        def latent_fn(b, key):
-            k_pose, key = jax.random.split(key)
-            b = ar_conditioning_pose(b, k_pose, ar_no_rand)
-
-            def apply_fn(bb, lat, dec):
-                return ar_model.apply(ar_vars, bb, lat, dec,
-                                      deterministic=True,
-                                      use_running_average=True,
-                                      shared_rec=True)  # one complex, S poses
-            return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
-                             args.softmax_latent_temperature)
 
     sigma = SigmaSchedule()
     scfg = SamplerConfig(

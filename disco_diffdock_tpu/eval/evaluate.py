@@ -126,11 +126,15 @@ def parse_args(argv=None):
 
     add_config_arg(p)
     args = apply_config_overlay(p.parse_args(argv))
-    # scalar per-axis temperatures override the triple's component
+    # scalar per-axis temperatures override the triple's component -- on a
+    # COPY: writing into the parser's mutable default list would leak the
+    # override into every later parse_args in the same process
     for name, (attr, ci) in enumerate_temp_flags():
         v = getattr(args, name)
         if v is not None:
-            getattr(args, attr)[ci] = v
+            triple = list(getattr(args, attr))
+            triple[ci] = v
+            setattr(args, attr, triple)
     if args.log_softmax_latent_temperature is not None:
         args.softmax_latent_temperature = 10.0 ** args.log_softmax_latent_temperature
     return args
@@ -308,7 +312,17 @@ def evaluate_complexes(
             all_conf.append(
                 conf_all[ofs : ofs + n] if conf_all is not None else np.zeros(n)
             )
-            rec_atoms = np.asarray(batch.rec_pos[ofs])[np.asarray(batch.rec_mask[ofs])]
+            # the reference measures min ligand-to-receptor distance over
+            # EVERY protein atom (evaluate.py:250-258); use the all-atom
+            # coordinates whenever collated (all-atom confidence runs), else
+            # C-alphas -- a documented under-count, since a <0.4A approach to
+            # a side chain is invisible at C-alpha resolution
+            if batch.atom_pos is not None:
+                rec_atoms = np.asarray(batch.atom_pos[ofs])[
+                    np.asarray(batch.atom_mask[ofs])]
+            else:
+                rec_atoms = np.asarray(batch.rec_pos[ofs])[
+                    np.asarray(batch.rec_mask[ofs])]
             clash.append(
                 float(np.mean([min_cross_distance(p[mask], rec_atoms) < 0.4 for p in pos]))
             )
@@ -323,15 +337,29 @@ def evaluate_complexes(
                 from .visualise import PDBTrajectory
 
                 els = meta["elements"] if meta else ["C"] * int(mask.sum())
-                viz = PDBTrajectory(els)
-                anchor_pos = None
-                if anchors is not None and len(anchors[ofs]["latent_pos"]):
-                    # back to the centered frame the trajectory lives in
-                    anchor_pos = (anchors[ofs]["latent_pos"]
-                                  - np.asarray(batch.original_center[ofs]))
-                for frame in np.asarray(traj)[:, ofs]:
-                    viz.add(frame[mask], latent_pos=anchor_pos)
-                viz.write(os.path.join(out_dir, f"complex{ci}_traj.pdb"))
+                # EVERY pose's trajectory, one dir per complex, files named
+                # <rank>_<rmsd>[_<confidence>].pdb ranked by confidence when
+                # a model ran, else by rmsd (reference evaluate.py:344-390);
+                # frames in the ORIGINAL protein frame (+original_center,
+                # utils/sampling.py:227-228, dock.py's convention) so they
+                # overlay the crystal PDB; anchors are already in that frame
+                center = np.asarray(batch.original_center[ofs])
+                cdir = os.path.join(out_dir, str(row_names[-1]))
+                os.makedirs(cdir, exist_ok=True)
+                chere = conf_all[ofs : ofs + n] if conf_all is not None else None
+                order = (np.argsort(-chere) if chere is not None
+                         else np.argsort(rmsds))
+                for rank, pi in enumerate(order):
+                    viz = PDBTrajectory(els)
+                    anchor_pos = None
+                    if anchors is not None and len(anchors[ofs + pi]["latent_pos"]):
+                        anchor_pos = anchors[ofs + pi]["latent_pos"]
+                    for frame in np.asarray(traj)[:, ofs + pi]:
+                        viz.add(frame[mask] + center, latent_pos=anchor_pos)
+                    tag = f"{rank + 1}_{rmsds[pi]:.1f}"
+                    if chere is not None:
+                        tag += f"_{chere[pi]:.1f}"
+                    viz.write(os.path.join(cdir, f"{tag}.pdb"))
 
     rmsds = np.asarray(all_rmsds)
     confs = np.asarray(all_conf)
@@ -349,8 +377,10 @@ def evaluate_complexes(
                         no_overlap_mask=overlap_mask)
     metrics["run_times_mean"] = float(np.mean(run_times))
     metrics["run_times_std"] = float(np.std(run_times))
-    metrics["steric_clash_fraction"] = float(np.mean(clash)) if clash else None
-    metrics["self_intersect_fraction"] = float(np.mean(self_int)) if self_int else None
+    # PERCENT of poses, matching the reference's 100 * (d < 0.4) / N units
+    # (evaluate.py:453-457)
+    metrics["steric_clash_fraction"] = 100 * float(np.mean(clash)) if clash else None
+    metrics["self_intersect_fraction"] = 100 * float(np.mean(self_int)) if self_int else None
     metrics["edge_overflow"] = edge_overflow
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
@@ -388,7 +418,6 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
     from ..data.collate import DEFAULT_BUCKETS, collate, fits_counts, replicate_record
     from ..data.pdbbind import PDBBind, PDBBindConfig
     from ..models.all_atom_score_model import AllAtomScoreModel
-    from ..models.ar import PretrainedScoreEncoder, encode_ar
     from ..models.score_model import TensorProductScoreModel
     from ..train.checkpoints import load_config
     from ..train.loading import (
@@ -487,34 +516,18 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                                           args.confidence_ckpt, use_ema=False)
 
         if enc_cfg is not None and args.ar_model_dir:
-            # AR latents replace the oracle-encoder latents
-            from ..train.loading import ar_kwargs_from_run
+            # AR latents replace the oracle-encoder latents (one shared
+            # construction across evaluate/dock/serve: build_ar_latent_fn)
+            from ..train.loading import build_ar_latent_fn
 
-            ar_model = PretrainedScoreEncoder(
-                score_cfg=score_cfg, caps=caps, latent_dim=1,
-                input_latent_dim=score_cfg.latent_dim,
-                **ar_kwargs_from_run(args.ar_model_dir),
-            )
-            ar_vars = restore_variables(args.ar_model_dir, args.ar_ckpt,
-                                        use_ema=False)
             single = all(len(p) == 1 for p in packs)
             oracle_latent_fn = latent_fn
-            from ..sampling import ar_conditioning_pose
-            from ..train.loading import ar_no_randomness_from_run
-
-            ar_no_rand = ar_no_randomness_from_run(args.ar_model_dir)
-
-            def ar_latent_fn(b, key):
-                k_pose, key = jax.random.split(key)
-                b = ar_conditioning_pose(b, k_pose, ar_no_rand)
-
-                def apply_fn(bb, lat, dec):
-                    return ar_model.apply(ar_vars, bb, lat, dec,
-                                          deterministic=True,
-                                          use_running_average=True,
-                                          shared_rec=single)
-                return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
-                                 getattr(args, "softmax_latent_temperature", 1.0))
+            ar_latent_fn = build_ar_latent_fn(
+                args.ar_model_dir, score_cfg, caps, ar_ckpt=args.ar_ckpt,
+                softmax_latent_temperature=getattr(
+                    args, "softmax_latent_temperature", 1.0),
+                shared_rec=single,
+            )
 
             # --oracle keeps encoder latents; the AR model is still loaded
             # for --compute_ar_accuracy (reference evaluate.py:281)
@@ -585,9 +598,10 @@ def evaluate_real(args, scfg: SamplerConfig, sigma: SigmaSchedule):
                        no_overlap_mask=overlap_mask)
     merged["run_times_mean"] = float(np.nanmean(run_times)) if len(run_times) else 0.0
     merged["run_times_std"] = float(np.nanstd(run_times)) if len(run_times) else 0.0
-    merged["steric_clash_fraction"] = float(clash.mean()) if len(clash) else None
+    merged["steric_clash_fraction"] = (
+        100 * float(clash.mean()) if len(clash) else None)
     merged["self_intersect_fraction"] = (
-        float(np.concatenate(self_ints).mean()) if self_ints else None)
+        100 * float(np.concatenate(self_ints).mean()) if self_ints else None)
     overflow: dict[str, float] = {}
     for m, _ in all_metrics:
         for k, v in (m.get("edge_overflow") or {}).items():

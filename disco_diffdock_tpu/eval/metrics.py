@@ -7,7 +7,8 @@ rmsds_below_2/5, centroid distances, steric-clash and self-intersection
 fractions).
 
 The symmetry correction enumerates ligand bond-graph automorphisms with
-networkx VF2 (element + bond-type labels) instead of spyrmsd; the enumeration
+networkx VF2 (element labels + connectivity, no bond orders -- the same
+constraints spyrmsd's symmrmsd uses) instead of spyrmsd; the enumeration
 is capped (count cap playing the role of the reference's SIGALRM timeout)
 and falls back to plain RMSD.
 """

@@ -157,6 +157,21 @@ def ar_conditioning_pose(batch: ComplexBatch, key: jax.Array,
     )
 
 
+def schedule_with_dt(t_schedule, actual_steps: int | None = None):
+    """``(t, dt)`` for the reverse trajectory.  The final dt integrates all
+    the way to t=0; with ``actual_steps`` truncation the LAST EXECUTED step
+    keeps the reference's full-remaining-time dt (``dt = schedule[t_idx]`` on
+    the final loop iteration, utils/sampling.py:107-110 with the loop running
+    actual_steps iterations), not just the grid increment -- either way
+    ``dt.sum() == t[0]``."""
+    t = np.asarray(t_schedule, np.float32)
+    dt = np.concatenate([t[:-1] - t[1:], [t[-1]]]).astype(np.float32)
+    if actual_steps and actual_steps < len(t):
+        t, dt = t[:actual_steps], dt[:actual_steps].copy()
+        dt[-1] = t[-1]
+    return t, dt
+
+
 def reverse_diffusion(
     score_fn: Callable,
     batch: ComplexBatch,
@@ -187,16 +202,8 @@ def reverse_diffusion(
     steps = cfg.inference_steps
     if t_schedule is None:
         t_schedule = get_t_schedule(steps)
-    t = np.asarray(t_schedule, np.float32)
-    dt = np.concatenate([t[:-1] - t[1:], [t[-1]]]).astype(np.float32)
-    if cfg.actual_steps and cfg.actual_steps < steps:
-        t, dt = t[: cfg.actual_steps], dt[: cfg.actual_steps].copy()
-        # the reference's LAST EXECUTED step integrates the full remaining
-        # time to t=0 (dt = schedule[t_idx] on the final loop iteration,
-        # utils/sampling.py:107-110 with the loop running actual_steps
-        # iterations), not just the grid increment
-        dt[-1] = t[-1]
-        steps = cfg.actual_steps
+    t, dt = schedule_with_dt(t_schedule, cfg.actual_steps)
+    steps = len(t)
     noise_on = np.ones(steps, np.float32)
     if cfg.no_random:
         noise_on[:] = 0.0
@@ -423,5 +430,10 @@ def sampling(
             confidence_variables, cb, deterministic=True,
             use_running_average=True, **kw,
         )
+        if confidence.ndim == 2:
+            # multi-output heads (--rmsd_classification_cutoff training:
+            # num_confidence_outputs = len(cutoffs)+1) rank by the class-0
+            # logit (rmsd below the lowest cutoff), evaluate.py:317-318
+            confidence = confidence[:, 0]
         confidence = jnp.nan_to_num(confidence, nan=-1000.0)
     return final, confidence, traj

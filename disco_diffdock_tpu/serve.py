@@ -101,33 +101,16 @@ class DockingService:
                 self.model_dir, caps, tag=self.ckpt,
             )
             if self.ar_model_dir:
-                # AR-prior latents (eval/dock.py's --ar_model_dir path)
-                from .models.ar import PretrainedScoreEncoder, encode_ar
-                from .sampling import ar_conditioning_pose
-                from .train.loading import (ar_kwargs_from_run,
-                                            ar_no_randomness_from_run)
+                # AR-prior latents (one shared construction across
+                # evaluate/dock/serve: train/loading.build_ar_latent_fn)
+                from .train.loading import build_ar_latent_fn
 
-                ar_model = PretrainedScoreEncoder(
-                    score_cfg=self.score_cfg, caps=caps, latent_dim=1,
-                    input_latent_dim=self.score_cfg.latent_dim,
-                    **ar_kwargs_from_run(self.ar_model_dir),
+                latent_fn = build_ar_latent_fn(
+                    self.ar_model_dir, self.score_cfg, caps,
+                    ar_ckpt=self.ar_ckpt,
+                    softmax_latent_temperature=self.softmax_latent_temperature,
+                    shared_rec=True,  # one complex, S poses
                 )
-                ar_vars = self._restore_variables(
-                    self.ar_model_dir, self.ar_ckpt, use_ema=False)
-                latent_dim = self.score_cfg.latent_dim
-                temp = self.softmax_latent_temperature
-                ar_no_rand = ar_no_randomness_from_run(self.ar_model_dir)
-
-                def latent_fn(b, key):
-                    k_pose, key = jax.random.split(key)
-                    b = ar_conditioning_pose(b, k_pose, ar_no_rand)
-
-                    def apply_fn(bb, lat, dec):
-                        return ar_model.apply(
-                            ar_vars, bb, lat, dec, deterministic=True,
-                            use_running_average=True,
-                            shared_rec=True)  # one complex, S poses
-                    return encode_ar(apply_fn, b, key, latent_dim, temp)
 
             conf_model = conf_vars = None
             if self.confidence_model_dir:

@@ -156,3 +156,47 @@ def build_score_runtime(
         model = TensorProductScoreModel(cfg=score_cfg, caps=caps)
     variables = restore_variables(run_dir, tag, use_ema)
     return model, variables, None, score_cfg, None
+
+
+def build_ar_latent_fn(
+    ar_model_dir: str,
+    score_cfg,
+    caps: GraphCaps,
+    ar_ckpt: str = "best",
+    softmax_latent_temperature: float = 1.0,
+    shared_rec: bool = True,
+):
+    """``latent_fn(batch, key)`` drawing DisCo latents from a trained AR
+    prior: re-pose the batch per the run's ar_pos semantics
+    (utils/sampling.py:36-46), then sequentially decode anchors with the
+    frozen-trunk AR model (encode_ar).  One implementation shared by
+    evaluate / dock / serve so the conditioning semantics cannot drift
+    between the CLIs.  ``shared_rec=True`` is the one-complex-S-poses fast
+    path; pass False for packed multi-complex programs."""
+    import jax
+
+    from ..models.ar import PretrainedScoreEncoder, encode_ar
+    from ..sampling import ar_conditioning_pose
+
+    ar_model = PretrainedScoreEncoder(
+        score_cfg=score_cfg, caps=caps, latent_dim=1,
+        input_latent_dim=score_cfg.latent_dim,
+        **ar_kwargs_from_run(ar_model_dir),
+    )
+    ar_vars = restore_variables(ar_model_dir, ar_ckpt, use_ema=False)
+    ar_no_rand = ar_no_randomness_from_run(ar_model_dir)
+
+    def latent_fn(b, key):
+        k_pose, key = jax.random.split(key)
+        b = ar_conditioning_pose(b, k_pose, ar_no_rand)
+
+        def apply_fn(bb, lat, dec):
+            return ar_model.apply(ar_vars, bb, lat, dec,
+                                  deterministic=True,
+                                  use_running_average=True,
+                                  shared_rec=shared_rec)
+
+        return encode_ar(apply_fn, b, key, score_cfg.latent_dim,
+                         softmax_latent_temperature)
+
+    return latent_fn

@@ -257,6 +257,27 @@ def test_synthetic_all_atom_score_eval():
     assert all(v == 0 for v in m["edge_overflow"].values())
 
 
+def test_visualisation_writes_every_pose_ranked(tmp_path):
+    """--save_visualisation writes EVERY pose's trajectory into a per-complex
+    dir, files named <rank>_<rmsd>[_<conf>].pdb ranked by rmsd when no
+    confidence model ran (reference evaluate.py:344-390), frames in the
+    original protein frame."""
+    import glob
+
+    from disco_diffdock_tpu.eval.evaluate import main
+
+    out = str(tmp_path / "viz")
+    main(["--synthetic", "--n_complexes", "1", "--samples_per_complex", "2",
+          "--inference_steps", "2", "--save_visualisation",
+          "--out_dir", out])
+    files = sorted(glob.glob(os.path.join(out, "0", "*.pdb")))
+    assert len(files) == 2, files  # one trajectory PDB per pose
+    names = [os.path.basename(f) for f in files]
+    assert names[0].startswith("1_") and names[1].startswith("2_"), names
+    with open(files[0]) as f:
+        assert "MODEL" in f.read()  # multi-frame trajectory content
+
+
 def test_no_model_suppresses_confidence_family(tmp_path):
     """--no_model with --confidence_model_dir: the confidence model never
     runs, so the filtered_ family must NOT be fabricated from the all-zero

@@ -31,17 +31,28 @@ def test_eval_log_softmax_latent_temperature():
 
 
 def test_actual_steps_truncates_schedule():
-    """actual_steps keeps the normal dt on the last executed step instead of
-    the jump to t=0 (reference utils/sampling.py:107 with evaluate.py:269)."""
+    """actual_steps truncation: the LAST EXECUTED step integrates the FULL
+    remaining time to t=0 (reference utils/sampling.py:107-110 -- on the
+    final loop iteration dt = schedule[t_idx], i.e. all of t itself), so the
+    executed dts always sum to t[0].  Tests the sampler's own helper, not a
+    local re-derivation."""
     from disco_diffdock_tpu.geom.diffusion import get_t_schedule
+    from disco_diffdock_tpu.sampling.sampler import schedule_with_dt
 
-    t = np.asarray(get_t_schedule(5), np.float32)
-    dt = np.concatenate([t[:-1] - t[1:], [t[-1]]])
-    # the sampler's truncation logic
-    actual = 3
-    t2, dt2 = t[:actual], dt[:actual]
+    grid = np.asarray(get_t_schedule(5), np.float32)
+    t_full, dt_full = schedule_with_dt(grid)
+    assert len(t_full) == 5
+    np.testing.assert_allclose(dt_full[-1], t_full[-1])  # jump to t=0
+    np.testing.assert_allclose(dt_full.sum(), t_full[0], rtol=1e-6)
+
+    t2, dt2 = schedule_with_dt(grid, actual_steps=3)
     assert len(t2) == 3
-    np.testing.assert_allclose(dt2[-1], t[2] - t[3])
+    # NOT the grid increment t[2]-t[3]: the truncated run still lands on t=0
+    np.testing.assert_allclose(dt2[-1], grid[2])
+    np.testing.assert_allclose(dt2.sum(), t2[0], rtol=1e-6)
+    # actual_steps >= len(grid) is a no-op
+    t3, dt3 = schedule_with_dt(grid, actual_steps=5)
+    np.testing.assert_allclose(dt3, dt_full)
 
 
 def test_train_score_sigma_and_weight_flags():

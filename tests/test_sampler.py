@@ -133,6 +133,35 @@ def test_confidence_reranking_path():
     assert np.all(np.isfinite(np.asarray(conf)))
 
 
+def test_multioutput_confidence_sliced_to_class0():
+    """--rmsd_classification_cutoff confidence runs have K>1 outputs; ranking
+    uses the class-0 logit (rmsd below the lowest cutoff), reference
+    evaluate.py:317-318 -- sampling() must return (B,), never (B, K), or
+    downstream argsort/aggregation breaks."""
+    cfg = small_cfg()
+    model = TensorProductScoreModel(cfg=cfg, caps=small_caps())
+    conf_model = TensorProductScoreModel(
+        cfg=small_cfg(confidence_mode=True, num_confidence_outputs=3),
+        caps=small_caps())
+    batch = small_batch()
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    conf_vars = conf_model.init(jax.random.PRNGKey(1), batch.set_time(0, 0, 0))
+    # the raw head really is multi-output...
+    raw = conf_model.apply(conf_vars, batch.set_time(0, 0, 0),
+                           deterministic=True, use_running_average=True)
+    assert raw.shape == (2, 3)
+    # ...and sampling() reduces it to the class-0 score per pose
+    final, conf, _ = jax.jit(
+        lambda b, k: sampling(
+            model, variables, b, k, SamplerConfig(inference_steps=2),
+            SigmaSchedule(),
+            confidence_model=conf_model, confidence_variables=conf_vars,
+        )
+    )(batch, jax.random.PRNGKey(6))
+    assert conf.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(conf)))
+
+
 def test_segmented_scan_matches_single_scan():
     """A (n1, model) + (n2, model) segment schedule must be bit-identical to
     the single-scan path: the rng key and positions flow through the carry."""
