@@ -86,20 +86,27 @@ def t_rbf(dist: torch.Tensor, stop: float, num: int) -> torch.Tensor:
     return torch.exp(coeff * d * d)
 
 
+def t_t(x) -> torch.Tensor:
+    """Parameter-leaf converter: numpy (or jax) array -> f64 torch tensor,
+    torch tensors pass through untouched.  The pass-through is what makes the
+    oracle DIFFERENTIABLE: the training-step parity tests feed a params tree
+    whose leaves are requires_grad torch tensors, and every helper below
+    routes parameter access through this function."""
+    if isinstance(x, torch.Tensor):
+        return x
+    return torch.from_numpy(np.asarray(x, np.float64))
+
+
 def t_fcblock(params: dict, x: torch.Tensor) -> torch.Tensor:
     """FCBlock with layers=2: Dense/relu/Dense (nn/basic.py FCBlock)."""
-    w0 = torch.from_numpy(np.asarray(params["Dense_0"]["kernel"], np.float64))
-    b0 = torch.from_numpy(np.asarray(params["Dense_0"]["bias"], np.float64))
-    w1 = torch.from_numpy(np.asarray(params["Dense_1"]["kernel"], np.float64))
-    b1 = torch.from_numpy(np.asarray(params["Dense_1"]["bias"], np.float64))
-    return torch.relu(x @ w0 + b0) @ w1 + b1
+    h = torch.relu(x @ t_t(params["Dense_0"]["kernel"]) + t_t(params["Dense_0"]["bias"]))
+    return h @ t_t(params["Dense_1"]["kernel"]) + t_t(params["Dense_1"]["bias"])
 
 
 def t_dense(params: dict, x: torch.Tensor) -> torch.Tensor:
-    w = torch.from_numpy(np.asarray(params["kernel"], np.float64))
-    out = x @ w
+    out = x @ t_t(params["kernel"])
     if "bias" in params:
-        out = out + torch.from_numpy(np.asarray(params["bias"], np.float64))
+        out = out + t_t(params["bias"])
     return out
 
 
@@ -109,9 +116,8 @@ def t_atom_encoder(params: dict, codes: np.ndarray, extras: torch.Tensor,
     with no extras (additional_dim=0) the Dense is absent."""
     emb = 0.0
     for i in range(n_cat):
-        table = torch.from_numpy(
-            np.asarray(params[f"Embed_{i}"]["embedding"], np.float64))
-        emb = emb + table[codes[:, i].astype(np.int64)]
+        table = t_t(params[f"Embed_{i}"]["embedding"])
+        emb = emb + table[torch.from_numpy(codes[:, i].astype(np.int64))]
     if "Dense_0" not in params:
         return emb
     return t_dense(params["Dense_0"], torch.cat([emb, extras], -1))
@@ -169,45 +175,160 @@ class TorchWeightedTP:
 
 def t_conv_mlp(params: dict, g: int, eattr: torch.Tensor, n_splits: int):
     """Per-group edge-weight MLP of TPConvLayer (nn/conv.py fc{g}_*)."""
-    w1 = torch.from_numpy(np.asarray(params[f"fc{g}_w1"], np.float64))
-    b1 = torch.from_numpy(np.asarray(params[f"fc{g}_b1"], np.float64))
-    h = torch.relu(eattr @ w1 + b1)
+    h = torch.relu(eattr @ t_t(params[f"fc{g}_w1"]) + t_t(params[f"fc{g}_b1"]))
     blocks = []
     for k in range(n_splits):
         if f"fc{g}_w2_{k}" in params:
-            w2 = torch.from_numpy(np.asarray(params[f"fc{g}_w2_{k}"], np.float64))
-            b2 = torch.from_numpy(np.asarray(params[f"fc{g}_b2_{k}"], np.float64))
-            blocks.append(h @ w2 + b2)
+            blocks.append(h @ t_t(params[f"fc{g}_w2_{k}"]) + t_t(params[f"fc{g}_b2_{k}"]))
         else:
             blocks.append(None)
     return blocks
 
 
-def t_irreps_bn(params: dict, stats: dict, irreps, x: torch.Tensor) -> torch.Tensor:
-    """MaskedIrrepsBatchNorm in use_running_average mode (nn/batchnorm.py):
-    per-channel running var for all blocks, running mean + bias only for 0e,
-    weight for every channel."""
+def t_irreps_bn(params: dict, stats, irreps, x: torch.Tensor,
+                batch_stats=None) -> torch.Tensor:
+    """MaskedIrrepsBatchNorm twin (nn/batchnorm.py): per-channel var for all
+    blocks, mean + bias only for 0e, weight for every channel.  By default
+    consumes the RUNNING stats in ``stats`` (use_running_average mode); the
+    training-step parity tests pass ``batch_stats=(mean, var)`` torch tensors
+    (from :func:`t_bn_batch_stats`) to run in training mode instead."""
     irreps = Irreps(irreps)
-    weight = np.asarray(params["weight"], np.float64)
-    bias = np.asarray(params.get("bias"), np.float64) if "bias" in params else None
-    mean = np.asarray(stats.get("mean"), np.float64) if "mean" in stats else None
-    var = np.asarray(stats["var"], np.float64)
-    out = torch.zeros_like(x)
+    weight = t_t(params["weight"])
+    bias = t_t(params["bias"]) if "bias" in params else None
+    if batch_stats is not None:
+        mean, var = batch_stats
+    else:
+        mean = t_t(stats["mean"]) if "mean" in stats else None
+        var = t_t(stats["var"])
+    blocks_out = []
     ch = sc = 0
     for mi, sl in zip(irreps, irreps.slices()):
         d = mi.ir.dim
         b = x[..., sl].reshape(x.shape[:-1] + (mi.mul, d))
-        if mi.ir.l == 0 and mi.ir.p == 1:
-            b = b - torch.from_numpy(mean[sc: sc + mi.mul])[:, None]
-        factor = torch.from_numpy(
-            weight[ch: ch + mi.mul] / np.sqrt(var[ch: ch + mi.mul] + 1e-5))
+        is_scalar = mi.ir.l == 0 and mi.ir.p == 1
+        if is_scalar:
+            b = b - mean[sc: sc + mi.mul][:, None]
+        factor = weight[ch: ch + mi.mul] / torch.sqrt(var[ch: ch + mi.mul] + 1e-5)
         b = b * factor[:, None]
-        if mi.ir.l == 0 and mi.ir.p == 1:
-            b = b + torch.from_numpy(bias[sc: sc + mi.mul])[:, None]
+        if is_scalar:
+            b = b + bias[sc: sc + mi.mul][:, None]
             sc += mi.mul
-        out[..., sl] = b.reshape(b.shape[:-2] + (mi.dim,))
+        blocks_out.append(b.reshape(b.shape[:-2] + (mi.dim,)))
         ch += mi.mul
-    return out
+    return torch.cat(blocks_out, -1)
+
+
+def t_bn_batch_stats(irreps, xs):
+    """Joint masked TRAINING-mode batch statistics over a list of UNPADDED
+    (n_i, D) torch tensors -- the twin of MaskedIrrepsBatchNorm's stat
+    computation (nn/batchnorm.py: total = sum of valid rows + 1e-12, scalar
+    blocks mean-subtracted BEFORE the component-mean squared norm).  Returns
+    differentiable (mean (n_scalar,) | None, var (n_ch,))."""
+    irreps = Irreps(irreps)
+    total = float(sum(int(x.shape[0]) for x in xs)) + 1e-12
+    means, variances = [], []
+    for mi, sl in zip(irreps, irreps.slices()):
+        d = mi.ir.dim
+        blocks = [x[..., sl].reshape(x.shape[0], mi.mul, d) for x in xs]
+        if mi.ir.l == 0 and mi.ir.p == 1:
+            mean = sum(b[..., 0].sum(0) for b in blocks) / total
+            means.append(mean)
+            blocks = [b - mean[:, None] for b in blocks]
+        variances.append(sum((b ** 2).mean(-1).sum(0) for b in blocks) / total)
+    mean = torch.cat(means) if means else None
+    return mean, torch.cat(variances)
+
+
+# --- generator-driven batch-norm protocol -----------------------------------
+# The oracle trunks/heads are written as generators that YIELD at every
+# batch-norm site: ``normalized = yield (site_path, irreps, [tensors])``.
+# Driving a generator with the running-stats normalizer reproduces the plain
+# use_running_average oracle (all the forward-parity tests); the training
+# -step parity tests drive a batch of per-graph generators in LOCKSTEP,
+# computing joint training-mode statistics across the graphs at each site --
+# exactly what the flax model does over the padded batch.
+
+
+def _bn_running(params, stats):
+    """bn_fn applying running-average normalization (site-relative lookup)."""
+
+    def fn(site, irreps, xs):
+        p, s = params, stats
+        for k in site:
+            p, s = p[k], s[k]
+        return [t_irreps_bn(p, s, irreps, x) for x in xs]
+
+    return fn
+
+
+def _drive(gen, bn_fn):
+    """Run a BN-yielding oracle generator to completion."""
+    try:
+        req = next(gen)
+        while True:
+            req = gen.send(bn_fn(*req))
+    except StopIteration as e:
+        return e.value
+
+
+def _prefix_sites(gen, prefix: tuple):
+    """Adapter generator: re-root a sub-generator's BN site paths."""
+    try:
+        req = next(gen)
+        while True:
+            sent = yield (prefix + req[0],) + tuple(req[1:])
+            req = gen.send(sent)
+    except StopIteration as e:
+        return e.value
+
+
+def drive_joint(gens, bn_fn_joint):
+    """Drive per-graph generators in lockstep: at each BN site, hand ALL
+    graphs' tensors to ``bn_fn_joint(site, irreps, xs_per_gen)`` (which
+    computes joint batch statistics) and send each graph its normalized
+    share.  Returns the list of generator return values."""
+    results = [None] * len(gens)
+    reqs = {}
+    for i, gen in enumerate(gens):
+        try:
+            reqs[i] = next(gen)
+        except StopIteration as e:  # pragma: no cover - no-BN configs
+            results[i] = e.value
+    while reqs:
+        order = sorted(reqs)
+        sites = {reqs[i][0] for i in order}
+        assert len(sites) == 1, f"generators desynchronized: {sites}"
+        site, irreps = reqs[order[0]][:2]
+        outs = bn_fn_joint(site, irreps, [reqs[i][2] for i in order])
+        new_reqs = {}
+        for j, i in enumerate(order):
+            try:
+                new_reqs[i] = gens[i].send(outs[j])
+            except StopIteration as e:
+                results[i] = e.value
+        reqs = new_reqs
+    return results
+
+
+def make_bn_train_joint(params, momentum=0.1):
+    """Joint training-mode bn_fn + a dict capturing each site's batch stats
+    (for checking the running-stat momentum updates against the jax side).
+    ``params`` is the root tree the site paths are relative to."""
+    captured = {}
+
+    def fn(site, irreps, xs_per_gen):
+        flat = [x for xs in xs_per_gen for x in xs]
+        mean, var = t_bn_batch_stats(irreps, flat)
+        captured[site] = (mean, var)
+        p = params
+        for k in site:
+            p = p[k]
+        return [
+            [t_irreps_bn(p, None, irreps, x, batch_stats=(mean, var)) for x in xs]
+            for xs in xs_per_gen
+        ]
+
+    return fn, captured
 
 
 def irrep_to_vec_np(c: torch.Tensor) -> torch.Tensor:
@@ -220,10 +341,12 @@ def irrep_to_vec_np(c: torch.Tensor) -> torch.Tensor:
 # ---------------------------------------------------------------------------
 
 
-def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
-                 g: dict, t: float, lat=None, unconditional: bool = False,
-                 confidence_mode: bool = False, glat=None, post_layer=None):
+def oracle_trunk_gen(params, cfg: ScoreModelConfig, sigma: SigmaSchedule,
+                     g: dict, t: float, lat=None, unconditional: bool = False,
+                     confidence_mode: bool = False, glat=None, post_layer=None):
     """Graph build + conv trunk; returns (lig_attr, rec_attr) torch f64.
+    Generator: yields at every batch-norm site (see the BN protocol above);
+    use :func:`oracle_trunk` for the plain running-average form.
 
     ``lat``: optional ((nl, Ld), (nr, Ld)) numpy node-latent features
     (vocab=1 path): appended to node extras, [lat[src], lat[dst]] appended
@@ -250,10 +373,9 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
         tr_sigma = t
     sig_emb = torch.from_numpy(t_sinusoidal(t, cfg.sigma_embed_dim, cfg.embedding_scale))
     if lat is not None:
-        lat_l = torch.from_numpy(lat[0].astype(np.float64))
-        lat_r = torch.from_numpy(lat[1].astype(np.float64))
+        lat_l, lat_r = t_t(lat[0]), t_t(lat[1])
     if glat is not None:
-        gvec = torch.from_numpy(np.asarray(glat, np.float64))
+        gvec = t_t(glat)
 
     # node embeddings (score_model.py:310-373 node paths)
     lig_extras = sig_emb[None].expand(nl, -1)
@@ -339,11 +461,11 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     if unconditional:
         # CFG unconditional embeddings, added after the embedding MLPs
         # (score_model.py:350-358 with u == 1)
-        lig_attr = lig_attr + torch.from_numpy(params["lig_node_uncond"].astype(np.float64))
-        rec_attr = rec_attr + torch.from_numpy(params["rec_node_uncond"].astype(np.float64))
-        lig_eattr = lig_eattr + torch.from_numpy(params["lig_edge_uncond"].astype(np.float64))
-        rec_eattr = rec_eattr + torch.from_numpy(params["rec_edge_uncond"].astype(np.float64))
-        cross_eattr = cross_eattr + torch.from_numpy(params["cross_edge_uncond"].astype(np.float64))
+        lig_attr = lig_attr + t_t(params["lig_node_uncond"])
+        rec_attr = rec_attr + t_t(params["rec_node_uncond"])
+        lig_eattr = lig_eattr + t_t(params["lig_edge_uncond"])
+        rec_eattr = rec_eattr + t_t(params["rec_edge_uncond"])
+        cross_eattr = cross_eattr + t_t(params["cross_edge_uncond"])
 
     # ---- conv trunk: 4 blocks per layer, joint scatter-mean per receiver
     # (nn/conv.py TPConvLayer; reference tensor_layers.py:147-168).  NOTE the
@@ -379,15 +501,32 @@ def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
                 0, idx, torch.ones((len(src), 1), dtype=torch.float64))
         outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
         if cfg.batch_norm:
-            bnp = lp["MaskedIrrepsBatchNorm_0"]
-            bns = stats[f"conv{li}"]["MaskedIrrepsBatchNorm_0"]
-            outs = {k: t_irreps_bn(bnp, bns, out_ir, v) for k, v in outs.items()}
+            normed = yield ((f"conv{li}", "MaskedIrrepsBatchNorm_0"), out_ir,
+                            [outs["lig"], outs["rec"]])
+            outs = {"lig": normed[0], "rec": normed[1]}
         pad = out_dim - attrs["lig"].shape[-1]
         lig_attr = outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad))
         rec_attr = outs["rec"] + torch.nn.functional.pad(attrs["rec"], (0, pad))
         if post_layer is not None:
             lig_attr, rec_attr = post_layer(li, lig_attr, rec_attr)
     return lig_attr, rec_attr
+
+
+def oracle_trunk(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
+                 g: dict, t: float, **kw):
+    """Running-average driver of :func:`oracle_trunk_gen` (original API)."""
+    return _drive(oracle_trunk_gen(params, cfg, sigma, g, t, **kw),
+                  _bn_running(params, stats))
+
+
+def oracle_forward_gen(params, cfg: ScoreModelConfig, sigma: SigmaSchedule,
+                       g: dict, t: float, lat=None, unconditional: bool = False,
+                       glat=None, post_layer=None):
+    """Full forward as a BN-yielding generator: trunk + score heads."""
+    lig_attr, rec_attr = yield from oracle_trunk_gen(
+        params, cfg, sigma, g, t, lat=lat, unconditional=unconditional,
+        glat=glat, post_layer=post_layer)
+    return (yield from oracle_score_heads_gen(params, cfg, sigma, g, t, lig_attr))
 
 
 def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
@@ -401,19 +540,31 @@ def oracle_forward(params, stats, cfg: ScoreModelConfig, sigma: SigmaSchedule,
     -conditioned / CFG trunk modes).
     Returns (tr_pred (3,), rot_pred (3,), tor_pred (R,)).
     """
-    lig_attr, rec_attr = oracle_trunk(params, stats, cfg, sigma, g, t,
-                                      lat=lat, unconditional=unconditional,
-                                      glat=glat, post_layer=post_layer)
-    return oracle_score_heads(params, stats, cfg, sigma, g, t, lig_attr)
+    out = _drive(
+        oracle_forward_gen(params, cfg, sigma, g, t, lat=lat,
+                           unconditional=unconditional, glat=glat,
+                           post_layer=post_layer),
+        _bn_running(params, stats))
+    return tuple(o.detach().numpy() for o in out)
 
 
-def oracle_score_heads(params, stats, cfg: ScoreModelConfig,
-                       sigma: SigmaSchedule, g: dict, t: float,
-                       lig_attr: torch.Tensor):
+def oracle_score_heads(params, stats, cfg, sigma, g, t, lig_attr):
+    """Running-average driver of :func:`oracle_score_heads_gen`."""
+    out = _drive(oracle_score_heads_gen(params, cfg, sigma, g, t, lig_attr),
+                 _bn_running(params, stats))
+    return tuple(o.detach().numpy() for o in out)
+
+
+def oracle_score_heads_gen(params, cfg: ScoreModelConfig,
+                           sigma: SigmaSchedule, g: dict, t: float,
+                           lig_attr: torch.Tensor):
     """tr/rot/tor score heads on a trunk's final ligand irreps.  Shared by
     the CG and all-atom oracles: the two reference models' head code is
     structurally identical (models/score_model.py:259-307 vs
-    models/all_atom_score_model.py:285-343) with the same parameter names."""
+    models/all_atom_score_model.py:285-343) with the same parameter names.
+    Generator form (yields at BN sites); returns numpy arrays UNLESS the
+    params tree holds live torch tensors, in which case differentiable torch
+    tensors come back (the training-parity path)."""
     ns = cfg.ns
     pos_l = torch.from_numpy(g["lig_pos"].astype(np.float64))
     nl = len(pos_l)
@@ -438,9 +589,8 @@ def oracle_score_heads(params, stats, cfg: ScoreModelConfig,
     msg = tp_f(lig_attr, center_sh, wf)
     gp = msg.mean(0, keepdim=True)
     if cfg.batch_norm:
-        gp = t_irreps_bn(params["final_conv"]["MaskedIrrepsBatchNorm_0"],
-                         stats["final_conv"]["MaskedIrrepsBatchNorm_0"],
-                         "2x1o + 2x1e", gp)
+        gp = (yield (("final_conv", "MaskedIrrepsBatchNorm_0"),
+                     "2x1o + 2x1e", [gp]))[0]
     gp = gp[0]
     tr_pred = irrep_to_vec_np(gp[:3] + gp[6:9])
     rot_pred = irrep_to_vec_np(gp[3:6] + gp[9:12])
@@ -498,16 +648,19 @@ def oracle_score_heads(params, stats, cfg: ScoreModelConfig,
                        torch.ones((len(t_src), 1), dtype=torch.float64))
         tor_feat = sums / (cnt + 1e-12)
         if cfg.batch_norm:
-            tor_feat = t_irreps_bn(
-                params["tor_bond_conv"]["MaskedIrrepsBatchNorm_0"],
-                stats["tor_bond_conv"]["MaskedIrrepsBatchNorm_0"],
-                f"{ns}x0o + {ns}x0e", tor_feat)
+            tor_feat = (yield (("tor_bond_conv", "MaskedIrrepsBatchNorm_0"),
+                               f"{ns}x0o + {ns}x0e", [tor_feat]))[0]
         h = torch.tanh(t_dense(params["tor_final_dense1"], tor_feat))
         tor_pred = t_dense(params["tor_final_dense2"], h)[:, 0]
         if cfg.scale_by_sigma:
             tor_pred = tor_pred * math.sqrt(
                 float(torus.score_norm(jnp.asarray([tor_sigma]))[0]))
-    return tr_pred.numpy(), rot_pred.numpy(), tor_pred.numpy()
+    elif cfg.batch_norm and not cfg.no_torsion:
+        # keep per-graph generators in lockstep when a graph has R == 0:
+        # the flax model still runs the (fully masked) tor BN site
+        yield (("tor_bond_conv", "MaskedIrrepsBatchNorm_0"),
+               f"{ns}x0o + {ns}x0e", [torch.zeros((0, 2 * ns), dtype=torch.float64)])
+    return tr_pred, rot_pred, tor_pred
 
 
 # ---------------------------------------------------------------------------
@@ -637,23 +790,32 @@ class TestFullModelForwardParity:
             assert np.all(tor[gi][R:] == 0.0)
 
 
-def t_latent_mlp(params: dict, stats: dict, hidden: int, x: torch.Tensor):
+def t_latent_mlp_gen(params: dict, hidden: int, x: torch.Tensor):
     """LatentPredictorMLP: (Dense-BN-ReLU) x2 + Dense (latent_encoder.py:
-    148-169), running-average BN."""
+    148-169); generator form yielding at the two BN sites."""
     for i in range(2):
         x = t_dense(params[f"Dense_{i}"], x)
-        x = t_irreps_bn(params[f"MaskedIrrepsBatchNorm_{i}"],
-                        stats[f"MaskedIrrepsBatchNorm_{i}"],
-                        f"{hidden}x0e", x)
+        x = (yield ((f"MaskedIrrepsBatchNorm_{i}",), f"{hidden}x0e", [x]))[0]
         x = torch.relu(x)
     return t_dense(params["Dense_2"], x)
 
 
+def t_latent_mlp(params: dict, stats: dict, hidden: int, x: torch.Tensor):
+    """Running-average driver of :func:`t_latent_mlp_gen`."""
+    return _drive(t_latent_mlp_gen(params, hidden, x), _bn_running(params, stats))
+
+
 def oracle_encoder_trunk(params, stats, cfg, g: dict, orig: np.ndarray):
+    """Running-average driver of :func:`oracle_encoder_trunk_gen`."""
+    return _drive(oracle_encoder_trunk_gen(params, cfg, g, orig),
+                  _bn_running(params, stats))
+
+
+def oracle_encoder_trunk_gen(params, cfg, g: dict, orig: np.ndarray):
     """Time-free encoder trunk over the ORACLE pose (latent_encoder.py:
     171-305 without the latent heads): fixed 30A cross cutoff, no sigma
     embedding.  Returns the {"lig", "rec"} attr dict; shared by the
-    vocab=1 and vocab>1 encoder parity tests."""
+    vocab=1 and vocab>1 encoder parity tests.  Generator form (BN yields)."""
     ns = cfg.ns
     pos_l = torch.from_numpy(orig.astype(np.float64))  # oracle pose
     pos_r = torch.from_numpy(g["rec_pos"].astype(np.float64))
@@ -735,9 +897,9 @@ def oracle_encoder_trunk(params, stats, cfg, g: dict, orig: np.ndarray):
                 0, idx, torch.ones((len(src), 1), dtype=torch.float64))
         outs = {k: sums[k] / (counts[k] + 1e-12) for k in sums}
         if cfg.batch_norm:
-            bnp = lp["MaskedIrrepsBatchNorm_0"]
-            bns = stats[f"conv{li}"]["MaskedIrrepsBatchNorm_0"]
-            outs = {k: t_irreps_bn(bnp, bns, out_ir, v) for k, v in outs.items()}
+            normed = yield ((f"conv{li}", "MaskedIrrepsBatchNorm_0"), out_ir,
+                            [outs["lig"], outs["rec"]])
+            outs = {"lig": normed[0], "rec": normed[1]}
         pad = out_dim - attrs["lig"].shape[-1]
         attrs = {
             "lig": outs["lig"] + torch.nn.functional.pad(attrs["lig"], (0, pad)),
