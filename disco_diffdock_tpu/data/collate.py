@@ -159,6 +159,8 @@ def collate(recs: Sequence[dict], caps: GraphCaps | None = None, esm_dim: int = 
 
     from ..graphs.containers import ComplexBatch, ListEdges
 
+    if not recs:
+        raise ValueError("collate needs at least one record")
     if caps is None:
         caps = pick_bucket(recs)
     n_valid = len(recs)

@@ -274,6 +274,13 @@ def evaluate_complexes(
                 all_rmsds.append([10000.0] * n)
                 all_cent.append([10000.0] * n)
                 all_conf.append(np.full(n, -10000.0))
+                # the reference appends sentinel DISTANCES (10000 -> counted
+                # as non-clashing poses), so failed complexes stay in the
+                # clash/self-intersection denominators (evaluate.py:400-408
+                # with :331-338): record 0.0 fractions here to match
+                clash.append(0.0)
+                if lig_meta is not None and lig_meta[ci] is not None:
+                    self_int.append(0.0)
                 run_times.append((time.time() - t0) / len(pack))
                 row_names.append(names[ci] if names is not None else str(ci))
             continue

@@ -280,8 +280,11 @@ class AllAtomScoreModel(nn.Module):
 
         # ---- 9-conv trunk
         attrs = {"lig": lig_attr, "rec": rec_attr, "atom": atom_attr}
-        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask[r1],
-                 "atom": batch.atom_mask[r1]}
+        # AND the graph mask so batch-axis padding repeats (data/collate.py
+        # pad_graphs_to) don't double-count in BN statistics (ADVICE r4)
+        gm = batch.graph_mask[:, None]
+        masks = {"lig": batch.lig_mask & gm, "rec": batch.rec_mask[r1] & gm[r1],
+                 "atom": batch.atom_mask[r1] & gm[r1]}
 
         L = cfg.num_conv_layers
         for l in range(L):
@@ -402,7 +405,7 @@ class AllAtomScoreModel(nn.Module):
             spherical_harmonics(vec_t, cfg.sh_lmax), gather_nodes(bond_sh2, tor_edges.src)
         )
         tor_feat = self.tor_bond_conv(
-            {"lig": lig_attr}, {"bond": batch.tor_mask},
+            {"lig": lig_attr}, {"bond": batch.tor_mask & gm},
             [ConvBlock(tor_edges, "bond", "lig", t_eattr, tor_sh, append_scalars=False)],
             out_types=["bond"], out_counts={"bond": R},
             deterministic=deterministic, use_running_average=use_running_average,

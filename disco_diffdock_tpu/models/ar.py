@@ -107,10 +107,14 @@ def encode_ar(
     """
     B, NL = batch.lig_x.shape[:2]
     NR = batch.rec_x.shape[1]
-    lat_l = jnp.zeros((B, NL, input_latent_dim))
-    lat_r = jnp.zeros((B, NR, input_latent_dim))
 
-    for idx in range(input_latent_dim):
+    # lax.scan over latent slots (SURVEY section 7 build-order #10): the
+    # decoder body traces/compiles ONCE regardless of latent_dim, instead of
+    # unrolling (and recompiling per latent_dim) like the reference's Python
+    # loop (model_classes.py:26-46).  The serial dependency (each slot's
+    # partial string feeds the next forward) is expressed as the scan carry.
+    def step(carry, idx):
+        lat_l, lat_r, key = carry
         key, k = jax.random.split(key)
         dec = jnp.full((B,), idx, jnp.int32)
         logits, node_mask = model_apply(batch, (lat_l, lat_r), dec)
@@ -122,6 +126,15 @@ def encode_ar(
             lat = jnp.nan_to_num(lat, nan=-jnp.inf, posinf=80.0)
             choice = jax.random.categorical(k, lat, axis=-1)
         onehot = jax.nn.one_hot(choice, NL + NR)
-        lat_l = lat_l.at[:, :, idx].set(onehot[:, :NL])
-        lat_r = lat_r.at[:, :, idx].set(onehot[:, NL:])
+        # slots are written exactly once from a zero init, so a one-hot
+        # outer-product add == dynamic-index write (scan-friendly)
+        slot = jax.nn.one_hot(idx, input_latent_dim)
+        lat_l = lat_l + onehot[:, :NL, None] * slot[None, None, :]
+        lat_r = lat_r + onehot[:, NL:, None] * slot[None, None, :]
+        return (lat_l, lat_r, key), None
+
+    init = (jnp.zeros((B, NL, input_latent_dim)),
+            jnp.zeros((B, NR, input_latent_dim)), key)
+    (lat_l, lat_r, _), _ = jax.lax.scan(
+        step, init, jnp.arange(input_latent_dim))
     return lat_l, lat_r

@@ -323,7 +323,10 @@ class TPEncoder(nn.Module):
 
         # ---- conv trunk (same 4-group structure as the score model)
         attrs = {"lig": lig_attr, "rec": rec_attr}
-        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask}
+        # AND the graph mask so batch-axis padding repeats (data/collate.py
+        # pad_graphs_to) don't double-count in BN statistics (ADVICE r4)
+        gm = batch.graph_mask[:, None]
+        masks = {"lig": batch.lig_mask & gm, "rec": batch.rec_mask & gm}
         for li, layer in enumerate(self.conv_layers):
             blocks = [
                 ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0),
@@ -403,8 +406,8 @@ class TPEncoder(nn.Module):
             return gumbel_softmax(key, logits, latent_temperature)
 
         # vocab == 1: softmax over the union of nodes of each graph
-        pl = self.latent_s_predictor(s_lig, batch.lig_mask, deterministic, use_running_average)
-        pr = self.latent_r_predictor(s_rec, batch.rec_mask, deterministic, use_running_average)
+        pl = self.latent_s_predictor(s_lig, batch.lig_mask & gm, deterministic, use_running_average)
+        pr = self.latent_r_predictor(s_rec, batch.rec_mask & gm, deterministic, use_running_average)
         logits = jnp.concatenate([pl, pr], 1)  # (B, NL+NR, latent_dim)
         logits = jnp.swapaxes(logits, 1, 2)  # (B, latent_dim, NL+NR)
         node_mask = jnp.concatenate([batch.lig_mask, batch.rec_mask], 1)  # (B, NL+NR)

@@ -384,7 +384,12 @@ class TensorProductScoreModel(nn.Module):
         # the dot operand instead of re-reading the materialized one-hot)
         _c = (lambda oh: oh) if cfg.cache_onehots else (lambda oh: None)
         attrs = {"lig": lig_attr, "rec": rec_attr}
-        masks = {"lig": batch.lig_mask, "rec": batch.rec_mask[r1]}
+        # BN-stat masks AND the graph mask: remainder batches pad the BATCH
+        # axis by repeating real complexes (data/collate.py pad_graphs_to),
+        # and without the graph mask those repeats would double-count in the
+        # batch-norm statistics of small buckets (ADVICE r4)
+        gm = batch.graph_mask[:, None]
+        masks = {"lig": batch.lig_mask & gm, "rec": batch.rec_mask[r1] & gm[r1]}
         for li, layer in enumerate(self.conv_layers):
             blocks = [
                 ConvBlock(lig_edges, "lig", "lig", lig_eattr, lig_sh, 0, onehots=_c(lig_oh)),
@@ -558,8 +563,10 @@ class TensorProductScoreModel(nn.Module):
         tor_sh = self.final_tp_tor(edge_sh, gather_nodes(bond_sh2, tor_edges.src))
 
         blocks = [ConvBlock(tor_edges, "bond", "lig", t_eattr, tor_sh, append_scalars=False)]
+        # graph mask in the BN-stat mask: see the embed() trunk masks comment
+        gm = batch.graph_mask[:, None]
         tor_feat = self.tor_bond_conv(
-            {"lig": lig_attr}, {"bond": batch.tor_mask}, blocks,
+            {"lig": lig_attr}, {"bond": batch.tor_mask & gm}, blocks,
             out_types=["bond"], out_counts={"bond": R},
             deterministic=deterministic, use_running_average=use_running_average,
         )["bond"]  # (B, R, 2ns)

@@ -236,8 +236,12 @@ class DockingService:
                         rec = cand
                         break
                 if rec is None:
-                    raise ValueError(
-                        f"could not build a warmup complex fitting {caps}")
+                    # warmup is an optimization: an unfittable bucket
+                    # (unusual run caps) must never prevent serving -- the
+                    # bucket will just compile on its first real request
+                    print(f"serve: WARNING skipping warmup for bucket {caps}"
+                          " (no synthetic complex fits)", flush=True)
+                    continue
                 batch = collate(replicate_record(rec, samples), caps,
                                 esm_dim=self.score_cfg.esm_embedding_dim)
                 t0 = time.time()

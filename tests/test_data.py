@@ -925,3 +925,141 @@ class TestRDKitPathParity:
         np.testing.assert_array_equal(g_rdkit["bonds"], g_mini["bonds"])
         np.testing.assert_array_equal(g_rdkit["bond_attr"], g_mini["bond_attr"])
         np.testing.assert_allclose(g_rdkit["lig_pos"], g_mini["lig_pos"])
+
+    @classmethod
+    def _fake_from_spec(cls, spec):
+        """Fake-RDKit mol reporting the panel's DECLARED RDKit-true values."""
+        import networkx as nx
+
+        from tests.featurizer_panel import Z
+
+        heavy_deg = [0] * len(spec["elements"])
+        for a, b, _ in spec["bonds"]:
+            heavy_deg[a] += 1
+            heavy_deg[b] += 1
+        charges = dict(spec["charges"])
+        atoms = [
+            cls._Atom(Z[el], heavy_deg[i] + numh, numh, hyb, arom,
+                      charges.get(i, 0))
+            for i, (el, (numh, hyb, arom)) in enumerate(
+                zip(spec["elements"], spec["atoms"]))
+        ]
+        order_name = {1: "SINGLE", 2: "DOUBLE", 3: "TRIPLE"}
+        bonds = [
+            cls._Bond(a, b, "AROMATIC"
+                      if (min(a, b), max(a, b)) in spec["aromatic_bonds"]
+                      else order_name[t])
+            for a, b, t in spec["bonds"]
+        ]
+        G = nx.Graph()
+        G.add_nodes_from(range(len(atoms)))
+        G.add_edges_from((a, b) for a, b, _ in spec["bonds"])
+        rings = [set(r) for r in nx.minimum_cycle_basis(G)]
+        n = len(atoms)
+        pos = np.arange(3 * n, dtype=np.float32).reshape(n, 3)
+        return cls._Mol(atoms, bonds, rings, pos)
+
+    @staticmethod
+    def _mini_from_spec(spec):
+        m = minichem.perceive_aromaticity(minichem.parse_sdf(
+            _sdf_text(spec["elements"], spec["bonds"], spec["charges"] or None)))
+        n = len(spec["elements"])
+        return minichem.MiniMol(
+            m.elements, np.arange(3 * n, dtype=np.float32).reshape(n, 3),
+            m.bonds, m.bond_types, m.charges, m.kekule_types)
+
+    def test_panel_both_paths_equal(self, monkeypatch):
+        """The ~20-molecule featurizer parity panel (VERDICT r4 #4): charged
+        N/O, fused rings, heteroaromatics, sulfonamide, phosphate ester,
+        amide/aniline/enol-ether -- the rdkit code branch (driven by a fake
+        mol reporting the DECLARED RDKit-true values,
+        tests/featurizer_panel.py) must featurize identically to the
+        minichem fallback branch.  scripts/verify_rdkit_parity.py asserts
+        the declarations against real RDKit whenever it is importable."""
+        from disco_diffdock_tpu.data import featurize
+        from tests.featurizer_panel import PANEL
+
+        assert len(PANEL) >= 20
+        for spec in PANEL:
+            fake = self._fake_from_spec(spec)
+            monkeypatch.setattr(featurize, "HAS_RDKIT", True)
+            g_rdkit = featurize.ligand_graph(fake)
+            monkeypatch.setattr(featurize, "HAS_RDKIT", False)
+            g_mini = featurize.ligand_graph(self._mini_from_spec(spec))
+            for key in ("lig_x", "lig_z", "bonds", "bond_attr"):
+                np.testing.assert_array_equal(
+                    g_rdkit[key], g_mini[key],
+                    err_msg=f"{spec['name']}: {key} diverges between the "
+                            "rdkit branch and the minichem fallback")
+
+
+class TestMinichemKnownDivergences:
+    """Inventory of the DOCUMENTED minichem-vs-RDKit aromaticity divergences
+    (PARITY.md "Known gaps"): each case pins the exact FALLBACK behavior so
+    any silent drift in perceive_aromaticity fails loudly here first.  The
+    RDKit path is authoritative whenever rdkit is importable
+    (scripts/verify_rdkit_parity.py re-checks these with real RDKit);
+    reference semantics: SanitizeMol on read, process_mols.py:481-505.
+    """
+
+    @staticmethod
+    def _aromatic_atoms(elements, bonds, charges=None):
+        mol = minichem.parse_sdf(_sdf_text(elements, bonds, charges))
+        out = minichem.perceive_aromaticity(mol)
+        return sorted({
+            i
+            for (a, b), t in zip(out.bonds, out.bond_types) if t == 4
+            for i in (int(a), int(b))
+        })
+
+    def test_azulene_envelope_divergence(self):
+        """DIVERGENT: azulene is aromatic only as the fused 10-pi envelope.
+        RDKit's default model fuses rings and marks ALL 10 atoms aromatic;
+        minichem perceives per minimum-cycle-basis ring -- the 7-ring passes
+        Hueckel (6 pi), the 5-ring does not (5 pi) -- so atoms 7-9 stay
+        non-aromatic.  Pinned fallback: partial perception, never silence."""
+        per = [(i, (i + 1) % 10, 2 if i % 2 == 0 else 1) for i in range(10)]
+        got = self._aromatic_atoms(["C"] * 10, per + [(0, 6, 1)])
+        assert got == [0, 1, 2, 3, 4, 5, 6], got  # RDKit: list(range(10))
+
+    def test_pentalene_agrees_nonaromatic(self):
+        """Pentalene (fused 5-5, 8 pi, antiaromatic): both models say
+        non-aromatic -- fences the fixpoint loop against over-marking."""
+        per = [(i, (i + 1) % 8, 2 if i % 2 == 0 else 1) for i in range(8)]
+        assert self._aromatic_atoms(["C"] * 8, per + [(0, 4, 1)]) == []
+
+    def test_exocyclic_carbonyl_rings_agree(self):
+        """Tropone and 2-pyridone: the exocyclic C=O carbon contributes 0
+        electrons but stays eligible -- both perceive aromatic (RDKit's
+        canonical SMILES for tropone is the aromatic O=c1cccccc1)."""
+        tropone = self._aromatic_atoms(
+            ["C"] * 7 + ["O"],
+            _ring_bonds(7, [2, 1, 2, 1, 2, 1, 1]) + [(6, 7, 2)])
+        assert tropone == [0, 1, 2, 3, 4, 5, 6], tropone
+        pyridone = self._aromatic_atoms(
+            ["N"] + ["C"] * 5 + ["O"],
+            [(0, 1, 1), (1, 2, 1), (2, 3, 2), (3, 4, 1), (4, 5, 2),
+             (5, 0, 1), (1, 6, 2)])
+        assert pyridone == [0, 1, 2, 3, 4, 5], pyridone
+
+    def test_ring_size_window(self):
+        """Rings outside 5-7 never perceive: cyclobutadiene (4) and
+        cyclooctatetraene (8) stay Kekule on both models."""
+        assert self._aromatic_atoms(
+            ["C"] * 4, _ring_bonds(4, [2, 1, 2, 1])) == []
+        assert self._aromatic_atoms(
+            ["C"] * 8, _ring_bonds(8, [2, 1, 2, 1, 2, 1, 2, 1])) == []
+
+    def test_charged_ring_systems_agree(self):
+        """Pyrylium (O+ Kekulized with the in-ring double) and the
+        cyclopentadienyl anion perceive aromatic; tropylium's 7-ring with
+        C+ contributing 0 perceives aromatic (6 pi over 7 atoms)."""
+        assert self._aromatic_atoms(
+            ["O"] + ["C"] * 5, _ring_bonds(6, [1, 2, 1, 2, 1, 2]),
+            charges=[(0, 1)]) == [0, 1, 2, 3, 4, 5]
+        assert self._aromatic_atoms(
+            ["C"] * 5, _ring_bonds(5, [1, 2, 1, 2, 1]),
+            charges=[(0, -1)]) == [0, 1, 2, 3, 4]
+        assert self._aromatic_atoms(
+            ["C"] * 7, _ring_bonds(7, [1, 2, 1, 2, 1, 2, 1]),
+            charges=[(0, 1)]) == [0, 1, 2, 3, 4, 5, 6]

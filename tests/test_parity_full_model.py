@@ -1409,27 +1409,27 @@ class TestARPriorParity:
                                        err_msg=f"AR slot logits, graph {gi}")
 
     def test_sequential_decode_matches(self, ar_setup):
-        """encode_ar at argmax temperature: every slot's logits AND the
-        chosen node match the oracle decode (model_classes.py:26-46
-        temperature>=100 branch)."""
+        """encode_ar (a lax.scan over latent slots) at argmax temperature:
+        the final one-hot strings must equal the oracle's slot-by-slot
+        argmax decode, and each slot's jax logits -- recomputed directly on
+        the oracle's partial string -- must match the oracle
+        (model_classes.py:26-46 temperature>=100 branch).  Per-slot choice
+        equality makes the jax scan's intermediate partial strings equal to
+        the oracle's by induction (slots are written exactly once)."""
         from disco_diffdock_tpu.models.ar import encode_ar
 
         cfg, model, variables, batch = ar_setup
         B, NL = batch.lig_x.shape[:2]
         NR = batch.rec_x.shape[1]
-        calls = []
 
         def apply_fn(b, lat, d):
-            out = model.apply(variables, b, lat, d,
-                              deterministic=True, use_running_average=True)
-            calls.append((jax.tree.map(np.asarray, lat), np.asarray(out[0])))
-            return out
+            return model.apply(variables, b, lat, d,
+                               deterministic=True, use_running_average=True)
 
         lat_l, lat_r = encode_ar(
             apply_fn, batch, jax.random.PRNGKey(3), self.ILD,
             sampling_temperature=1000.0)
         lat_l, lat_r = np.asarray(lat_l), np.asarray(lat_r)
-        assert len(calls) == self.ILD
 
         params = jax.tree.map(np.asarray, variables["params"])
         stats = jax.tree.map(np.asarray, variables["batch_stats"])
@@ -1441,9 +1441,13 @@ class TestARPriorParity:
             orr = np.zeros((nr, self.ILD), np.float32)
             for idx in range(self.ILD):
                 o = self._oracle_logits(cfg, params, stats, sigma, g, (ol, orr))
-                # JAX call idx must have seen the oracle's partial string
-                (cl, cr), lg = calls[idx]
-                np.testing.assert_allclose(cl[gi, :nl], ol, atol=0)
+                # jax logits on the oracle's partial string, this slot
+                pl = np.zeros((B, NL, self.ILD), np.float32)
+                pr = np.zeros((B, NR, self.ILD), np.float32)
+                pl[gi, :nl], pr[gi, :nr] = ol, orr
+                lg, _ = apply_fn(batch, (jnp.asarray(pl), jnp.asarray(pr)),
+                                 jnp.full((B,), idx, jnp.int32))
+                lg = np.asarray(lg)
                 got = np.concatenate([lg[gi, 0, :nl], lg[gi, 0, NL:NL + nr]])
                 np.testing.assert_allclose(got, o, rtol=3e-4, atol=3e-5,
                                            err_msg=f"decode slot {idx}, graph {gi}")
