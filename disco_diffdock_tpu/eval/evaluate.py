@@ -49,6 +49,10 @@ def parse_args(argv=None):
                    help="synthetic mode: drive the all-atom score model "
                         "through the sampler (real runs read all_atoms from "
                         "the run config)")
+    p.add_argument("--synthetic_confidence", action="store_true",
+                   help="synthetic mode: attach a random-init confidence "
+                        "model so the filtered_ metric family is exercised "
+                        "end-to-end (reference evaluate.py:453-456)")
     p.add_argument("--data_dir", default=None)
     p.add_argument("--split_path", default="data/splits/timesplit_test")
     p.add_argument("--cache_path", default="data/cache_tpu")
@@ -676,6 +680,33 @@ def main(argv=None):
             for s in range(args.n_complexes)
         ]
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0])
+        # ligand bonds + elements from the synthetic records so the full
+        # metric family (symmetry RMSD, self_intersect_fraction) is computed
+        # exactly as the real-data path does (reference evaluate.py:331-338);
+        # the synthetic bond list is bidirectional, first half is unique
+        metas = []
+        for b in batches:
+            lm = np.asarray(b.lig_mask[0])
+            bm = np.asarray(b.lig_bonds.mask[0])
+            src = np.asarray(b.lig_bonds.src[0])[bm]
+            dst = np.asarray(b.lig_bonds.dst[0])[bm]
+            bonds = np.stack([src, dst], 1)[: len(src) // 2]
+            metas.append({"elements": np.asarray(b.lig_x[0])[lm, 0] + 1,
+                          "bonds": bonds})
+        conf_model = conf_vars = None
+        if args.synthetic_confidence:
+            import dataclasses
+
+            conf_cfg = dataclasses.replace(
+                cfg, confidence_mode=True, num_confidence_outputs=1)
+            if args.all_atoms:
+                from ..models.all_atom_score_model import AllAtomScoreModel
+
+                conf_model = AllAtomScoreModel(cfg=conf_cfg, caps=caps)
+            else:
+                conf_model = TensorProductScoreModel(cfg=conf_cfg, caps=caps)
+            conf_vars = jax.jit(conf_model.init)(
+                jax.random.PRNGKey(2), batches[0])
         mesh = None
         if args.n_devices > 1:
             from ..parallel import make_mesh
@@ -684,7 +715,8 @@ def main(argv=None):
         metrics = evaluate_complexes(
             model, variables, batches, scfg, sigma, jax.random.PRNGKey(1),
             out_dir=args.out_dir, save_visualisation=args.save_visualisation,
-            mesh=mesh, limit_failures=args.limit_failures,
+            confidence_model=conf_model, confidence_variables=conf_vars,
+            lig_meta=metas, mesh=mesh, limit_failures=args.limit_failures,
             no_model=args.no_model,
         )
     else:

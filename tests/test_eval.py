@@ -257,6 +257,23 @@ def test_synthetic_all_atom_score_eval():
     assert all(v == 0 for v in m["edge_overflow"].values())
 
 
+def test_synthetic_confidence_full_metric_family(tmp_path):
+    """--synthetic_confidence attaches a random-init confidence model and
+    synthetic ligand bonds/elements so the COMPLETE metric family the
+    reference computes (evaluate.py:331-338,453-456) is populated: no null
+    self_intersect_fraction, a real filtered_ family, symmetry RMSD path."""
+    from disco_diffdock_tpu.eval.evaluate import main
+
+    m = main(["--synthetic", "--n_complexes", "1", "--samples_per_complex",
+              "2", "--inference_steps", "2", "--synthetic_confidence",
+              "--out_dir", str(tmp_path / "e")])
+    assert m["self_intersect_fraction"] is not None
+    assert m["steric_clash_fraction"] is not None
+    assert "filtered_rmsds_below_2" in m
+    assert all(v is not None for k, v in m.items()
+               if k.startswith("filtered_")), m
+
+
 def test_visualisation_writes_every_pose_ranked(tmp_path):
     """--save_visualisation writes EVERY pose's trajectory into a per-complex
     dir, files named <rank>_<rmsd>[_<conf>].pdb ranked by rmsd when no
