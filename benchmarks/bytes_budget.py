@@ -122,21 +122,34 @@ def trace_buckets(trace_dir="/tmp/bench_trace"):
         return None
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
-    # device PIDs: process_name metadata containing "TPU" and not "Host"
-    pids = set()
+    # Leaf device ops live on the "XLA Ops" thread of the TPU device PID;
+    # "XLA Modules" / `while` container rows wrap the same time and would
+    # double-count it.
+    device_pids, op_tids = set(), set()
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             name = ev.get("args", {}).get("name", "")
             if "TPU" in name or "/device:" in name:
-                pids.add(ev["pid"])
+                device_pids.add(ev["pid"])
+        elif ev.get("name") == "thread_name":
+            if ev.get("args", {}).get("name") == "XLA Ops":
+                op_tids.add((ev["pid"], ev["tid"]))
     buckets = defaultdict(float)
     for ev in trace.get("traceEvents", []):
-        if ev.get("ph") != "X" or ev.get("pid") not in pids:
+        if (ev.get("ph") != "X" or ev.get("pid") not in device_pids
+                or (ev["pid"], ev.get("tid")) not in op_tids):
             continue
         name = ev.get("name", "")
         key = re.sub(r"[.\d]+$", "", name).strip(".")
         # coarse class: leading fused-op kind
         key = key.split("(")[0]
+        # `while` / `conditional` / `jit_*` rows are CONTAINERS whose body
+        # ops also appear as X events on this thread -- counting them
+        # would double the body time.
+        if key in ("while", "conditional") or key.startswith("jit_"):
+            continue
         buckets[key] += ev.get("dur", 0.0) / 1e3  # us -> ms
     return dict(sorted(buckets.items(), key=lambda kv: -kv[1]))
 
@@ -159,13 +172,21 @@ def main():
     buckets = trace_buckets()
     if buckets:
         tot = sum(buckets.values())
-        print("\n## Measured device-op time by class (chrome trace, whole "
-              "profiled window)\n")
-        print("| op class | ms | share |")
-        print("|---|---|---|")
+        # bench.py --profile traces `windows * reps` identical runs of the
+        # one-complex program (3 * 5 at the time of writing)
+        n_complexes = 15
+        print("\n## Measured device-op time by class (chrome trace, leaf "
+              f"XLA ops, {n_complexes} complexes profiled)\n")
+        print("| op class | ms total | ms/complex | share |")
+        print("|---|---|---|---|")
         for k, v in list(buckets.items())[:18]:
-            print(f"| {k} | {v:.1f} | {v/tot:.1%} |")
-        print(f"| **total** | **{tot:.1f}** | 100% |")
+            print(f"| {k} | {v:.1f} | {v/n_complexes:.1f} | {v/tot:.1%} |")
+        print(f"| **total** | **{tot:.1f}** | **{tot/n_complexes:.1f}** "
+              f"| 100% |")
+        print(f"\ndevice leaf-op time: {tot/n_complexes:.0f} ms/complex vs "
+              f"analytic HBM floor {total/V5E_HBM*1e3:.0f} ms/complex -> "
+              f"schedule efficiency {total/V5E_HBM*1e3/(tot/n_complexes):.0%}"
+              " of the bytes-derived bound")
     else:
         print("\n(no chrome trace found under /tmp/bench_trace -- run "
               "`python bench.py --profile` first)")
