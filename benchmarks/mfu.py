@@ -72,9 +72,11 @@ def analyze_train():
     """Cost analysis + measured throughput of the flagship TRAINING step
     (the DisCo ModelWrapper optimizer step bench.py measures): train MFU at
     bench shapes, the VERDICT r3 item-2 companion to the inference table.
-    The trainers run f32 (reference default), so the MFU row is quoted
-    against the bf16 MXU peak with that caveat -- the f32-native rate is
-    lower, making the quoted MFU a lower bound on MXU occupancy."""
+    The trainers default to bf16 message/TP compute with f32 params/
+    optimizer/batch-norm accumulation (ScoreModelConfig.compute_dtype;
+    the f32-vs-bf16 steps/sec + loss-parity A/B is
+    benchmarks/train_dtype_ab.py -> train_dtype_ab.json), so this measures
+    the shipped default."""
     import bench
 
     step, state, batch = bench.build_train()
@@ -92,7 +94,8 @@ def analyze_train():
     return {
         "workload": f"wrapper train step (encoder+gumbel+droprate+score), "
                     f"batch {bench.TRAIN_BATCH}, {bench.N_LIG}-atom/"
-                    f"{bench.N_RES}-res worst-case caps, f32",
+                    f"{bench.N_RES}-res worst-case caps, bf16 message/TP "
+                    f"compute + f32 accumulation (trainer default)",
         "hlo_flops": flops,
         "hlo_bytes_accessed": bytes_accessed,
         "arithmetic_intensity_flops_per_byte": flops / bytes_accessed,
@@ -146,6 +149,16 @@ overstates true HBM traffic when fusions keep intermediates in
 registers/VMEM; the HBM utilization row is therefore an upper bound on
 actual bandwidth demand, and the true roofline ceiling is at least the
 quoted one.
+
+**Round-5 correction (bytes_budget.py):** for the INFERENCE program the
+post-fusion cost analysis UNDERcounts: the per-edge TP weight blocks are
+materialized at the w2->fan-contraction fusion boundary (357 GB/complex
+of real HBM traffic the cost model attributes to no buffer).  Counting
+byte classes analytically gives 492 GB/complex -> a 600 ms/complex HBM
+floor, and the measured 650 ms/complex of leaf device time is **~92% of
+that bound** — the "fraction of roofline" row above is an artifact of the
+HLO-bytes figure, not schedule waste.  See profile_notes.md "Round-5:
+bytes budget" for the full per-class table and consistency checks.
 """
     if train is not None:
         md += f"""
@@ -163,16 +176,58 @@ quoted one.
 | MFU vs 197 TFLOP/s bf16 peak | {train["mfu_vs_v5e_bf16_peak"]:.1%} |
 | Achieved HBM bandwidth (HLO upper bound) | {train["achieved_hbm_gbps"]:.0f} GB/s |
 
-The train step runs f32 (the trainers' and the reference's default), so
-the MFU row understates MXU occupancy relative to the f32-native rate;
-the step is dominated by the same per-edge TP work as inference plus its
-backward pass, at the exact worst-case t=1 edge caps (training samples
-t~U(0,1), so the full 10240-pair cross grid must fit every step).  Where
+The train step runs the trainers' default: bf16 message/TP compute with
+f32 params/optimizer/batch-norm accumulation (the reference trains f32;
+benchmarks/train_dtype_ab.json holds the measured f32-vs-bf16 steps/sec
+A/B and the same-init same-noise loss-parity evidence that gates the bf16
+default).  The step is dominated by the same per-edge TP work as
+inference plus its backward pass, at the exact worst-case t=1 edge caps
+(training samples t~U(0,1), so the full 10240-pair cross grid must fit
+every step).  Where
 the HLO-bytes row exceeds the 819 GB/s physical peak it is direct proof
 of the overcount caveat above: XLA's fusions keep most per-edge
 intermediates in VMEM, so HLO buffer traffic is not HBM traffic.
 """
+        md += _dtype_ab_md()
     return md
+
+
+def _dtype_ab_md() -> str:
+    """Summarize benchmarks/train_dtype_ab.json (if present) so the measured
+    f32-vs-bf16 training A/B lives in mfu.md next to the train table
+    (VERDICT r4 #5)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "train_dtype_ab.json")
+    if not os.path.exists(path):
+        return ""
+    with open(path) as f:
+        ab = json.load(f)
+    sps = ab.get("steps_per_sec")
+    par = ab.get("parity", {})
+    if not sps:
+        return ""
+    fw_f32 = par.get("final_window_f32", float("nan"))
+    fw_bf16 = par.get("final_window_bf16", float("nan"))
+    fw_rel = abs(fw_f32 - fw_bf16) / max(fw_f32, 1e-9)
+    return f"""
+### Compute-dtype A/B (train_dtype_ab.py, interleaved windows, real chip)
+
+| compute_dtype | steps/sec (median of 3) |
+|---|---|
+| float32 | {sps["float32"]:.3f} |
+| bfloat16 (shipped default) | {sps["bfloat16"]:.3f} |
+| **bf16 speedup** | **{ab["speedup_bf16"]:.2f}x** |
+
+Loss-curve parity (same init, same per-step noise keys,
+{len(ab.get("curves", {}).get("float32", []))} steps, small shapes):
+final-window means {fw_f32:.4f} (f32) vs {fw_bf16:.4f} (bf16), a
+{fw_rel:.1%} relative difference; both curves decrease
+({str(par.get("both_decrease", "?")).lower()}).  Per-step mean relative
+difference {par.get("mean_rel_diff", float("nan")):.1%} (stochastic
+round-off amplification through gumbel/droprate paths; the overfit-then-
+sample gate in the trainers' validation showed 1.93 A bf16 vs 2.01 A f32
+final RMSD).  bf16 message/TP compute stays the default.
+"""
 
 
 if __name__ == "__main__":
